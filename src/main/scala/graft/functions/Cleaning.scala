@@ -26,9 +26,11 @@ object Cleaning {
     */
   def parseArea(c: Column): Column = {
     val m = regexp_extract(blankToNull(c), "[0-9,.]+", 0)
-    // regexp_extract yields "" on no match; cast("") -> null, matching the
-    // Python `return None` path. cast("5.2.3") -> null matches float() raise.
-    regexp_replace(m, ",", "").cast("double")
+    // regexp_extract yields "" on no match; try_cast("") -> null, matching
+    // the Python `return None` path; try_cast("5.2.3") -> null matches the
+    // float() raise. Plain cast would THROW under Spark 4's default ANSI
+    // mode on exactly these dirty inputs.
+    regexp_replace(m, ",", "").try_cast("double")
   }
 
   /** F2 `parse_number(str) -> int` (reference app/sliver.py:54-60).
@@ -41,7 +43,11 @@ object Cleaning {
   def parseNumber(c: Column): Column = {
     val s = trim(blankToNull(c))
     val isNum = s.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
-    when(isNum, s.cast("double").cast("int")).otherwise(lit(null).cast("int"))
+    // try_cast double->int nulls out values beyond Int range (Python's
+    // unbounded int differs there, but the reference stores IntegerType, so
+    // out-of-range must land null, not overflow/throw).
+    when(isNum, s.try_cast("double").try_cast("int"))
+      .otherwise(lit(null).cast("int"))
   }
 
   /** F3 `normalize_price(str) -> double` in billions of VND
@@ -53,11 +59,13 @@ object Cleaning {
     */
   def normalizePrice(c: Column): Column = {
     val s = lower(blankToNull(c))
-    val firstNum = regexp_extract(s, "[0-9.]+", 0).cast("double")
+    // try_cast: "" (no digits near "tỷ") and malformed tokens like ".."
+    // must null out (Python except-path), not throw under ANSI.
+    val firstNum = regexp_extract(s, "[0-9.]+", 0).try_cast("double")
     when(s.isNull, lit(null).cast("double"))
       .when(s.contains("tỷ"), firstNum)
       .when(s.contains("triệu"), firstNum / 1000)
       .otherwise(
-        nullif(regexp_replace(s, "[^0-9]", ""), lit("")).cast("double") / 1e9)
+        nullif(regexp_replace(s, "[^0-9]", ""), lit("")).try_cast("double") / 1e9)
   }
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule, Tables}
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (hash groupBy), exact-by-digest, n-gram Jaccard via an inverted-index
+  * join, MinHash+LSH banding, and SimHash — all over the `documents` table.
+  *
+  * 100 TB stance: NO all-pairs/cartesian anywhere. Exact dedup is a single
+  * shuffle on the group key; Jaccard candidates come from an equi-join on
+  * shared shingles (inverted index); MinHash candidates from an equi-join
+  * on (band, band-hash). DedupSpec asserts the physical plans contain no
+  * CartesianProduct / BroadcastNestedLoopJoin.
+  *
+  * The generalized dedup intent in the reference is dropDuplicates() /
+  * seen-ID skipping (realestate_pipeline.py:149, app/bronze.py:50-63).
+  */
+object Dedup extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Non-empty whitespace tokens. */
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), x => x =!= lit(""))
+
+  /** Distinct word-bigram shingles from a token array. */
+  private def shingles(ts: Column): Column =
+    array_distinct(zip_with(
+      slice(ts, lit(1), size(ts) - 1),
+      slice(ts, lit(2), size(ts) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+
+  /** doc_id + distinct bigram-shingle set (docs with ≥1 shingle). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** DuckDB fragment: (doc_id, sh LIST<VARCHAR>) distinct bigrams. */
+  private val docShinglesSql = """
+    SELECT doc_id, list_distinct(bgs) AS sh FROM (
+      SELECT doc_id,
+             list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1]) AS bgs
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents))
+    WHERE len(bgs) > 0"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: one hash-aggregate on the full text ----
+    Q(
+      "dedup_exact",
+      Some("""
+        SELECT text, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(doc_id) AS BIGINT) AS keeper
+        FROM documents GROUP BY text ORDER BY keeper"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("text")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+          .orderBy("keeper")),
+
+    // ---- exact dedup by digest: group on md5 of normalized content (the
+    // scale pattern when the payload is huge — shuffle 16-byte keys, not
+    // documents) ----
+    Q(
+      "dedup_exact_hash",
+      Some("""
+        SELECT md5(trim(text)) AS digest, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(doc_id) AS BIGINT) AS keeper
+        FROM documents GROUP BY 1 ORDER BY keeper"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(trim(col("text")).cast("binary")).as("digest"))
+          .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+          .orderBy("keeper")),
+
+    // ---- near-dup: exact bigram-set Jaccard, candidates from an
+    // inverted-index equi-join on shared shingles (no all-pairs) ----
+    Q(
+      "dedup_ngram_jaccard",
+      Some(s"""
+        WITH docs AS ($docShinglesSql),
+        ex AS (SELECT doc_id, unnest(sh) AS bg FROM docs),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM ex a JOIN ex b ON a.bg = b.bg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(sh) AS sz FROM docs)
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+                 AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val docs = docShingles(s, dir)
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("bg"))
+        val pairs = ex.as("a")
+          .join(ex.as("b"),
+            col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+        val jac = col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter"))
+        pairs
+          .join(sizes.as("sa"), col("sa.doc_id") === col("id_a"))
+          .join(sizes.as("sb"), col("sb.doc_id") === col("id_b"))
+          .filter(jac >= 0.2)
+          .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- MinHash (16 perms) + LSH banding (4 bands × 4) → candidate
+    // equi-join on (band, band-hash) → exact Jaccard verify. Hash-seeded,
+    // so no SQL oracle; DedupSpec pins recall against dedup_ngram_jaccard
+    // and asserts the no-cartesian plan. ----
+    Q(
+      "dedup_minhash_lsh",
+      None,
+      (s, dir) => {
+        val P = 998244353L
+        val docs = docShingles(s, dir)
+          .withColumn("hs",
+            transform(col("sh"), x => pmod(xxhash64(x), lit(1000003L))))
+          .withColumn("sig",
+            transform(sequence(lit(0), lit(15)), i =>
+              array_min(transform(col("hs"),
+                h => pmod(h * (i * 2 + 1) + i * 7 + 13, lit(P))))))
+        val bands = docs.select(
+          col("doc_id"),
+          explode(transform(sequence(lit(0), lit(3)), b =>
+            struct(b.as("band_id"),
+              hash(slice(col("sig"), b * 4 + 1, lit(4))).as("bkey"))))
+            .as("band"))
+          .select(col("doc_id"), col("band.band_id"), col("band.bkey"))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        val sets = docShingles(s, dir)
+        val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))
+        cand
+          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+          .filter(jac >= 0.2)
+          .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- embedding-cosine near-dup: hyperplane-LSH candidate buckets →
+    // exact cosine ≥ 0.95 verify. Same no-all-pairs shape as MinHash;
+    // hash-seeded bucketing → no SQL oracle, DedupSpec pins subset/recall
+    // against the brute-force pair set. ----
+    Q(
+      "dedup_embedding_cosine",
+      None,
+      (s, dir) => {
+        import graft.functions.Vectors
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        val buckets = e.select(
+          col("vec_id"), col("vec"),
+          explode(transform(sequence(lit(0), lit(3)), tb =>
+            struct(tb.as("tbl"), Vectors.lshBucket(col("vec"), tb, 64).as("bucket"))))
+            .as("tb"))
+          .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+        val pairs = buckets.as("x")
+          .join(buckets.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("x.vec").as("va"),
+            col("y.vec_id").as("id_b"), col("y.vec").as("vb"))
+          .dropDuplicates("id_a", "id_b")
+        pairs
+          .withColumn("cos", Vectors.cosine(col("va"), col("vb")))
+          .filter(col("cos") >= 0.95)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- SimHash: 32-bit signature from token hashes (bit-majority).
+    // Hash-seeded → no SQL oracle; DedupSpec pins determinism + locality. ----
+    Q(
+      "dedup_simhash",
+      None,
+      (s, dir) => {
+        val ex = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("h", xxhash64(col("tok")))
+        val bitAggs = (0 until 32).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"b$j"))
+        val sim = (0 until 32)
+          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        ex.groupBy("doc_id")
+          .agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"), sim.as("simhash"))
+          .orderBy("doc_id")
+      })
+  )
+}

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule, Tables}
+import graft.functions.Cleaning
+
+/** The reference's medallion pipeline semantics (SURVEY.md §2.2/§2.3):
+  * bronze→silver cleaning (reference airflow/dags/realestate_pipeline.py:
+  * 143-158), silver rename-projection + typed parsing (app/sliver.py:86-89,
+  * 143-155), gold feature engineering (realestate_pipeline.py:175-187).
+  *
+  * The testdata has no Vietnamese listing strings, so the dirty inputs are
+  * CONSTRUCTED deterministically from integer columns (int→string casts
+  * format identically in Spark and DuckDB; double→string does not). The
+  * construction covers every branch of the F1–F3 truth table
+  * (FIXTURES.md §1.4): plain / comma-decimal / dotted / blank / garbage.
+  */
+object Medallion extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Bronze-shaped dirty strings derived from orders (deterministic). */
+  private def bronzeish(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = (col("o_orderkey") % 1000).cast("int").cast("string")
+    val dec = (col("o_orderkey") % 10).cast("int").cast("string")
+    o.select(
+      col("o_orderkey").as("id"),
+      when(col("o_orderkey") % 5 === 0, concat(base, lit(" m²")))
+        .when(col("o_orderkey") % 5 === 1, concat(base, lit(","), dec, lit(" m²")))
+        .when(col("o_orderkey") % 5 === 2, concat(base, lit("."), dec))
+        .when(col("o_orderkey") % 5 === 3, lit(""))
+        .otherwise(lit("n/a")).as("area_raw"),
+      when(col("o_orderkey") % 4 === 0, concat(base, lit("."), dec, lit(" tỷ")))
+        .when(col("o_orderkey") % 4 === 1, concat(base, lit(" triệu")))
+        .when(col("o_orderkey") % 4 === 2, concat(base, lit("000000")))
+        .otherwise(lit("")).as("price_raw"),
+      when(col("o_orderkey") % 3 === 0, base)
+        .when(col("o_orderkey") % 3 === 1, concat(base, lit("."), dec))
+        .otherwise(lit("x")).as("floors_raw"))
+  }
+
+  /** DuckDB SQL fragment reproducing the bronzeish construction. */
+  private val bronzeishSql = """
+    SELECT o_orderkey AS id,
+      CASE o_orderkey % 5
+        WHEN 0 THEN CAST(o_orderkey % 1000 AS INT) || ' m²'
+        WHEN 1 THEN CAST(o_orderkey % 1000 AS INT) || ',' || CAST(o_orderkey % 10 AS INT) || ' m²'
+        WHEN 2 THEN CAST(o_orderkey % 1000 AS INT) || '.' || CAST(o_orderkey % 10 AS INT)
+        WHEN 3 THEN ''
+        ELSE 'n/a' END AS area_raw,
+      CASE o_orderkey % 4
+        WHEN 0 THEN CAST(o_orderkey % 1000 AS INT) || '.' || CAST(o_orderkey % 10 AS INT) || ' tỷ'
+        WHEN 1 THEN CAST(o_orderkey % 1000 AS INT) || ' triệu'
+        WHEN 2 THEN CAST(o_orderkey % 1000 AS INT) || '000000'
+        ELSE '' END AS price_raw,
+      CASE o_orderkey % 3
+        WHEN 0 THEN CAST(o_orderkey % 1000 AS INT)::VARCHAR
+        WHEN 1 THEN CAST(o_orderkey % 1000 AS INT) || '.' || CAST(o_orderkey % 10 AS INT)
+        ELSE 'x' END AS floors_raw
+    FROM orders"""
+
+  /** DuckDB equivalents of the F1–F3 parse semantics (see Cleaning.scala).
+    * NOTE: DuckDB regexp_replace needs the 'g' flag (Spark's is global). */
+  private def sqlParseArea(c: String) =
+    s"TRY_CAST(replace(regexp_extract(nullif(trim($c), ''), '[0-9,.]+', 0), ',', '') AS DOUBLE)"
+  private def sqlParseNumber(c: String) =
+    s"""CASE WHEN regexp_matches(trim($c), '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$$')
+         THEN CAST(trunc(TRY_CAST(trim($c) AS DOUBLE)) AS BIGINT) END"""
+  private def sqlNormalizePrice(c: String) =
+    s"""CASE WHEN nullif(trim($c), '') IS NULL THEN NULL
+         WHEN contains(lower($c), 'tỷ')
+           THEN TRY_CAST(regexp_extract(lower($c), '[0-9.]+', 0) AS DOUBLE)
+         WHEN contains(lower($c), 'triệu')
+           THEN TRY_CAST(regexp_extract(lower($c), '[0-9.]+', 0) AS DOUBLE) / 1000
+         ELSE TRY_CAST(nullif(regexp_replace(lower($c), '[^0-9]', '', 'g'), '') AS DOUBLE) / 1e9
+       END"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- P1/F4: rename-projection (schema standardization), including a
+    // Vietnamese-identifier hop to prove UTF-8 column names work natively
+    // (reference app/sliver.py:143-155) ----
+    Q(
+      "p1_rename_projection",
+      Some("""
+        SELECT doc_id AS id, lang AS language, source AS origin,
+               CAST(n_chars AS BIGINT) AS size_chars
+        FROM documents ORDER BY id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id").as("id"),
+            col("lang").as("Ngôn ngữ"),
+            col("source").as("origin"),
+            col("n_chars").cast("long").as("size_chars"))
+          .withColumnRenamed("Ngôn ngữ", "language")
+          .select("id", "language", "origin", "size_chars")
+          .orderBy("id")),
+
+    // ---- silver_clean: the F1–F3 parsers applied in a P1-style projection
+    // (the reference DECLARES these UDFs but never wires them —
+    // app/sliver.py:86-89; we implement the intent) ----
+    Q(
+      "silver_clean",
+      Some(s"""
+        SELECT id,
+               ${sqlParseArea("area_raw")} AS area,
+               ${sqlParseNumber("floors_raw")} AS floors,
+               ${sqlNormalizePrice("price_raw")} AS price
+        FROM ($bronzeishSql)
+        ORDER BY id"""),
+      (s, dir) =>
+        bronzeish(s, dir)
+          .select(
+            col("id"),
+            Cleaning.parseArea(col("area_raw")).as("area"),
+            Cleaning.parseNumber(col("floors_raw")).cast("long").as("floors"),
+            Cleaning.normalizePrice(col("price_raw")).as("price"))
+          .orderBy("id")),
+
+    // ---- P2: null-drop filter (reference realestate_pipeline.py:148) ----
+    Q(
+      "p2_null_drop",
+      Some(s"""
+        SELECT id, area, price FROM (
+          SELECT id,
+                 ${sqlParseArea("area_raw")} AS area,
+                 ${sqlNormalizePrice("price_raw")} AS price
+          FROM ($bronzeishSql))
+        WHERE area IS NOT NULL AND price IS NOT NULL
+        ORDER BY id"""),
+      (s, dir) =>
+        bronzeish(s, dir)
+          .select(
+            col("id"),
+            Cleaning.parseArea(col("area_raw")).as("area"),
+            Cleaning.normalizePrice(col("price_raw")).as("price"))
+          .na.drop(Seq("area", "price"))
+          .orderBy("id")),
+
+    // ---- P3: duplicate elimination on all columns (realestate_pipeline.py:149) ----
+    Q(
+      "p3_drop_duplicates",
+      Some("""
+        SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment
+        FROM customer ORDER BY 1, 2"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nationkey"),
+            col("c_mktsegment").as("segment"))
+          .dropDuplicates()
+          .orderBy("nationkey", "segment")),
+
+    // ---- P4: type casts (realestate_pipeline.py:152-154). ANSI-safe:
+    // double→long truncates, int→string and timestamp→date are exact ----
+    Q(
+      "p4_type_casts",
+      Some("""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+               CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
+               CAST(l_linenumber AS VARCHAR) AS line_str,
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
+        FROM lineitem ORDER BY l_orderkey, line_no"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("line_no"),
+            col("l_quantity").cast("long").as("qty_int"),
+            col("l_linenumber").cast("string").as("line_str"),
+            col("l_shipdate").cast("date").cast("string").as("ship_day"))
+          .orderBy("l_orderkey", "line_no")),
+
+    // ---- P5: CASE WHEN categorical encoding (realestate_pipeline.py:175-180) ----
+    Q(
+      "p5_case_when_encoding",
+      Some("""
+        SELECT doc_id, lang,
+               CAST(CASE WHEN lang = 'en' THEN 2 WHEN lang = 'zh' THEN 1
+                    ELSE 0 END AS BIGINT) AS lang_encoded
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            when(col("lang") === "en", 2L)
+              .when(col("lang") === "zh", 1L)
+              .otherwise(0L).as("lang_encoded"))
+          .orderBy("doc_id")),
+
+    // ---- P6: arithmetic derived column with pinned divide-by-zero
+    // (price_per_m2, realestate_pipeline.py:183; nullif per SURVEY §7.4) ----
+    Q(
+      "p6_derived_ratio",
+      Some("""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+               l_extendedprice / nullif(l_quantity, 0) AS unit_price
+        FROM lineitem ORDER BY l_orderkey, line_no"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("line_no"),
+            (col("l_extendedprice") / nullif(col("l_quantity"), lit(0)))
+              .as("unit_price"))
+          .orderBy("l_orderkey", "line_no")),
+
+    // ---- P7: schema reconciliation — fill a missing expected column with
+    // typed null (the INTENT of realestate_pipeline.py:143-146, minus its
+    // crash-if-missing bug) ----
+    Q(
+      "p7_schema_reconciliation",
+      Some("""
+        SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS quality_score
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        val df = t(s, dir, "documents").select("doc_id", "lang")
+        val expected = Seq("doc_id" -> "bigint", "lang" -> "string",
+          "quality_score" -> "double")
+        val reconciled = expected.foldLeft(df) { case (d, (c, tpe)) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast(tpe))
+        }
+        reconciled.select("doc_id", "lang", "quality_score").orderBy("doc_id")
+      }),
+
+    // ---- F5: date extraction from crawl filenames (app/sliver.py:162-164) ----
+    Q(
+      "f5_filename_date",
+      Some("""
+        SELECT fname,
+               CAST(CAST(strptime(regexp_extract(fname, 'crawl_([0-9]{8})_', 1),
+                    '%Y%m%d') AS DATE) AS VARCHAR) AS file_date,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT 'crawl_' || strftime(o_orderdate, '%Y%m%d') || '_120000.json'
+                AS fname FROM orders)
+        GROUP BY 1, 2 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(concat(lit("crawl_"),
+            date_format(col("o_orderdate"), "yyyyMMdd"),
+            lit("_120000.json")).as("fname"))
+          .groupBy(
+            col("fname"),
+            to_date(regexp_extract(col("fname"), "crawl_([0-9]{8})_", 1),
+              "yyyyMMdd").cast("string").as("file_date"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("fname")),
+
+    // ---- gold: P5+P6 composed — the reference's gold feature table
+    // (realestate_pipeline.py:175-187) over a silver-shaped projection ----
+    Q(
+      "gold_features",
+      Some("""
+        SELECT o_orderkey AS id, c_mktsegment AS location,
+               CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 2
+                    WHEN c_mktsegment = 'BUILDING' THEN 1
+                    ELSE 0 END AS BIGINT) AS location_encoded,
+               o_totalprice AS price,
+               CAST(o_orderkey % 500 + 1 AS DOUBLE) AS area,
+               o_totalprice / nullif(CAST(o_orderkey % 500 + 1 AS DOUBLE), 0)
+                 AS price_per_m2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY id"""),
+      (s, dir) => {
+        val area = (col("o_orderkey") % 500 + 1).cast("double")
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(
+            col("o_orderkey").as("id"),
+            col("c_mktsegment").as("location"),
+            when(col("c_mktsegment") === "MACHINERY", 2L)
+              .when(col("c_mktsegment") === "BUILDING", 1L)
+              .otherwise(0L).as("location_encoded"),
+            col("o_totalprice").as("price"),
+            area.as("area"),
+            (col("o_totalprice") / nullif(area, lit(0.0))).as("price_per_m2"))
+          .orderBy("id")
+      })
+  )
+}

@@ -1,0 +1,581 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, QueryModule, Tables}
+
+/** The Tier-B relational surface (SURVEY.md §2.4): the full analytical SQL
+  * operator set the reference exposes through its Spark Thrift Server + BI
+  * layer (reference: docker-compose.yml:70-88,181-189). One registered query
+  * per operator family, each DuckDB-oracle-verified.
+  *
+  * Scale notes (100 TB stance):
+  *   - dim tables (region/nation) carry explicit broadcast() hints — they are
+  *     bounded-size in any TPC-H-shaped schema; fact⋈fact joins are left to
+  *     sort-merge + AQE;
+  *   - aggregations are plain groupBy (map-side partial agg + exchange on the
+  *     group keys — the minimal shuffle);
+  *   - window queries partition by high-cardinality keys (o_custkey), never a
+  *     global ORDER BY without partitioning except on final bounded output.
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- flagship: scan+filter+3-way join+broadcast dims+hash agg+sort ----
+    Q(
+      "flagship_revenue_by_region",
+      Some("""
+        SELECT r_name,
+               strftime(l_shipdate, '%Y-%m') AS ship_month,
+               round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+        li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("ship_month"))
+      }),
+
+    // ---- TPC-H Q1-style pricing summary: wide hash aggregate ----
+    Q(
+      "q1_pricing_summary",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 1) AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-12-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 1).as("sum_base"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1)
+              .as("sum_disc"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- join family ----
+    Q(
+      "join_inner_order_lines",
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l_extendedprice), 2) AS line_total
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+        ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            round(sum("l_extendedprice"), 2).as("line_total"))
+          .orderBy("o_orderkey")),
+
+    Q(
+      "join_left_outer_customer_orders",
+      // spend summed as integer cents: double-sum order differs between
+      // engines and a round() can straddle a boundary; integer sums are
+      // associative-exact on both sides.
+      Some("""
+        SELECT c_custkey,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                 AS BIGINT) AS spend_cents
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1
+        ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+            "left_outer")
+          .groupBy("c_custkey")
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(sum(round(col("o_totalprice") * 100).cast("long")), lit(0L))
+              .as("spend_cents"))
+          .orderBy("c_custkey")),
+
+    Q(
+      "join_right_outer_orders_lines",
+      Some("""
+        SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_lines
+        FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"),
+            "right_outer")
+          .groupBy("o_orderkey")
+          .agg(count(col("l_orderkey")).as("n_lines"))
+          .orderBy("o_orderkey")),
+
+    Q(
+      "join_full_outer_nation_counts",
+      Some("""
+        WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_supp
+                   FROM supplier GROUP BY 1)
+        SELECT CAST(coalesce(c.k, s.k) AS BIGINT) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.k = s.k
+        ORDER BY 1"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sp, col("ck") === col("sk"), "full_outer")
+          .select(
+            coalesce(col("ck"), col("sk")).cast("long").as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      }),
+
+    Q(
+      "join_semi_customers_with_f_orders",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")),
+
+    Q(
+      "join_anti_customers_without_orders",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")),
+
+    Q(
+      "join_cross_region_flags",
+      Some("""
+        SELECT r_name, l_returnflag AS flag
+        FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+        ORDER BY 1, 2"""),
+      (s, dir) =>
+        t(s, dir, "region")
+          .crossJoin(t(s, dir, "lineitem").select(
+            col("l_returnflag").as("flag")).distinct())
+          .select("r_name", "flag")
+          .orderBy("r_name", "flag")),
+
+    // ---- aggregation family ----
+    Q(
+      "agg_count_distinct_by_segment",
+      Some("""
+        SELECT c_mktsegment,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               round(sum(c_acctbal), 2) AS bal,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            countDistinct(col("c_nationkey")).as("n_nations"),
+            round(sum("c_acctbal"), 2).as("bal"),
+            count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")),
+
+    Q(
+      "agg_rollup_flag_status",
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1, 2"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"), col("qty"))
+          .orderBy("flag", "status")),
+
+    Q(
+      "agg_cube_status_priority",
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 1) AS total
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY 1, 2"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 1).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy("status", "priority")),
+
+    // HLL++ sketch — approximate by construction, so no DuckDB oracle (the
+    // driver records a rows-only check); correctness pinned by a ScalaTest
+    // bound against exact countDistinct instead.
+    Q(
+      "agg_approx_count_distinct",
+      None,
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
+          .orderBy("o_orderstatus")),
+
+    // ---- window family ----
+    Q(
+      "window_rank_orders_per_customer",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderstatus, o_orderkey) AS BIGINT) AS rnk
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val byPrice = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val byStatus = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderstatus"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(byPrice).cast("long").as("rn"),
+            rank().over(byStatus).cast("long").as("rnk"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    Q(
+      "window_lag_lead_order_history",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_order,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS next_order
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            lag("o_orderkey", 1).over(w).as("prev_order"),
+            lead("o_orderkey", 1).over(w).as("next_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    Q(
+      "window_running_sum_spend",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_spend
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 2).as("running_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    Q(
+      "window_moving_avg_price",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_avg
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(avg("o_totalprice").over(w), 4).as("mv_avg"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    Q(
+      "topk_per_group_orders",
+      Some("""
+        SELECT o_custkey, o_orderkey, rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      }),
+
+    // ---- global sort / top-k (O1/O2) ----
+    Q(
+      "sort_limit_top_orders",
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select("o_orderkey", "o_totalprice")
+          .limit(10)),
+
+    // ---- global count (S16/A1) ----
+    Q(
+      "count_global_lineitem",
+      Some("SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem"),
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // ---- set operations ----
+    Q(
+      "setop_union_nationkeys",
+      Some("""
+        SELECT CAST(k AS BIGINT) AS k FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION
+          SELECT s_nationkey AS k FROM supplier)
+        ORDER BY k"""),
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("k"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+          .distinct()
+          .select(col("k").cast("long").as("k"))
+          .orderBy("k")),
+
+    Q(
+      "setop_intersect_nationkeys",
+      Some("""
+        SELECT CAST(k AS BIGINT) AS k FROM (
+          SELECT c_nationkey AS k FROM customer
+          INTERSECT
+          SELECT s_nationkey AS k FROM supplier)
+        ORDER BY k"""),
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("k"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+          .select(col("k").cast("long").as("k"))
+          .orderBy("k")),
+
+    Q(
+      "setop_except_nationkeys",
+      Some("""
+        SELECT CAST(k AS BIGINT) AS k FROM (
+          SELECT c_nationkey AS k FROM customer
+          EXCEPT
+          SELECT s_nationkey AS k FROM supplier)
+        ORDER BY k"""),
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("k"))
+          .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+          .select(col("k").cast("long").as("k"))
+          .orderBy("k")),
+
+    // ---- pivot ----
+    Q(
+      "pivot_priority_by_status",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .select(
+            col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy("o_orderpriority")),
+
+    // ---- scalar function samplers ----
+    Q(
+      "scalar_string_functions",
+      Some("""
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               upper(p_brand) AS brand_upper,
+               substr(p_type, 1, 5) AS type_prefix,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               concat(p_brand, ':', p_type) AS brand_type,
+               regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               trim(concat('  ', p_name, '  ')) AS trimmed
+        FROM part ORDER BY p_partkey"""),
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            lower(col("p_name")).as("name_lower"),
+            upper(col("p_brand")).as("brand_upper"),
+            substring(col("p_type"), 1, 5).as("type_prefix"),
+            length(col("p_name")).cast("long").as("name_len"),
+            concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+            regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+            trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
+          .orderBy("p_partkey")),
+
+    Q(
+      "scalar_date_functions",
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                 AS month_start,
+               CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01')
+                 AS BIGINT) AS days_to_2002,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        FROM orders ORDER BY o_orderkey"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+              .as("month_start"),
+            datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+              .cast("long").as("days_to_2002"),
+            date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")
+              .as("plus30"))
+          .orderBy("o_orderkey")),
+
+    Q(
+      "scalar_json_extraction",
+      Some("""
+        SELECT event_id,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                 AS k_val,
+               upper(event_type) AS etype
+        FROM events ORDER BY event_id"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").try_cast("long").as("k_val"),
+            upper(col("event_type")).as("etype"))
+          .orderBy("event_id")),
+
+    // ---- S3: dynamic JSON keys → long form → pivoted columns (the
+    // reference flattens parameters[].label→value into top-level keys,
+    // app/bronze.py:82-94; same mechanism: parse as map, explode, pivot) ----
+    Q(
+      "s3_json_flatten",
+      Some("""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            explode(from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))))
+          .groupBy("event_id")
+          .pivot("key", Seq("k"))
+          .agg(first("value"))
+          .select(col("event_id"), col("k").try_cast("long").as("k"))
+          .orderBy("event_id")),
+
+    // ---- generator / UDTF surface (U3): explode over split tokens ----
+    Q(
+      "explode_token_counts",
+      Some("""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                     x -> x <> '')) AS token
+              FROM documents)
+        GROUP BY 1 ORDER BY n DESC, token"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(
+            filter(split(col("text"), " "), x => x =!= lit(""))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")))
+  )
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule, Tables}
+
+/** Text analysis for training-data pipelines over `documents`: token
+  * counting (whitespace + regex tokenizers), quality scoring, n-gram
+  * language-ID heuristic, and content fingerprinting — all per-row
+  * expression pipelines (whole-stage codegen, no UDFs, no shuffles except
+  * the final deliberate aggregations).
+  */
+object TextAnalysis extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), x => x =!= lit(""))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
+    * heuristic (a real pipeline ships real lists; the MECHANISM — score
+    * per language, argmax with deterministic tiebreak — is what scales).
+    */
+  private val stoplists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "zh" -> Seq("的", "了", "是", "在"))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => words.map(w => x === lit(w)).reduce(_ || _)))
+
+  val all: Seq[Q] = Seq(
+
+    Q(
+      "text_token_stats",
+      Some("""
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+               round(CAST(list_aggregate(list_transform(ts, x -> length(x)),
+                 'sum') AS DOUBLE) / len(ts), 4) AS avg_token_len
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents)
+        WHERE len(ts) > 0
+        ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) > 0)
+          .select(
+            col("doc_id"),
+            size(col("ts")).cast("long").as("n_tokens"),
+            size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+            round(
+              aggregate(col("ts"), lit(0L), (acc, x) => acc + length(x))
+                .cast("double") / size(col("ts")), 4).as("avg_token_len"))
+          .orderBy("doc_id")),
+
+    Q(
+      "text_quality_score",
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               round(CAST(len(list_filter(ts, x -> x IN ('the','a','of','and')))
+                 AS DOUBLE) / len(ts), 4) AS stopword_ratio,
+               round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 4)
+                 AS distinct_ratio,
+               round(least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.5
+                 + (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.5, 4)
+                 AS quality
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents)
+        WHERE len(ts) > 0
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) > 0)
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            round(stopHits(col("ts"), stop).cast("double") / size(col("ts")), 4)
+              .as("stopword_ratio"),
+            round(size(array_distinct(col("ts"))).cast("double") /
+              size(col("ts")), 4).as("distinct_ratio"),
+            round(
+              least(length(col("text")).cast("double") / 200, lit(1.0)) * 0.5 +
+                (size(array_distinct(col("ts"))).cast("double") /
+                  size(col("ts"))) * 0.5, 4).as("quality"))
+          .orderBy("doc_id")
+      }),
+
+    Q(
+      "text_lang_id",
+      Some("""
+        SELECT doc_id, lang AS labeled,
+               CASE greatest(en_s, de_s, fr_s, es_s, zh_s)
+                 WHEN 0 THEN 'und'
+                 WHEN en_s THEN 'en' WHEN de_s THEN 'de' WHEN fr_s THEN 'fr'
+                 WHEN es_s THEN 'es' ELSE 'zh' END AS predicted
+        FROM (SELECT doc_id, lang,
+                len(list_filter(ts, x -> x IN ('the','a','of','and'))) AS en_s,
+                len(list_filter(ts, x -> x IN ('der','die','das','und'))) AS de_s,
+                len(list_filter(ts, x -> x IN ('le','la','les','et'))) AS fr_s,
+                len(list_filter(ts, x -> x IN ('el','la','los','y'))) AS es_s,
+                len(list_filter(ts, x -> x IN ('的','了','是','在'))) AS zh_s
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                    FROM documents))
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+        val scored = stoplists.foldLeft(base) { case (df, (lg, words)) =>
+          df.withColumn(s"${lg}_s", stopHits(col("ts"), words))
+        }
+        val best = greatest(stoplists.map { case (lg, _) => col(s"${lg}_s") }: _*)
+        // argmax with the same first-match tiebreak order as the oracle CASE
+        val predicted = stoplists.foldLeft(
+          when(best === 0, lit("und"))) { case (acc, (lg, _)) =>
+          acc.when(col(s"${lg}_s") === best, lit(lg))
+        }
+        scored.select(col("doc_id"), col("lang").as("labeled"),
+          predicted.as("predicted"))
+          .orderBy("doc_id")
+      }),
+
+    // content fingerprint: md5 over the sorted distinct token set — the
+    // canonical "bag of words" fingerprint for clustering near-identical
+    // docs at scale (16-byte shuffle key instead of the document).
+    Q(
+      "text_fingerprint",
+      Some("""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+                 AS fingerprint
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(array_join(array_sort(array_distinct(tokens(col("text")))),
+              " ").cast("binary")).as("fingerprint"))
+          .orderBy("doc_id")),
+
+    Q(
+      "text_top_bigrams",
+      Some("""
+        SELECT bg, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i + 1])) AS bg
+              FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                      AS ts FROM documents))
+        GROUP BY 1 ORDER BY n DESC, bg LIMIT 50"""),
+      (s, dir) => {
+        val ts = tokens(col("text"))
+        t(s, dir, "documents")
+          .select(explode(zip_with(
+            slice(ts, lit(1), size(ts) - 1),
+            slice(ts, lit(2), size(ts) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+          .groupBy("bg")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bg"))
+          .limit(50)
+      }),
+
+    // custom Catalyst Expression with codegen (U1 showcase): 64-bit
+    // polynomial rolling-hash fingerprint. Hash-defined → no SQL oracle;
+    // RollingHashSpec pins interpreted-vs-codegen equality and the exact
+    // polynomial against a reference implementation.
+    Q(
+      "text_rolling_hash",
+      None,
+      (s, dir) => {
+        graft.functions.RollingHash.register(s)
+        t(s, dir, "documents")
+          .selectExpr("doc_id", "rolling_hash(text) AS fp")
+          .orderBy("doc_id")
+      }),
+
+    // BPE-ish regex tokenizer: words OR single non-space punctuation,
+    // the usual pre-tokenization shape for token-count estimation.
+    Q(
+      "text_regex_token_count",
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+                 AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+              .cast("long").as("n_bpe_tokens"))
+          .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule, Tables}
+
+/** Source/sink operators (SURVEY.md §2.1): JSON sink+scan (S5/S7), CSV
+  * reader options (S8), Hive-partitioned parquet write + partition-pruned
+  * read (S10/S11), and the incremental anti-join ingest (S4/J1, reference
+  * app/bronze.py:50-63,114-116).
+  *
+  * Each roundtrip WRITES to a scratch dir under target/ and reads back, so
+  * the registered query exercises the real writer/reader path while the
+  * DuckDB oracle checks the equivalent aggregate straight off the base
+  * table — a write/read identity check, not just a syntax demo.
+  */
+object Roundtrip extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def scratch(name: String): String = {
+    val d = new java.io.File(s"/root/repo/target/scratch/$name")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- S5+S7: JSON sink then JSON scan (schema inference), aggregate ----
+    Q(
+      "json_roundtrip_documents",
+      Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("json_documents")
+        t(s, dir, "documents").write.mode(SaveMode.Overwrite).json(out)
+        s.read.json(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      }),
+
+    // ---- S8a: multiLine JSON — a pretty-printed JSON ARRAY file (the
+    // shape the reference reads with multiLine=true,
+    // realestate_pipeline.py:131-137); single-line JSON readers reject it ----
+    Q(
+      "json_multiline_read",
+      Some("""
+        SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        FROM region ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("json_multiline")
+        // region is a bounded dim (5 rows at any SF) — driver-side
+        // stringify is safe; the point is the multiLine READER path.
+        val rows = t(s, dir, "region")
+          .select(col("r_regionkey").cast("long"), col("r_name"))
+          .toJSON.collect()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/data.json"),
+          rows.mkString("[\n  ", ",\n  ", "\n]"))
+        s.read.option("multiLine", "true").json(s"$out/data.json")
+          .select(col("r_regionkey"), col("r_name"))
+          .orderBy("r_regionkey")
+      }),
+
+    // ---- S8: CSV write + header/schema read options ----
+    Q(
+      "csv_roundtrip_events",
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("csv_events")
+        t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+        s.read
+          .option("header", "true")
+          .schema("event_id LONG, event_type STRING, value DOUBLE")
+          .csv(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+          .orderBy("event_type")
+      }),
+
+    // ---- S10/S11: partitioned parquet write, then a partition-pruned read
+    // (prune verified by explain() in RoundtripSpec) ----
+    Q(
+      "partitioned_write_prune",
+      Some("""
+        SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 1) AS total
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("partitioned_orders")
+        t(s, dir, "orders")
+          .withColumn("status", col("o_orderstatus"))
+          .write.mode(SaveMode.Overwrite).partitionBy("status").parquet(out)
+        s.read.parquet(out)
+          .filter(col("status") === "F") // only the status=F directory is scanned
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 1).as("total"))
+          .orderBy("status")
+      }),
+
+    // ---- S4/J1: incremental ingest dedup — new batch anti-joined against
+    // the already-seen key set (reference keeps list_ids.txt; we keep a
+    // keyed DataFrame — at scale, a bucketed table of seen keys) ----
+    Q(
+      "anti_join_incremental_ingest",
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_new,
+               CAST(min(o_orderkey) AS BIGINT) AS first_new,
+               CAST(max(o_orderkey) AS BIGINT) AS last_new
+        FROM orders
+        WHERE o_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0)"""),
+      (s, dir) => {
+        val batch = t(s, dir, "orders")
+        val seen = batch.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("seen_key"))
+        batch
+          .join(seen, col("o_orderkey") === col("seen_key"), "left_anti")
+          .agg(
+            count(lit(1)).as("n_new"),
+            min("o_orderkey").as("first_new"),
+            max("o_orderkey").as("last_new"))
+      })
+  )
+}

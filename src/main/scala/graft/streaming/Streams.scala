@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{Q, QueryModule, Tables}
+
+/** Structured Streaming replacements for the reference's manual micro-batch
+  * file queue (SURVEY.md §2.5): file discovery → `readStream` file source;
+  * move-to-processed commit → checkpointing; daily cadence →
+  * `Trigger.AvailableNow()`; cross-run ID dedup → stateful dropDuplicates.
+  *
+  * Each query runs a real streaming job (file source on the events parquet,
+  * AvailableNow, checkpoint dir, memory sink) to completion, then returns
+  * the materialized result so the driver's DuckDB oracle can compare against
+  * the batch-equivalent SQL. Aggregations use Complete output mode (bounded
+  * key space) so no rows are withheld waiting for a watermark that a
+  * finite run would never advance past the last event.
+  *
+  * Session windows (`session_window`) run in BATCH mode: their append-mode
+  * streaming output would exclude every session the final watermark hasn't
+  * closed, which is exactly the tail of a bounded input — the batch result
+  * is the semantics the oracle can check.
+  */
+object Streams extends QueryModule {
+
+  private def freshCheckpoint(name: String): String = {
+    val d = new java.io.File(s"/root/repo/target/scratch/ckpt_$name")
+    // AvailableNow + an old checkpoint would replay "no new files" and
+    // leave the memory sink empty — each registered run starts clean.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (d.exists()) rm(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** File-source stream over the events parquet (schema pinned from a batch
+    * read — file sources require an explicit schema). The raw file carries
+    * nanos-as-long timestamps (see Tables.normalizeEventTs), so the stream
+    * reads the RAW schema and normalizes ts after. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    // trailing glob: FileStreamSource only injects a (file-illegal)
+    // basePath option when the path is NOT a glob — and our source is a
+    // single parquet file, not a directory.
+    Tables.normalizeEventTs(
+      s.readStream.schema(raw).parquet(s"$dir/events.parquet*"))
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return the table. */
+  private def materialize(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val query = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", freshCheckpoint(name))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(name)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Str1+Str4+Str5: file source → event-time tumbling window ----
+    Q(
+      "stream_tumbling_window",
+      Some("""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+                 AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        materialize(s, agg, "stream_tumbling_window", "complete")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+              .as("window_start"),
+            col("event_type"), col("n"), col("total"))
+          .orderBy("window_start", "event_type")
+      }),
+
+    // ---- Str5: sliding windows (1h window, 30min slide) ----
+    Q(
+      "stream_sliding_window",
+      // avg derived from an integer-cents sum / count: a double-sum's order
+      // differs between engines and round() can straddle a boundary;
+      // identical integer numerator + count make the division IEEE-exact.
+      Some("""
+        SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)
+                 AS avg_value
+        FROM (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes' AS ws, value FROM events)
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        materialize(s, agg, "stream_sliding_window", "complete")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+              .as("window_start"),
+            col("n"),
+            (col("cents") / 100.0 / col("n")).as("avg_value"))
+          .orderBy("window_start")
+      }),
+
+    // ---- Str2+Str3: stateful dropDuplicates with watermark (the
+    // cross-run seen-ID dedup, reference app/bronze.py:50-63) ----
+    Q(
+      "stream_dedup_state",
+      Some("""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique_users
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val dedup = eventStream(s, dir)
+          .withWatermark("ts", "1 day")
+          .dropDuplicates("user_id", "event_type")
+        materialize(s, dedup, "stream_dedup_state", "append")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_unique_users"))
+          .orderBy("event_type")
+      }),
+
+    // ---- Str5: session windows (30-minute gap), batch-mode semantics ----
+    Q(
+      "session_window_per_user",
+      Some("""
+        WITH marks AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marks)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start"))
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale-shape + semantics tests for the dedup family: the MinHash-LSH and
+  * Jaccard candidate generation must be equi-joins (NO cartesian products —
+  * an all-pairs plan "passes" at sf0.01 and dies at 100 TB), and the LSH
+  * path's results must be a high-recall subset of the exact Jaccard pairs.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoCartesian(df: DataFrame, name: String): Unit = {
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"$name plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$name plan contains BroadcastNestedLoopJoin")
+  }
+
+  test("exact/jaccard/minhash plans contain no cartesian product") {
+    for (q <- Seq("dedup_exact", "dedup_exact_hash", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_embedding_cosine")) {
+      assertNoCartesian(SparkEntry.queries(q)(spark, sf), q)
+    }
+  }
+
+  test("exact dedup groups identical texts under one keeper") {
+    val res = SparkEntry.queries("dedup_exact")(spark, sf)
+    val total = res.agg(sum("n")).collect()(0).getLong(0)
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(total == docs, "every document assigned to exactly one group")
+    // keeper is the min doc_id of its group
+    assert(res.filter(col("keeper").isNull).count() == 0)
+  }
+
+  test("minhash-LSH pairs are a subset of exact-jaccard pairs at the same threshold") {
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("id_a", "id_b")
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("id_a", "id_b")
+    val nLsh = lsh.count()
+    val missed = lsh.except(exact).count()
+    assert(missed == 0,
+      s"LSH produced $missed pairs not in the exact-jaccard set (post-verify step must make them exact)")
+    // recall: LSH should recover most exact pairs (banding is probabilistic;
+    // the verify step keeps precision exact, so recall is the only risk)
+    val nExact = exact.count()
+    if (nExact > 0) {
+      val recall = nLsh.toDouble / nExact
+      assert(recall >= 0.5, s"LSH recall $recall too low ($nLsh/$nExact)")
+    }
+  }
+
+  test("embedding-cosine near-dup pairs are true high-cosine pairs") {
+    import graft.functions.Vectors
+    val found = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+    // every reported pair really has cosine >= 0.95 (the verify step is
+    // exact, so precision must be 1.0 by construction)
+    assert(found.filter(col("cos_sim") < 0.95).count() == 0)
+    // and LSH found at least the pairs that share all-4 buckets trivially:
+    // just sanity-check determinism across runs
+    val again = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+    assert(found.except(again).count() == 0 && again.except(found).count() == 0)
+  }
+
+  test("simhash is deterministic and near-identical docs collide closely") {
+    val a = SparkEntry.queries("dedup_simhash")(spark, sf)
+    val b = SparkEntry.queries("dedup_simhash")(spark, sf)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}

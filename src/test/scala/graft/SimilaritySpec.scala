@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN-vs-brute-force recall and sketch-accuracy bounds for the queries that
+  * have no SQL oracle (hash-seeded), per the registry contract.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("hyperplane-LSH ANN achieves reasonable recall of brute-force top-5") {
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .select("q_id", "cand_id")
+    val ann = SparkEntry.queries("sim_ann_hyperplane")(spark, sf)
+      .select("q_id", "cand_id")
+    val hit = ann.intersect(exact).count()
+    val total = exact.count()
+    assert(total > 0)
+    val recall = hit.toDouble / total
+    // 8 tables × 4 bits tuned to the testdata's ~72° neighbor angle:
+    // expected per-pair recall ~2/3.
+    assert(recall >= 0.4, s"ANN recall $recall = $hit/$total too low")
+  }
+
+  test("approx_count_distinct within HLL++ error of exact") {
+    val approx = SparkEntry.queries("agg_approx_count_distinct")(spark, sf)
+    val exact = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    val joined = approx.join(exact, "o_orderstatus")
+      .select(col("approx_custs").cast("double"), col("exact_custs").cast("double"))
+      .collect()
+    joined.foreach { r =>
+      val (a, e) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - e) <= math.max(2.0, 0.1 * e),
+        s"approx $a too far from exact $e")
+    }
+  }
+
+  test("centroid aggregator matches per-dimension avg") {
+    val viaUdaf = SparkEntry.queries("emb_centroid_by_label")(spark, sf)
+    val viaSql = Tables.load(spark, sf, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim_idx"))
+      .agg(round(avg("col"), 6).as("centroid_val"))
+    val diff = viaUdaf.join(viaSql, Seq("label", "dim_idx"))
+      .filter(abs(viaUdaf("centroid_val") - viaSql("centroid_val")) > 1e-6)
+    assert(diff.count() == 0)
+  }
+}
