@@ -1,0 +1,246 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Codegen'd vector kernels for the similarity/dedup hot paths.
+  *
+  * Higher-order functions (`aggregate`/`zip_with`/`transform`) evaluate a
+  * Catalyst lambda per array element — correct, but interpreted. These
+  * expressions compile to a single static JVM call over the unsafe array
+  * data (primitive `while` loop, no per-element dispatch), which is what
+  * the hot path of an O(candidates · dim) similarity join needs at scale.
+  * Both stay inside whole-stage codegen.
+  */
+object VectorOps {
+
+  /** Cosine similarity of two double arrays; NaN when either norm is 0
+    * (mapped to SQL NULL by the expression wrapper). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
+
+  /** Sign-random-projection LSH bucket: `bits` sign bits of dot products
+    * against deterministic pseudo-random hyperplanes. Must stay
+    * bit-identical to Vectors.hyperplane/lshBucket (the Column-HOF
+    * reference implementation, pinned by VectorExprsSpec).
+    */
+  def lshBucket(vec: ArrayData, table: Long, bits: Int): Long = {
+    val dim = vec.numElements()
+    var bucket = 0L
+    var i = 0
+    while (i < bits) {
+      val plane = table * bits + i
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val h = (plane * 2654435761L + d.toLong * 40503L) % 1000003L
+        // pmod: operands are non-negative here, % suffices
+        dot += vec.getDouble(d) * (h.toDouble / 1000003.0 - 0.5)
+        d += 1
+      }
+      if (dot > 0) bucket += 1L << i
+      i += 1
+    }
+    bucket
+  }
+
+  final val MinHashP = 998244353L
+
+  /** MinHash signature over shingle hashes (linear permutations mod P). */
+  def minhashSig(hs: ArrayData, perms: Int): Array[Long] = {
+    val n = hs.numElements()
+    val sig = new Array[Long](perms)
+    var i = 0
+    while (i < perms) {
+      val a = i * 2L + 1L
+      val b = i * 7L + 13L
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (hs.getLong(j) * a + b) % MinHashP
+        val p = if (v < 0) v + MinHashP else v
+        if (p < best) best = p
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    sig
+  }
+}
+
+/** `minhash_sig(array<bigint>, perms bigint) -> array<bigint>`: for each
+  * permutation i, min over shingle hashes h of (h·(2i+1) + 7i + 13) mod P.
+  * Same linear-permutation family as the Column-HOF construction in
+  * operators.Dedup (P = 998244353). One JVM loop instead of
+  * perms × |shingles| interpreted lambda dispatches.
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType | org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires (array<bigint>, int), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(hsAny: Any, permsAny: Any): Any = {
+    val hs = hsAny.asInstanceOf[ArrayData]
+    val perms = permsAny match {
+      case i: Int => i
+      case l: Long => l.toInt
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      VectorOps.minhashSig(hs, perms))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, perms) => s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        graft.functions.VectorOps.minhashSig($hs, (int) $perms));
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cosine_sim(array<double>, array<double>) -> double` (null if a norm
+  * is 0, mirroring the nullif convention of Vectors.cosine). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires (array<double>, array<double>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r.isNaN) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      double graft_cos = graft.functions.VectorOps.cosine($a, $b);
+      if (Double.isNaN(graft_cos)) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft_cos; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lsh_bucket(array<double>, table bigint, bits bigint) -> bigint`. */
+case class LshBucket(left: Expression, right: Expression, bitsExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(left, right, bitsExpr)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType, bitsExpr.dataType) match {
+      case (ArrayType(DoubleType, _), LongType | org.apache.spark.sql.types.IntegerType,
+          LongType | org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r, b) => TypeCheckResult.TypeCheckFailure(
+        s"lsh_bucket requires (array<double>, int, int), got (${l.sql}, ${r.sql}, ${b.sql})")
+    }
+
+  private def asLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    val t = right.eval(input)
+    val b = bitsExpr.eval(input)
+    if (v == null || t == null || b == null) null
+    else VectorOps.lshBucket(v.asInstanceOf[ArrayData], asLong(t), asLong(b).toInt)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vGen = left.genCode(ctx)
+    val tGen = right.genCode(ctx)
+    val bGen = bitsExpr.genCode(ctx)
+    ev.copy(code = code"""
+      ${vGen.code}
+      ${tGen.code}
+      ${bGen.code}
+      boolean ${ev.isNull} = ${vGen.isNull} || ${tGen.isNull} || ${bGen.isNull};
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.VectorOps.lshBucket(
+          ${vGen.value}, (long) ${tGen.value}, (int) ${bGen.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LshBucket =
+    copy(left = newChildren(0), right = newChildren(1), bitsExpr = newChildren(2))
+}
+
+object VectorExprs {
+  /** Register both kernels on the session's FunctionRegistry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "lsh_bucket", exprs => LshBucket(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  def minhashSig(spark: SparkSession, hashes: Column, perms: Int): Column = {
+    register(spark)
+    call_function("minhash_sig", hashes, lit(perms))
+  }
+
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("cosine_sim", a, b)
+  }
+
+  def lshBucket(spark: SparkSession, vec: Column, table: Column, bits: Int): Column = {
+    register(spark)
+    call_function("lsh_bucket", vec, table, lit(bits))
+  }
+}

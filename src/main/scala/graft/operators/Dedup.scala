@@ -26,29 +26,37 @@ object Dedup extends QueryModule {
   private def tokens(c: Column): Column =
     filter(split(c, " "), x => x =!= lit(""))
 
-  /** Distinct word-bigram shingles from a token array. */
-  private def shingles(ts: Column): Column =
+  /** Distinct word-trigram shingles from a token array. Trigrams (not
+    * bigrams): the standard shingle width for near-dup detection — and the
+    * selectivity lever that keeps the inverted-index join sub-quadratic
+    * when the vocabulary is small (bigram posting lists over a narrow
+    * vocabulary collide on nearly every document pair).
+    */
+  private def shingles(ts: Column): Column = {
+    val n = greatest(size(ts) - 2, lit(0))
     array_distinct(zip_with(
-      slice(ts, lit(1), size(ts) - 1),
-      slice(ts, lit(2), size(ts) - 1),
-      (a, b) => concat(a, lit(" "), b)))
+      zip_with(slice(ts, lit(1), n), slice(ts, lit(2), n),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(ts, lit(3), n),
+      (ab, c) => concat(ab, lit(" "), c)))
+  }
 
-  /** doc_id + distinct bigram-shingle set (docs with ≥1 shingle). */
+  /** doc_id + distinct trigram-shingle set (docs with ≥1 shingle). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** DuckDB fragment: (doc_id, sh LIST<VARCHAR>) distinct bigrams. */
+  /** DuckDB fragment: (doc_id, sh LIST<VARCHAR>) distinct trigrams. */
   private val docShinglesSql = """
-    SELECT doc_id, list_distinct(bgs) AS sh FROM (
+    SELECT doc_id, list_distinct(tgs) AS sh FROM (
       SELECT doc_id,
-             list_transform(range(1, len(ts)),
-                            i -> ts[i] || ' ' || ts[i + 1]) AS bgs
+             list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) AS tgs
       FROM (SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS ts
             FROM documents))
-    WHERE len(bgs) > 0"""
+    WHERE len(tgs) > 0"""
 
   val all: Seq[Q] = Seq(
 
@@ -103,18 +111,24 @@ object Dedup extends QueryModule {
         ORDER BY id_a, id_b"""),
       (s, dir) => {
         val docs = docShingles(s, dir)
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("bg"))
+        // posting list = (doc_id, 8-byte shingle hash): the equi-join
+        // shuffles fixed-width longs, not shingle strings (collision odds
+        // over a shingle vocabulary are ~|V|²/2⁶⁵ — negligible).
+        val ex = docs.select(col("doc_id"),
+          explode(transform(col("sh"), xxhash64(_))).as("bg"))
         val pairs = ex.as("a")
           .join(ex.as("b"),
             col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .agg(count(lit(1)).as("inter"))
+        // per-doc sizes are one long per doc — broadcast them so the
+        // candidate-pair aggregate (the big side) never reshuffles.
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
         val jac = col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter"))
         pairs
-          .join(sizes.as("sa"), col("sa.doc_id") === col("id_a"))
-          .join(sizes.as("sb"), col("sb.doc_id") === col("id_b"))
+          .join(broadcast(sizes.as("sa")), col("sa.doc_id") === col("id_a"))
+          .join(broadcast(sizes.as("sb")), col("sb.doc_id") === col("id_b"))
           .filter(jac >= 0.2)
           .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
           .orderBy("id_a", "id_b")
@@ -128,14 +142,15 @@ object Dedup extends QueryModule {
       "dedup_minhash_lsh",
       None,
       (s, dir) => {
-        val P = 998244353L
+        import graft.functions.VectorExprs
         val docs = docShingles(s, dir)
           .withColumn("hs",
             transform(col("sh"), x => pmod(xxhash64(x), lit(1000003L))))
-          .withColumn("sig",
-            transform(sequence(lit(0), lit(15)), i =>
-              array_min(transform(col("hs"),
-                h => pmod(h * (i * 2 + 1) + i * 7 + 13, lit(P))))))
+          .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), 16))
+        // persisted: the signature pipeline feeds both sides of the
+        // candidate self-join (stream + broadcast build), and Spark only
+        // reuses *shuffle* exchanges — without the persist the whole
+        // tokenize→shingle→minhash chain runs twice.
         val bands = docs.select(
           col("doc_id"),
           explode(transform(sequence(lit(0), lit(3)), b =>
@@ -143,19 +158,24 @@ object Dedup extends QueryModule {
               hash(slice(col("sig"), b * 4 + 1, lit(4))).as("bkey"))))
             .as("band"))
           .select(col("doc_id"), col("band.band_id"), col("band.bkey"))
+          .persist()
         val cand = bands.as("x")
-          .join(bands.as("y"),
+          .join(broadcast(bands.as("y")),
             col("x.band_id") === col("y.band_id") &&
               col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
-        val sets = docShingles(s, dir)
+        // shingle sets are bounded per-doc; broadcast them into the
+        // candidate stream instead of reshuffling the (large) pair set
+        // twice. At cluster scale this is the standard build-side choice
+        // when the doc dimension fits; otherwise AQE picks sort-merge.
+        val sets = docShingles(s, dir).persist()
         val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))
         cand
-          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+          .join(broadcast(sets.select(col("doc_id").as("id_a"), col("sh").as("sha"))), "id_a")
+          .join(broadcast(sets.select(col("doc_id").as("id_b"), col("sh").as("shb"))), "id_b")
           .filter(jac >= 0.2)
           .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
           .orderBy("id_a", "id_b")
@@ -169,13 +189,14 @@ object Dedup extends QueryModule {
       "dedup_embedding_cosine",
       None,
       (s, dir) => {
-        import graft.functions.Vectors
+        import graft.functions.VectorExprs
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
         val buckets = e.select(
           col("vec_id"), col("vec"),
           explode(transform(sequence(lit(0), lit(3)), tb =>
-            struct(tb.as("tbl"), Vectors.lshBucket(col("vec"), tb, 64).as("bucket"))))
+            struct(tb.as("tbl"),
+              VectorExprs.lshBucket(s, col("vec"), tb, bits = 8).as("bucket"))))
             .as("tb"))
           .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
         val pairs = buckets.as("x")
@@ -186,7 +207,7 @@ object Dedup extends QueryModule {
             col("y.vec_id").as("id_b"), col("y.vec").as("vb"))
           .dropDuplicates("id_a", "id_b")
         pairs
-          .withColumn("cos", Vectors.cosine(col("va"), col("vb")))
+          .withColumn("cos", VectorExprs.cosine(s, col("va"), col("vb")))
           .filter(col("cos") >= 0.95)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
           .orderBy("id_a", "id_b")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, QueryModule, Tables}
-import graft.functions.Vectors
+import graft.functions.{Vectors, VectorExprs}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -56,7 +56,7 @@ object Similarity extends QueryModule {
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("cand_id"))
         c.join(broadcast(q), col("q_id") =!= col("cand_id"))
-          .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+          .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
           .select(col("q_id"), col("cand_id"),
             row_number().over(w).cast("long").as("rn"),
             round(col("cos"), 6).as("cos_sim"))
@@ -80,7 +80,7 @@ object Similarity extends QueryModule {
           col("vec_id"), col("vec"),
           explode(transform(sequence(lit(0), lit(7)), t =>
             struct(t.as("tbl"),
-              Vectors.lshBucket(col("vec"), t, DIM, bits = 4).as("bucket"))))
+              VectorExprs.lshBucket(s, col("vec"), t, bits = 4).as("bucket"))))
             .as("tb"))
           .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
         val q = buckets.filter(col("vec_id") < 10)
@@ -96,7 +96,7 @@ object Similarity extends QueryModule {
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("cand_id"))
         cand
-          .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+          .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
           .select(col("q_id"), col("cand_id"),
             row_number().over(w).cast("long").as("rn"),
             round(col("cos"), 6).as("cos_sim"))

@@ -51,17 +51,25 @@ object Streams extends QueryModule {
       s.readStream.schema(raw).parquet(s"$dir/events.parquet*"))
   }
 
-  /** Run a streaming DF to completion into a memory sink, return the table. */
+  /** Run a streaming DF to completion into a memory sink, return the table.
+    * State partition count is pinned low for the run: each state partition
+    * costs per-batch store commits, and the checkpoint (fresh per run)
+    * freezes the count — size it to the state, not to the CPU count.
+    */
   private def materialize(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val query = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", freshCheckpoint(name))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", freshCheckpoint(name))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
