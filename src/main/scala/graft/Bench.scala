@@ -10,14 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: first-touch costs (whole-stage codegen JIT, parquet
+    // reader init, streaming engine + state store bootstrap) land on
+    // whichever query runs first and would misattribute ~10s; three cheap
+    // representative queries absorb them so timings are steady-state.
+    // noop sink: full materialization of every output row/column. A
+    // count() would let Catalyst prune whole projections (a rename-only
+    // query degenerates to parquet row-count metadata) and under-measure.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    for (w <- Seq("silver_clean", "stream_tumbling_window", "emb_norm_stats_by_label"))
+      try run(w) catch { case _: Throwable => }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
