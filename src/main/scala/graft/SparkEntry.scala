@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     operators.Relational,
+    operators.SqlSurface,
     operators.Medallion,
     operators.Dedup,
     operators.Similarity,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, QueryModule, Tables}
+
+/** SQL-text entry point — the engine's equivalent of the reference's
+  * Thrift-Server/BI surface (EP2, reference docker-compose.yml:70-88):
+  * ANSI SQL strings parsed and planned by Spark SQL over catalog-registered
+  * views. Each query here is dialect-shared — the SAME text runs in DuckDB
+  * as the oracle — which exercises the parser → analyzer (view/catalog
+  * resolution) → optimizer (subquery decorrelation) path that DataFrame
+  * queries bypass.
+  *
+  * Float discipline: any aggregate feeding a comparison or ranking uses
+  * integer cents (exact, order-independent) so ranks can't flip on
+  * summation-order ulps between engines.
+  */
+object SqlSurface extends QueryModule {
+
+  private def sql(text: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(text)
+    }
+
+  private val topSpenders = """
+    WITH cust_spend AS (
+      SELECT c_custkey, c_mktsegment,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment)
+    SELECT c_mktsegment, c_custkey, spend_cents, rnk FROM (
+      SELECT c_mktsegment, c_custkey, spend_cents,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY spend_cents DESC, c_custkey) AS BIGINT) AS rnk
+      FROM cust_spend)
+    WHERE rnk <= 5
+    ORDER BY c_mktsegment, rnk"""
+
+  private val existsBigOrder = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey"""
+
+  private val correlatedCount = """
+    SELECT c_custkey,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer ORDER BY c_custkey"""
+
+  val all: Seq[Q] = Seq(
+    Q("sql_cte_window_topk", Some(topSpenders), sql(topSpenders)),
+    Q("sql_exists_subquery", Some(existsBigOrder), sql(existsBigOrder)),
+    Q("sql_correlated_scalar_subquery", Some(correlatedCount), sql(correlatedCount))
+  )
+}
