@@ -370,6 +370,59 @@ object Relational extends QueryModule {
           .orderBy("o_custkey", "o_orderkey")
       }),
 
+    // RANGE frame (value-based, vs the ROWS frames above): 30-day trailing
+    // spend per customer. Value frames are tie-insensitive → deterministic
+    // without a tiebreak column.
+    Q(
+      "window_range_frame_trailing_spend",
+      Some("""
+        SELECT o_custkey, o_orderkey, d,
+               CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS spend_30d_cents
+        FROM (SELECT o_custkey, o_orderkey,
+                     CAST(datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("o_custkey").orderBy("d")
+          .rangeBetween(-30, Window.currentRow)
+        base.select(col("o_custkey"), col("o_orderkey"), col("d"),
+          sum("cents").over(w).as("spend_30d_cents"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // Two-phase salted aggregation — the skew-mitigation pattern: partial
+    // agg on (key, salt) spreads a hot key over N reducers, then a cheap
+    // final agg on the (bounded) key space merges partials. Result is
+    // identical to the direct agg (integer sums are associative-exact),
+    // which is exactly what the oracle checks.
+    Q(
+      "agg_salted_two_phase",
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val salted = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)).as("salt"))
+          .groupBy("l_returnflag", "salt")
+          .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
+        salted.groupBy("l_returnflag")
+          .agg(sum("pn").as("n"), sum("pc").as("total_cents"))
+          .orderBy("l_returnflag")
+      }),
+
     Q(
       "topk_per_group_orders",
       Some("""

@@ -108,6 +108,52 @@ object Roundtrip extends QueryModule {
           .orderBy("status")
       }),
 
+    // ---- bucketed co-located join: both sides written bucketBy(8, key)
+    // into catalog tables, so the fact⋈fact sort-merge join needs NO
+    // shuffle exchange (the 100 TB pattern for repeated joins on the same
+    // key; BucketingSpec asserts the exchange-free plan) ----
+    Q(
+      "bucketed_join_colocated",
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS order_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        // the in-memory catalog is per-session but the warehouse DIRECTORY
+        // outlives it — drop both or a fresh session hits
+        // LOCATION_ALREADY_EXISTS on a stale dir
+        for (tbl <- Seq("graft_li_bucketed", "graft_ord_bucketed")) {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val loc = new java.io.File(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir") + s"/$tbl"))
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          if (loc.exists()) rm(loc)
+        }
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_bucketed")
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_ord_bucketed")
+        s.table("graft_li_bucketed")
+          .join(s.table("graft_ord_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("order_cents"))
+          .orderBy("l_returnflag")
+      }),
+
     // ---- S4/J1: incremental ingest dedup — new batch anti-joined against
     // the already-seen key set (reference keeps list_ids.txt; we keep a
     // keyed DataFrame — at scale, a bucketed table of seen keys) ----

@@ -146,6 +146,36 @@ object Streams extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // ---- custom keyed state (flatMapGroupsWithState): per-user running
+    // event count held in GroupState — the arbitrary-state surface the
+    // built-in windowed aggs can't express (SURVEY §2.5 / brief's
+    // mapGroupsWithState mapping). Update mode + AvailableNow emits each
+    // user's final count for the bounded input. ----
+    Q(
+      "stream_stateful_user_counts",
+      Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val counts = eventStream(s, dir)
+          .select(col("user_id")).as[Long]
+          .groupByKey(identity)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (user: Long, events: Iterator[Long], state: GroupState[Long]) =>
+              val n = state.getOption.getOrElse(0L) + events.size
+              state.update(n)
+              Iterator((user, n))
+          }
+          .toDF("user_id", "n_events")
+        materialize(s, counts, "stream_stateful_user_counts", "update")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events")) // last update per user wins
+          .orderBy("user_id")
+      }),
+
     // ---- Str5: session windows (30-minute gap), batch-mode semantics ----
     Q(
       "session_window_per_user",
