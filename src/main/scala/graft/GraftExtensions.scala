@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, LshBucket, MinHashSig, RollingHash}
+
+/** SparkSessionExtensions entry point: installs the engine's custom
+  * codegen expressions as SQL functions at session build, so any session
+  * created with `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) has them without per-query
+  * registration — the deployment path for the Thrift-Server/BI surface,
+  * where query text arrives from clients that can't call Scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+      ("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash",
+        exprs => RollingHash(exprs.head)),
+      ("cosine_sim", "cosine_sim(a, b) - cosine similarity of double arrays",
+        exprs => CosineSim(exprs(0), exprs(1))),
+      ("lsh_bucket", "lsh_bucket(vec, table, bits) - sign-random-projection bucket",
+        exprs => LshBucket(exprs(0), exprs(1), exprs(2))),
+      ("minhash_sig", "minhash_sig(hashes, perms) - MinHash signature",
+        exprs => MinHashSig(exprs(0), exprs(1))))
+    for ((name, usage, builder) <- fns)
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+  }
+}
