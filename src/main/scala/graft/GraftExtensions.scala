@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, LshBucket, MinHashSig, RollingHash}
+import graft.functions.{CosineSim, LshBucket, MinHashSig, NGramsGenerator, RollingHash}
 
 /** SparkSessionExtensions entry point: installs the engine's custom
   * codegen expressions as SQL functions at session build, so any session
@@ -12,6 +12,17 @@ import graft.functions.{CosineSim, LshBucket, MinHashSig, RollingHash}
   * registration — the deployment path for the Thrift-Server/BI surface,
   * where query text arrives from clients that can't call Scala.
   */
+object GraftExtensions {
+  /** Registry-path install for sessions not built with the extensions conf
+    * (idempotent; same builders as the injectFunction path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.VectorExprs.register(spark)
+    graft.functions.RollingHash.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams_gen", exprs => NGramsGenerator(exprs(0), exprs(1)), "scala_udf")
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
@@ -26,7 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("lsh_bucket", "lsh_bucket(vec, table, bits) - sign-random-projection bucket",
         exprs => LshBucket(exprs(0), exprs(1), exprs(2))),
       ("minhash_sig", "minhash_sig(hashes, perms) - MinHash signature",
-        exprs => MinHashSig(exprs(0), exprs(1))))
+        exprs => MinHashSig(exprs(0), exprs(1))),
+      ("ngrams_gen", "ngrams_gen(tokens, n) - generator of (pos, ngram) rows",
+        exprs => NGramsGenerator(exprs(0), exprs(1))))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
   }

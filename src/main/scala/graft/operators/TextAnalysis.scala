@@ -150,6 +150,29 @@ object TextAnalysis extends QueryModule {
               " ").cast("binary")).as("fingerprint"))
           .orderBy("doc_id")),
 
+    // custom Generator (UDTF, U3): trigram rows emitted by ngrams_gen —
+    // the row-multiplying extension point beyond built-in explode. The
+    // oracle reproduces the n-gram semantics with list functions.
+    Q(
+      "text_trigrams_generator",
+      Some("""
+        SELECT tg, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS tg
+              FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                      AS ts FROM documents))
+        GROUP BY 1 ORDER BY n DESC, tg LIMIT 30"""),
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents")
+          .select(tokens(col("text")).as("ts"))
+          .selectExpr("ngrams_gen(ts, 3)")
+          .groupBy(col("ngram").as("tg"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tg"))
+          .limit(30)
+      }),
+
     Q(
       "text_top_bigrams",
       Some("""
