@@ -55,7 +55,40 @@ object Multimodal extends QueryModule {
     }
   }
 
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
   val all: Seq[Q] = Seq(
+
+    // frame sampling: one media row expands to k frame rows (the video
+    // frame-extraction batch shape — same typed flatMap a real sampler
+    // uses; the "decoder" is the deterministic byte-slice stub, and a
+    // resize stage would be one more map over the same Dataset). Oracle
+    // reproduces the slice arithmetic off the base table — ASCII text
+    // makes byte and character offsets coincide.
+    Q(
+      "multimodal_frame_sample",
+      Some("""
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               md5(substring(text, i * 7 + 1, 16)) AS frame_digest
+        FROM documents, unnest(range(strlen(text) % 4 + 1)) AS t(i)
+        ORDER BY doc_id, frame_idx"""),
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        media.flatMap { case (id, bytes) =>
+          val k = bytes.length % 4 + 1
+          (0 until k).map { i =>
+            val slice = bytes.slice(i * 7, math.min(bytes.length, i * 7 + 16))
+            (id, i.toLong, md5hex(slice))
+          }
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+          .toDF("doc_id", "frame_idx", "frame_digest")
+          .orderBy("doc_id", "frame_idx")
+      }),
 
     // binary ingestion + per-row digesting — the part of a media pipeline
     // that IS oracle-checkable (md5/length are codec-independent).

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.streaming.Trigger
+
+/** The S12 processed-file commit protocol: the reference moves consumed
+  * bronze objects to `processed/` (app/sliver.py:180-187). Structured
+  * Streaming's `cleanSource=archive` is the engine-native equivalent —
+  * after a file's batch commits, the source archives it.
+  */
+class StreamsSpec extends SparkSpec {
+
+  test("file source with cleanSource=archive moves consumed files (S12)") {
+    val base = Paths.get("/root/repo/target/scratch/cleansource")
+    val srcDir = base.resolve("incoming")
+    val archiveDir = base.resolve("processed")
+    val ckpt = base.resolve("ckpt")
+    for (d <- Seq(srcDir, archiveDir, ckpt)) {
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir.toString)
+      // archive normally waits until files look "cold"; make it immediate
+      .option("maxFileAge", "7d")
+      .parquet(srcDir.toString)
+    // noop sink: the memory sink refuses checkpoint recovery, and the
+    // second run (below) must resume from the same checkpoint
+    def runOnce(): Unit = {
+      val q = stream.writeStream
+        .format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // the source cleans batch-N files inside commit(N), which the engine
+    // calls when batch N+1 is constructed — drop in a second file so the
+    // restart actually runs a new batch
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events_late.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runOnce()
+
+    // archiving runs on the source's maintenance thread after commit —
+    // poll briefly rather than assuming it's synchronous
+    val deadline = System.currentTimeMillis() + 30000
+    def archived: Boolean =
+      Files.exists(archiveDir) &&
+        Files.walk(archiveDir).anyMatch(p => p.toString.endsWith("events.parquet"))
+    def sourceGone: Boolean = !Files.exists(srcDir.resolve("events.parquet"))
+    while (!(archived && sourceGone) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+    }
+    assert(archived, "consumed file was not archived")
+    assert(sourceGone, "consumed file still present in source dir")
+  }
+}
