@@ -104,6 +104,49 @@ object Similarity extends QueryModule {
           .orderBy("q_id", "rn")
       }),
 
+    // IVF-style ANN (the other scale path next to hyperplane-LSH): a
+    // deterministic coarse quantizer (16 seed vectors as cell centroids),
+    // every vector assigned to its nearest cell (inverted lists), queries
+    // probe their 4 nearest cells, exact re-rank inside the probed cells.
+    // At cluster scale the assignment is one broadcast-join pass and the
+    // probe reads only nprobe/k of the data. Hash-free but centroid-seeded
+    // → recall pinned in SimilaritySpec, no SQL oracle.
+    Q(
+      "sim_ivf_probe",
+      None,
+      (s, dir) => {
+        import graft.functions.VectorExprs
+        val e = emb(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"), col("vec").as("cv_cent"))
+        def assign(df: DataFrame, keep: Int): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cell_cos").desc, col("cell"))
+          df.crossJoin(broadcast(cents))
+            .withColumn("cell_cos",
+              VectorExprs.cosine(s, col("vec"), col("cv_cent")))
+            .withColumn("cell_rank", row_number().over(w))
+            .filter(col("cell_rank") <= keep)
+            .select(col("vec_id"), col("vec"), col("cell"))
+        }
+        val lists = assign(e, keep = 1) // inverted lists: one cell per vector
+        val probes = assign(e.filter(col("vec_id") < 10), keep = 4)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("cell"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("cand_id"))
+        lists
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            VectorExprs.cosine(s, col("qv"), col("vec")).as("cos"))
+          .dropDuplicates("q_id", "cand_id", "cos")
+          .select(col("q_id"), col("cand_id"),
+            row_number().over(w).cast("long").as("rn"),
+            round(col("cos"), 6).as("cos_sim"))
+          .filter(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      }),
+
     // typed Aggregator (UDAF, SURVEY §2.6 U2): per-label centroid, exploded
     // to (label, dim) so DuckDB can verify element-wise.
     Q(

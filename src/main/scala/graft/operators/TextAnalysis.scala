@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, QueryModule, Tables}
 
 /** Text analysis for training-data pipelines over `documents`: token
@@ -129,6 +130,50 @@ object TextAnalysis extends QueryModule {
         scored.select(col("doc_id"), col("lang").as("labeled"),
           predicted.as("predicted"))
           .orderBy("doc_id")
+      }),
+
+    // TF-IDF: term frequency per (doc, term) × inverse document frequency
+    // — two shuffles (doc-term agg, term df agg) + a broadcast of the
+    // bounded term dictionary back onto the doc-term stream. Top-3 terms
+    // per doc by tf-idf with deterministic tiebreak.
+    Q(
+      "text_tfidf_top_terms",
+      Some("""
+        WITH ex AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM ex GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM ex GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tfidf FROM (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        WHERE rk <= 3
+        ORDER BY doc_id, term"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nDocs = docs.count().toDouble
+        val ex = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = ex.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(broadcast(df), "term")
+          .withColumn("tfidf",
+            round(col("tf") * log(lit(nDocs) / col("df")), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("tfidf"))
+          .orderBy("doc_id", "term")
       }),
 
     // content fingerprint: md5 over the sorted distinct token set — the

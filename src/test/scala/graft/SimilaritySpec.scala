@@ -21,6 +21,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"ANN recall $recall = $hit/$total too low")
   }
 
+  test("IVF probe achieves reasonable recall of brute-force top-5") {
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .select("q_id", "cand_id")
+    val ivf = SparkEntry.queries("sim_ivf_probe")(spark, sf)
+      .select("q_id", "cand_id")
+    val hit = ivf.intersect(exact).count()
+    val total = exact.count()
+    assert(total > 0)
+    val recall = hit.toDouble / total
+    // probing 4 of 16 cells reads ~25% of the lists; near-random vectors
+    // put true neighbors in probed cells well above that floor
+    assert(recall >= 0.3, s"IVF recall $recall = $hit/$total too low")
+  }
+
   test("approx_count_distinct within HLL++ error of exact") {
     val approx = SparkEntry.queries("agg_approx_count_distinct")(spark, sf)
     val exact = Tables.load(spark, sf, "orders")
