@@ -58,6 +58,47 @@ object Dedup extends QueryModule {
             FROM documents))
     WHERE len(tgs) > 0"""
 
+  /** Exact trigram-Jaccard near-dup pairs at `threshold` via the
+    * inverted-index equi-join (shared by the pair query and the
+    * cluster-resolution query). */
+  private def jaccardPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val docs = docShingles(s, dir)
+    val ex = docs.select(col("doc_id"),
+      explode(transform(col("sh"), xxhash64(_))).as("bg"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"),
+        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val jac = col("inter").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("inter"))
+    pairs
+      .join(broadcast(sizes.as("sa")), col("sa.doc_id") === col("id_a"))
+      .join(broadcast(sizes.as("sb")), col("sb.doc_id") === col("id_b"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** DuckDB fragment for the same pairs (expects `docs` CTE in scope). */
+  private def jaccardPairsSql(threshold: Double) = s"""
+    ex AS (SELECT doc_id, unnest(sh) AS bg FROM docs),
+    rawpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+               AS jaccard
+      FROM rawpairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: one hash-aggregate on the full text ----
@@ -88,50 +129,71 @@ object Dedup extends QueryModule {
           .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
           .orderBy("keeper")),
 
-    // ---- near-dup: exact bigram-set Jaccard, candidates from an
-    // inverted-index equi-join on shared shingles (no all-pairs) ----
+    // ---- near-dup: exact trigram-set Jaccard, candidates from an
+    // inverted-index equi-join on shared shingles (no all-pairs; the
+    // posting-list join key is an 8-byte xxhash64, and the per-doc size
+    // dim broadcasts into the pair stream) ----
     Q(
       "dedup_ngram_jaccard",
       Some(s"""
         WITH docs AS ($docShinglesSql),
-        ex AS (SELECT doc_id, unnest(sh) AS bg FROM docs),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(count(*) AS BIGINT) AS inter
-          FROM ex a JOIN ex b ON a.bg = b.bg AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        sizes AS (SELECT doc_id, len(sh) AS sz FROM docs)
-        SELECT id_a, id_b,
-               round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
-                 AS jaccard
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        ${jaccardPairsSql(0.2)}
+        SELECT id_a, id_b, jaccard FROM pairs
         ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        jaccardPairs(s, dir, 0.2).orderBy("id_a", "id_b")),
+
+    // ---- duplicate-cluster resolution: connected components over the
+    // near-dup pair graph by iterative min-label propagation (the BSP
+    // pattern — O(log diameter) joined passes, no driver-side graph),
+    // then keeper = min doc_id per component. Oracle = transitive
+    // closure via DuckDB's recursive CTE. ----
+    Q(
+      "dedup_cluster_keepers",
+      Some(s"""
+        WITH RECURSIVE docs AS ($docShinglesSql),
+        ${jaccardPairsSql(0.2)},
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        reach(a, b) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component,
+               a = min(b) AS is_keeper
+        FROM reach GROUP BY a ORDER BY doc_id"""),
       (s, dir) => {
-        val docs = docShingles(s, dir)
-        // posting list = (doc_id, 8-byte shingle hash): the equi-join
-        // shuffles fixed-width longs, not shingle strings (collision odds
-        // over a shingle vocabulary are ~|V|²/2⁶⁵ — negligible).
-        val ex = docs.select(col("doc_id"),
-          explode(transform(col("sh"), xxhash64(_))).as("bg"))
-        val pairs = ex.as("a")
-          .join(ex.as("b"),
-            col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        // per-doc sizes are one long per doc — broadcast them so the
-        // candidate-pair aggregate (the big side) never reshuffles.
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-        val jac = col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter"))
-        pairs
-          .join(broadcast(sizes.as("sa")), col("sa.doc_id") === col("id_a"))
-          .join(broadcast(sizes.as("sb")), col("sb.doc_id") === col("id_b"))
-          .filter(jac >= 0.2)
-          .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
-          .orderBy("id_a", "id_b")
+        val pairs = jaccardPairs(s, dir, 0.2).select("id_a", "id_b")
+        val edges = pairs
+          .union(pairs.select(col("id_b"), col("id_a")))
+          .toDF("src", "dst")
+          .persist()
+        var labels = edges.select(col("src").as("doc")).distinct()
+          .withColumn("lbl", col("doc"))
+          .persist()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbrMin = edges
+            .join(labels.withColumnRenamed("doc", "dst2"),
+              col("dst") === col("dst2"))
+            .groupBy(col("src").as("doc"))
+            .agg(min("lbl").as("nbr_lbl"))
+          val next = labels.join(nbrMin, Seq("doc"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+            .persist()
+          changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+            .filter(col("lbl") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        labels
+          .select(col("doc").as("doc_id"), col("lbl").as("component"),
+            (col("doc") === col("lbl")).as("is_keeper"))
+          .orderBy("doc_id")
       }),
 
     // ---- MinHash (16 perms) + LSH banding (4 bands × 4) → candidate
