@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,
+    operators.Typed,
     sources.Roundtrip,
     streaming.Streams)
 
