@@ -272,6 +272,68 @@ object Relational extends QueryModule {
             col("n"), col("total"))
           .orderBy("status", "priority")),
 
+    // exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: both sort + linear interpolation, order-independent)
+    Q(
+      "agg_percentiles",
+      Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          .orderBy("o_orderstatus")),
+
+    // statistical moments + correlation
+    Q(
+      "agg_stats_moments",
+      Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+            round(var_samp("l_quantity"), 4).as("var_qty"),
+            round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"))
+          .orderBy("l_returnflag")),
+
+    // unpivot — the BI inverse of pivot: wide flag counts back to long form
+    Q(
+      "unpivot_status_counts",
+      Some("""
+        WITH wide AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+                 CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+                 CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, status, n
+        FROM wide UNPIVOT (n FOR status IN (F, O, P))
+        ORDER BY o_orderpriority, status"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .na.fill(0L, Seq("F", "O", "P"))
+          .unpivot(
+            Array(col("o_orderpriority")),
+            Array(col("F"), col("O"), col("P")),
+            "status", "n")
+          .orderBy("o_orderpriority", "status")),
+
     // HLL++ sketch — approximate by construction, so no DuckDB oracle (the
     // driver records a rows-only check); correctness pinned by a ScalaTest
     // bound against exact countDistinct instead.

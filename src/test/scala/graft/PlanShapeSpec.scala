@@ -72,6 +72,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no codegen spans:\n${p.take(1500)}")
   }
 
+  test("AQE is on and re-plans at runtime (coalesced shuffle reads)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = SparkEntry.queries("flagship_revenue_by_region")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"))
+    assert(p.contains("AQEShuffleRead"), "no runtime shuffle coalescing")
+  }
+
   test("every registered query returns rows on sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
