@@ -154,6 +154,39 @@ object Roundtrip extends QueryModule {
           .orderBy("l_returnflag")
       }),
 
+    // ---- file-provenance metadata (_metadata struct): at 100 TB,
+    // per-file lineage (which object produced which rows) comes from the
+    // hidden metadata column, not from parsing paths in user code ----
+    Q(
+      "file_metadata_provenance",
+      Some("""
+        SELECT 'lineitem.parquet' AS file_name,
+               CAST(count(*) AS BIGINT) AS n FROM lineitem
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("_metadata.file_name").as("file_name"))
+          .groupBy("file_name")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("file_name")),
+
+    // ---- parquet writer codec option (zstd) roundtrip ----
+    Q(
+      "parquet_zstd_roundtrip",
+      Some("""
+        SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("zstd_nation")
+        t(s, dir, "nation")
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"))
+          .orderBy("n_regionkey")
+      }),
+
     // ---- S4/J1: incremental ingest dedup — new batch anti-joined against
     // the already-seen key set (reference keeps list_ids.txt; we keep a
     // keyed DataFrame — at scale, a bucketed table of seen keys) ----
