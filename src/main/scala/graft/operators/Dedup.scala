@@ -275,6 +275,89 @@ object Dedup extends QueryModule {
           .orderBy("id_a", "id_b")
       }),
 
+    // ---- the composed training-data curation pipeline: quality gate →
+    // exact dedup (keep min doc_id per text) → near-dup removal (keep
+    // only cluster keepers) → per-doc token stats. One declarative plan:
+    // two hash shuffles + the pair-graph resolution, no driver loops
+    // except the O(log n) component iteration. ----
+    Q(
+      "pipeline_training_data",
+      Some(s"""
+        WITH RECURSIVE docs AS ($docShinglesSql),
+        ${jaccardPairsSql(0.2)},
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        reach(a, b) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        near_dup_losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+        toks AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        quality AS (
+          SELECT doc_id, text, len(ts) AS n_tokens,
+                 CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+                   AS distinct_ratio
+          FROM toks WHERE len(ts) >= 5),
+        exact_kept AS (
+          SELECT min(doc_id) AS doc_id FROM quality GROUP BY text)
+        SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+               round(q.distinct_ratio, 4) AS distinct_ratio
+        FROM quality q
+        JOIN exact_kept k ON q.doc_id = k.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+        ORDER BY q.doc_id"""),
+      (s, dir) => {
+        // near-dup losers: non-keeper members of pair-graph components
+        val pairs = jaccardPairs(s, dir, 0.2).select("id_a", "id_b")
+        val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+          .toDF("src", "dst").persist()
+        var labels = edges.select(col("src").as("doc")).distinct()
+          .withColumn("lbl", col("doc")).persist()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val nbrMin = edges
+            .join(labels.withColumnRenamed("doc", "dst2"),
+              col("dst") === col("dst2"))
+            .groupBy(col("src").as("doc"))
+            .agg(min("lbl").as("nbr_lbl"))
+          val next = labels.join(nbrMin, Seq("doc"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+            .persist()
+          changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+            .filter(col("lbl") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        val losers = labels.filter(col("doc") =!= col("lbl"))
+          .select(col("doc").as("loser_id"))
+        // quality gate + token stats
+        val quality = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 5)
+          .select(col("doc_id"), col("text"),
+            size(col("ts")).cast("long").as("n_tokens"),
+            (size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+              .as("distinct_ratio"))
+        // exact dedup: keep min doc_id per text
+        val keepers = quality.groupBy("text")
+          .agg(min("doc_id").as("keep_id"))
+          .select(col("keep_id").as("doc_id"))
+        quality
+          .join(keepers, "doc_id")
+          .join(broadcast(losers), col("doc_id") === col("loser_id"), "left_anti")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("distinct_ratio"), 4).as("distinct_ratio"))
+          .orderBy("doc_id")
+      }),
+
     // ---- SimHash: 32-bit signature from token hashes (bit-majority).
     // Hash-seeded → no SQL oracle; DedupSpec pins determinism + locality. ----
     Q(
