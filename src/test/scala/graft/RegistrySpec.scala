@@ -1,0 +1,35 @@
+package graft
+
+/** Registry integrity: `SparkEntry.queries` is built with `toMap`, so a
+  * duplicate name across modules would silently drop a query (and its
+  * oracle) from the driver's correctness gate.
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("query names are unique across modules") {
+    val names = Seq(
+      operators.Relational, operators.SqlSurface, operators.Medallion,
+      operators.Dedup, operators.Similarity, operators.TextAnalysis,
+      operators.Multimodal, operators.Typed, sources.Roundtrip,
+      streaming.Streams).flatMap(_.all.map(_.name))
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
+  test("every oracle belongs to a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty)
+  }
+
+  test("oracle coverage: at most a small hash-seeded minority lacks oracles") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // every no-oracle query must be hash-seeded/approximate by design —
+    // this list is the explicit allowlist
+    val allowed = Set("dedup_minhash_lsh", "dedup_simhash",
+      "dedup_embedding_cosine", "sim_ann_hyperplane", "sim_ivf_probe",
+      "agg_approx_count_distinct", "text_rolling_hash")
+    assert((noOracle -- allowed).isEmpty,
+      s"queries without oracle not on the allowlist: ${noOracle -- allowed}")
+  }
+}
