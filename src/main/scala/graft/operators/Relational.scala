@@ -676,6 +676,71 @@ object Relational extends QueryModule {
           .select(col("event_id"), col("k").try_cast("long").as("k"))
           .orderBy("event_id")),
 
+    // ---- array function sampler (construct → transform → inspect) ----
+    Q(
+      "scalar_array_functions",
+      Some("""
+        SELECT r_regionkey,
+               len(arr) AS n,
+               list_sort(arr)[1] AS min_ch,
+               list_contains(arr, 'a') AS has_a,
+               array_to_string(list_sort(arr), '') AS sorted_chars,
+               list_reverse(list_sort(arr))[1] AS max_ch
+        FROM (SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+                     list_distinct(string_split(regexp_replace(
+                       lower(r_name), '[^a-z]', '', 'g'), '')) AS arr
+              FROM region)
+        WHERE len(arr) > 0
+        ORDER BY r_regionkey"""),
+      (s, dir) => {
+        // DuckDB's string_split('abc','') yields [a,b,c]; Spark's split
+        // yields ["", a, b, c, ""] — filter the empties for parity.
+        val chars = array_distinct(filter(
+          split(regexp_replace(lower(col("r_name")), "[^a-z]", ""), ""),
+          x => x =!= lit("")))
+        t(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"),
+            chars.as("arr"))
+          .filter(size(col("arr")) > 0)
+          .select(
+            col("r_regionkey"),
+            size(col("arr")).cast("long").as("n"),
+            element_at(array_sort(col("arr")), 1).as("min_ch"),
+            array_contains(col("arr"), "a").as("has_a"),
+            array_join(array_sort(col("arr")), "").as("sorted_chars"),
+            element_at(reverse(array_sort(col("arr"))), 1).as("max_ch"))
+          .orderBy("r_regionkey")
+      }),
+
+    // ---- map function sampler: JSON → map → keys/values/entries ----
+    Q(
+      "scalar_map_functions",
+      Some("""
+        SELECT event_id,
+               CAST(cardinality(m) AS BIGINT) AS n_keys,
+               array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+               TRY_CAST(map_extract(m, 'k')[1] AS BIGINT) AS k_val
+        FROM (SELECT event_id,
+                     map_from_entries(list_transform(
+                       json_keys(props),
+                       k -> struct_pack(k := k,
+                                        v := json_extract_string(props, k))))
+                       AS m
+              FROM events)
+        ORDER BY event_id"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
+              .as("m"))
+          .select(
+            col("event_id"),
+            size(col("m")).cast("long").as("n_keys"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+            element_at(col("m"), "k").try_cast("long").as("k_val"))
+          .orderBy("event_id")),
+
     // ---- generator / UDTF surface (U3): explode over split tokens ----
     Q(
       "explode_token_counts",
