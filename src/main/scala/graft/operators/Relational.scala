@@ -214,6 +214,102 @@ object Relational extends QueryModule {
           .select("r_name", "flag")
           .orderBy("r_name", "flag")),
 
+    // ---- range (theta) join: facts against a bounded band dimension on
+    // a BETWEEN condition — the bounded side broadcasts, so the non-equi
+    // predicate runs as a map-side broadcast join, never a shuffle NLJ ----
+    Q(
+      "join_range_price_bands",
+      Some("""
+        WITH bands(band, lo, hi) AS (VALUES
+          ('low',    0.0,      100000.0),
+          ('mid',    100000.0, 300000.0),
+          ('high',   300000.0, 1e18))
+        SELECT band, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.0, 100000.0),
+          ("mid", 100000.0, 300000.0),
+          ("high", 300000.0, 1e18)).toDF("band", "lo", "hi")
+        t(s, dir, "orders")
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .orderBy("band")
+      }),
+
+    // ---- as-of join: each event matched to the latest hourly "quote"
+    // (per-type hourly average) at or before its timestamp. Spark-first
+    // shape: union quotes into the event stream and take
+    // last(quote, ignoreNulls) over a (type, time)-ordered window — one
+    // shuffle, no row explosion, no non-equi join. Oracle: DuckDB's
+    // native ASOF JOIN. ----
+    Q(
+      "join_asof_event_quotes",
+      Some("""
+        WITH quotes AS (
+          SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS qts,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS quote_cents
+          FROM events GROUP BY 1, 2)
+        SELECT e.event_id, q.quote_cents
+        FROM events e
+        ASOF JOIN quotes q
+          ON e.event_type = q.event_type AND e.ts >= q.qts
+        ORDER BY e.event_id"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val quotes = ev
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("qts"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("quote_cents"))
+        // union-merge: quotes sort before events at the same instant
+        // (is_quote = 0 first) so an event at exactly qts sees that quote
+        val events = ev.select(col("event_type"), col("ts"),
+          col("event_id"), lit(1).as("is_quote"),
+          lit(null).cast("long").as("quote_cents"))
+        val qRows = quotes.select(col("event_type"), col("qts").as("ts"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_quote"),
+          col("quote_cents"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("is_quote"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events.unionByName(qRows)
+          .withColumn("asof_quote",
+            last(col("quote_cents"), ignoreNulls = true).over(w))
+          .filter(col("event_id").isNotNull)
+          .select(col("event_id"), col("asof_quote").as("quote_cents"))
+          .orderBy("event_id")
+      }),
+
+    // ---- GROUPING SETS (the general form of rollup/cube), via SQL text ----
+    Q(
+      "agg_grouping_sets",
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY 1, 2"""),
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                 coalesce(l_linestatus, 'ALL') AS status,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY 1, 2""")
+      }),
+
     // ---- aggregation family ----
     Q(
       "agg_count_distinct_by_segment",
