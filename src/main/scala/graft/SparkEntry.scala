@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(
+  private[graft] val modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.SqlSurface,
     operators.Medallion,

@@ -81,6 +81,37 @@ object Dedup extends QueryModule {
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation (BSP: O(log diameter) joined passes, no
+    * driver-side graph state). Returns (doc, lbl) where lbl = component
+    * id = min member. */
+  private def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("doc"))
+        .agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** DuckDB fragment for the same pairs (expects `docs` CTE in scope). */
   private def jaccardPairsSql(threshold: Double) = s"""
     ex AS (SELECT doc_id, unnest(sh) AS bg FROM docs),
@@ -163,38 +194,11 @@ object Dedup extends QueryModule {
         SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component,
                a = min(b) AS is_keeper
         FROM reach GROUP BY a ORDER BY doc_id"""),
-      (s, dir) => {
-        val pairs = jaccardPairs(s, dir, 0.2).select("id_a", "id_b")
-        val edges = pairs
-          .union(pairs.select(col("id_b"), col("id_a")))
-          .toDF("src", "dst")
-          .persist()
-        var labels = edges.select(col("src").as("doc")).distinct()
-          .withColumn("lbl", col("doc"))
-          .persist()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          val nbrMin = edges
-            .join(labels.withColumnRenamed("doc", "dst2"),
-              col("dst") === col("dst2"))
-            .groupBy(col("src").as("doc"))
-            .agg(min("lbl").as("nbr_lbl"))
-          val next = labels.join(nbrMin, Seq("doc"), "left")
-            .select(col("doc"),
-              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-            .persist()
-          changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-            .filter(col("lbl") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
-          iter += 1
-        }
-        labels
+      (s, dir) =>
+        components(jaccardPairs(s, dir, 0.2))
           .select(col("doc").as("doc_id"), col("lbl").as("component"),
             (col("doc") === col("lbl")).as("is_keeper"))
-          .orderBy("doc_id")
-      }),
+          .orderBy("doc_id")),
 
     // ---- MinHash (16 perms) + LSH banding (4 bands × 4) → candidate
     // equi-join on (band, band-hash) → exact Jaccard verify. Hash-seeded,
@@ -313,30 +317,8 @@ object Dedup extends QueryModule {
         ORDER BY q.doc_id"""),
       (s, dir) => {
         // near-dup losers: non-keeper members of pair-graph components
-        val pairs = jaccardPairs(s, dir, 0.2).select("id_a", "id_b")
-        val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-          .toDF("src", "dst").persist()
-        var labels = edges.select(col("src").as("doc")).distinct()
-          .withColumn("lbl", col("doc")).persist()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          val nbrMin = edges
-            .join(labels.withColumnRenamed("doc", "dst2"),
-              col("dst") === col("dst2"))
-            .groupBy(col("src").as("doc"))
-            .agg(min("lbl").as("nbr_lbl"))
-          val next = labels.join(nbrMin, Seq("doc"), "left")
-            .select(col("doc"),
-              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-            .persist()
-          changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-            .filter(col("lbl") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
-          iter += 1
-        }
-        val losers = labels.filter(col("doc") =!= col("lbl"))
+        val losers = components(jaccardPairs(s, dir, 0.2))
+          .filter(col("doc") =!= col("lbl"))
           .select(col("doc").as("loser_id"))
         // quality gate + token stats
         val quality = t(s, dir, "documents")

@@ -7,11 +7,7 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("query names are unique across modules") {
-    val names = Seq(
-      operators.Relational, operators.SqlSurface, operators.Medallion,
-      operators.Dedup, operators.Similarity, operators.TextAnalysis,
-      operators.Multimodal, operators.Typed, sources.Roundtrip,
-      streaming.Streams).flatMap(_.all.map(_.name))
+    val names = SparkEntry.modules.flatMap(_.all.map(_.name))
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
     assert(SparkEntry.queries.size == names.size)
