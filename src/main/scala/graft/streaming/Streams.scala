@@ -146,6 +146,32 @@ object Streams extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // ---- stream-static join: the enrichment pattern — a streaming fact
+    // joined to a bounded static dimension (broadcast per micro-batch,
+    // no stream state) before aggregating ----
+    Q(
+      "stream_static_join_enrich",
+      Some("""
+        WITH dim AS (SELECT DISTINCT event_type,
+                            upper(event_type) AS type_label FROM events)
+        SELECT d.type_label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val dim = Tables.load(s, dir, "events")
+          .select(col("event_type")).distinct()
+          .withColumn("type_label", upper(col("event_type")))
+        val enriched = eventStream(s, dir)
+          .join(broadcast(dim), "event_type")
+          .groupBy("type_label")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        materialize(s, enriched, "stream_static_join_enrich", "complete")
+          .orderBy("type_label")
+      }),
+
     // ---- custom keyed state (flatMapGroupsWithState): per-user running
     // event count held in GroupState — the arbitrary-state surface the
     // built-in windowed aggs can't express (SURVEY §2.5 / brief's

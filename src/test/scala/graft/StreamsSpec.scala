@@ -64,4 +64,34 @@ class StreamsSpec extends SparkSpec {
     assert(archived, "consumed file was not archived")
     assert(sourceGone, "consumed file still present in source dir")
   }
+
+  test("foreachBatch sink writes each micro-batch transactionally") {
+    val base = Paths.get("/root/repo/target/scratch/foreachbatch")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$sf/events.parquet*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.select("event_id", "event_type")
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val written = spark.read.parquet(out)
+    val expected = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(written.count() == expected)
+    assert(written.columns.toSet == Set("event_id", "event_type", "batch_id"))
+  }
 }
