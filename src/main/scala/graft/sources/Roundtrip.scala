@@ -187,6 +187,48 @@ object Roundtrip extends QueryModule {
           .orderBy("n_regionkey")
       }),
 
+    // ---- MERGE/upsert without a table format: the reference README
+    // declares Delta but ships plain parquet (SURVEY §0) — the engine
+    // expresses upsert as keyed anti-join + union + partition overwrite,
+    // the Spark-native MERGE-INTO equivalent over immutable files ----
+    Q(
+      "upsert_partition_rewrite",
+      Some("""
+        WITH target AS (SELECT o_orderkey, o_totalprice FROM orders
+                        WHERE o_orderstatus = 'F'),
+        updates AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+                    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0),
+        merged AS (
+          SELECT t.o_orderkey, t.o_totalprice FROM target t
+          WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM updates)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM merged"""),
+      (s, dir) => {
+        val out = scratch("upsert_orders")
+        val target = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice")
+        target.write.mode(SaveMode.Overwrite).parquet(out)
+        val updates = target.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val existing = s.read.parquet(out)
+        val merged = existing
+          .join(updates.select(col("o_orderkey").as("upd_key")),
+            col("o_orderkey") === col("upd_key"), "left_anti")
+          .unionByName(updates)
+        // rewrite to a NEW location then read — an in-place overwrite
+        // would read and clobber the same files in one job
+        val out2 = scratch("upsert_orders_v2")
+        merged.write.mode(SaveMode.Overwrite).parquet(out2)
+        s.read.parquet(out2)
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      }),
+
     // ---- S4/J1: incremental ingest dedup — new batch anti-joined against
     // the already-seen key set (reference keeps list_ids.txt; we keep a
     // keyed DataFrame — at scale, a bucketed table of seen keys) ----
