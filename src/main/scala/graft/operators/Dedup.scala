@@ -81,34 +81,52 @@ object Dedup extends QueryModule {
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 
-  /** Connected components of an undirected pair graph by iterative
-    * min-label propagation (BSP: O(log diameter) joined passes, no
-    * driver-side graph state). Returns (doc, lbl) where lbl = component
-    * id = min member. */
-  private def components(pairs: DataFrame): DataFrame = {
+  /** Connected components of an undirected pair graph: per round, (1) min
+    * over neighbor labels, then (2) pointer-jump lbl := label(lbl). Plain
+    * propagation alone needs O(diameter) rounds — a long duplicate CHAIN
+    * at scale would blow any fixed cap; the jump step doubles the label
+    * horizon per round, giving O(log n) convergence. Fails loudly (never
+    * silently-wrong labels) if the cap is somehow hit. Returns (doc, lbl)
+    * where lbl = component id = min member. */
+  private[graft] def components(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not persist): each round joins the previous labels
+    // against themselves, so WITHOUT lineage truncation the logical plan
+    // doubles per round and the driver OOMs just printing it. Checkpoint
+    // materializes the round's result and cuts the plan back to a leaf —
+    // the standard shape for iterative DataFrame algorithms.
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).persist()
+      .withColumn("lbl", col("doc")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIters = 64 // O(log n) rounds with pointer jumping; wide margin
+    while (changed > 0 && iter < maxIters) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("doc"))
         .agg(min("lbl").as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("doc"), "left")
+      val propagated = labels.join(nbrMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
+      // pointer jump: a label is always itself a member doc, so its own
+      // (smaller-or-equal) label is defined; inner join is total
+      val next = propagated.as("p")
+        .join(propagated.select(col("doc").as("pj_doc"), col("lbl").as("pj_lbl")),
+          col("p.lbl") === col("pj_doc"))
+        .select(col("p.doc").as("doc"),
+          least(col("p.lbl"), col("pj_lbl")).as("lbl"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    if (changed > 0) {
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds")
+    }
     labels
   }
 

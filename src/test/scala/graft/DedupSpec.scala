@@ -68,6 +68,18 @@ class DedupSpec extends SparkSpec {
     assert(found.except(again).count() == 0 && again.except(found).count() == 0)
   }
 
+  test("connected components converge on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // a 300-node path: plain min-propagation needs ~300 rounds; the
+    // pointer-jumping version must finish within its 64-round cap
+    val chain = (0L until 300L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(chain)
+    assert(comp.count() == 300)
+    assert(comp.filter(col("lbl") =!= 0L).count() == 0,
+      "every chain member must resolve to component 0")
+  }
+
   test("simhash is deterministic and near-identical docs collide closely") {
     val a = SparkEntry.queries("dedup_simhash")(spark, sf)
     val b = SparkEntry.queries("dedup_simhash")(spark, sf)
