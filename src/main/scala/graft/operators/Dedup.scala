@@ -63,20 +63,24 @@ object Dedup extends QueryModule {
     * cluster-resolution query). */
   private def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
+    // each posting row carries its doc's set size, so the pair aggregate
+    // produces |A∩B|, |A|, |B| in ONE pass — no size-dimension join at
+    // all afterwards (a per-doc dim is unbounded at scale; broadcasting
+    // it would be a 100 TB bug, and re-shuffling the pair stream for a
+    // sort-merge join is a wasted exchange)
     val docs = docShingles(s, dir)
     val ex = docs.select(col("doc_id"),
-      explode(transform(col("sh"), xxhash64(_))).as("bg"))
+      explode(transform(col("sh"), xxhash64(_))).as("bg"),
+      size(col("sh")).as("sz"))
     val pairs = ex.as("a")
       .join(ex.as("b"),
         col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
     val jac = col("inter").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("inter"))
+      (col("sz_a") + col("sz_b") - col("inter"))
     pairs
-      .join(broadcast(sizes.as("sa")), col("sa.doc_id") === col("id_a"))
-      .join(broadcast(sizes.as("sb")), col("sb.doc_id") === col("id_b"))
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
@@ -243,23 +247,25 @@ object Dedup extends QueryModule {
             .as("band"))
           .select(col("doc_id"), col("band.band_id"), col("band.bkey"))
           .persist()
+        // no broadcast hint: the band table is per-doc (unbounded at
+        // scale) — the equi-join shuffles on (band_id, bkey) and AQE
+        // broadcasts by itself when the input is actually small
         val cand = bands.as("x")
-          .join(broadcast(bands.as("y")),
+          .join(bands.as("y"),
             col("x.band_id") === col("y.band_id") &&
               col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
-        // shingle sets are bounded per-doc; broadcast them into the
-        // candidate stream instead of reshuffling the (large) pair set
-        // twice. At cluster scale this is the standard build-side choice
-        // when the doc dimension fits; otherwise AQE picks sort-merge.
+        // the shingle-set dimension is per-doc (unbounded at scale): no
+        // broadcast hint — keyed joins shuffle on doc_id and AQE picks
+        // broadcast itself when the side is actually small
         val sets = docShingles(s, dir).persist()
         val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb")))
         cand
-          .join(broadcast(sets.select(col("doc_id").as("id_a"), col("sh").as("sha"))), "id_a")
-          .join(broadcast(sets.select(col("doc_id").as("id_b"), col("sh").as("shb"))), "id_b")
+          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
           .filter(jac >= 0.2)
           .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
           .orderBy("id_a", "id_b")
@@ -352,7 +358,9 @@ object Dedup extends QueryModule {
           .select(col("keep_id").as("doc_id"))
         quality
           .join(keepers, "doc_id")
-          .join(broadcast(losers), col("doc_id") === col("loser_id"), "left_anti")
+          // losers is per-doc (unbounded at scale) — keyed anti-join, no
+          // broadcast hint; AQE broadcasts when it is actually small
+          .join(losers, col("doc_id") === col("loser_id"), "left_anti")
           .select(col("doc_id"), col("n_tokens"),
             round(col("distinct_ratio"), 4).as("distinct_ratio"))
           .orderBy("doc_id")
