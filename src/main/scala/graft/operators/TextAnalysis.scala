@@ -132,6 +132,51 @@ object TextAnalysis extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // char-n-gram language ID: count signature character trigrams per
+    // language via the length-difference trick (pure integer arithmetic,
+    // no regex), argmax with deterministic tiebreak. The per-row cost is
+    // a handful of string scans — whole-stage codegen, no shuffle.
+    Q(
+      "text_lang_id_chargram",
+      Some("""
+        SELECT doc_id,
+               CASE WHEN greatest(en_s, de_s, fr_s, es_s) = 0 THEN 'und'
+                    WHEN en_s = greatest(en_s, de_s, fr_s, es_s) THEN 'en'
+                    WHEN de_s = greatest(en_s, de_s, fr_s, es_s) THEN 'de'
+                    WHEN fr_s = greatest(en_s, de_s, fr_s, es_s) THEN 'fr'
+                    ELSE 'es' END AS predicted
+        FROM (SELECT doc_id,
+                CAST((length(t) - length(replace(t, 'th', '')))
+                   + (length(t) - length(replace(t, ' a ', ''))) AS BIGINT) AS en_s,
+                CAST((length(t) - length(replace(t, 'sch', '')))
+                   + (length(t) - length(replace(t, 'der', ''))) AS BIGINT) AS de_s,
+                CAST((length(t) - length(replace(t, 'eau', '')))
+                   + (length(t) - length(replace(t, 'oux', ''))) AS BIGINT) AS fr_s,
+                CAST((length(t) - length(replace(t, 'ción', '')))
+                   + (length(t) - length(replace(t, 'ño', ''))) AS BIGINT) AS es_s
+              FROM (SELECT doc_id, lower(text) AS t FROM documents))
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        def score(t: org.apache.spark.sql.Column, grams: Seq[String]) =
+          grams.map(g => length(t) - length(regexp_replace(t,
+            java.util.regex.Pattern.quote(g), ""))).reduce(_ + _).cast("long")
+        val t0 = lower(col("text"))
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"),
+            score(t0, Seq("th", " a ")).as("en_s"),
+            score(t0, Seq("sch", "der")).as("de_s"),
+            score(t0, Seq("eau", "oux")).as("fr_s"),
+            score(t0, Seq("ción", "ño")).as("es_s"))
+        val best = greatest(col("en_s"), col("de_s"), col("fr_s"), col("es_s"))
+        scored.select(col("doc_id"),
+          when(best === 0, "und")
+            .when(col("en_s") === best, "en")
+            .when(col("de_s") === best, "de")
+            .when(col("fr_s") === best, "fr")
+            .otherwise("es").as("predicted"))
+          .orderBy("doc_id")
+      }),
+
     // TF-IDF: term frequency per (doc, term) × inverse document frequency
     // — two shuffles (doc-term agg, term df agg) + a broadcast of the
     // bounded term dictionary back onto the doc-term stream. Top-3 terms
