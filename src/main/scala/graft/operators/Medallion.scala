@@ -121,7 +121,14 @@ object Medallion extends QueryModule {
             Cleaning.normalizePrice(col("price_raw")).as("price"))
           .orderBy("id")),
 
-    // ---- P2: null-drop filter (reference realestate_pipeline.py:148) ----
+    // ---- P2: null-drop filter (reference realestate_pipeline.py:148).
+    // Catalyst pushes the IsNotNull filter BELOW the projection by
+    // substituting the parse expressions into it, so the parse chain
+    // evaluates twice per surviving row. That is the optimizer's
+    // deliberate trade (filter early > evaluate once) and we keep it:
+    // at scale, row reduction before downstream ops wins; forcing
+    // single-eval would need a lineage barrier (cache/checkpoint) that
+    // costs more than the recompute. ----
     Q(
       "p2_null_drop",
       Some(s"""

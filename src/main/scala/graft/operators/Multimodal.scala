@@ -110,6 +110,47 @@ object Multimodal extends QueryModule {
             col("payload").cast("string").substr(1, 8).as("head"))
           .orderBy("doc_id")),
 
+    // resize stage: decode → downscale to a bounded box (the thumbnail
+    // step of an image pipeline) — a second typed map over the decode
+    // output; the stub arithmetic (integer halving until within bounds)
+    // is deterministic so the oracle can reproduce it off the base table.
+    Q(
+      "multimodal_resize_stub",
+      Some("""
+        SELECT doc_id, w AS width, h AS height,
+               CAST(CASE WHEN w <= 32 AND h <= 24 THEN w
+                    WHEN (w + 1) // 2 <= 32 AND (h + 1) // 2 <= 24 THEN (w + 1) // 2
+                    ELSE (w + 3) // 4 END AS BIGINT) AS resized_w,
+               CAST(CASE WHEN w <= 32 AND h <= 24 THEN h
+                    WHEN (w + 1) // 2 <= 32 AND (h + 1) // 2 <= 24 THEN (h + 1) // 2
+                    ELSE (h + 3) // 4 END AS BIGINT) AS resized_h
+        FROM (SELECT doc_id,
+                     strlen(text) % 64 + 1 AS w,
+                     strlen(text) % 48 + 1 AS h
+              FROM documents)
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        MultimodalStub.decodeStage(media)
+          .map { f =>
+            // halve until the frame fits 32x24 (max two halvings needed
+            // for the stub's 64x48 bound); ceil-division like a real
+            // downsampler
+            var (w, h) = (f.width, f.height)
+            while (w > 32 || h > 24) {
+              w = (w + 1) / 2
+              h = (h + 1) / 2
+            }
+            (f.doc_id, f.width, f.height, w, h)
+          }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+            Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+          .toDF("doc_id", "width", "height", "resized_w", "resized_h")
+          .orderBy("doc_id")
+      }),
+
     // typed mapPartitions decode stage (stubbed codec) + relational
     // aggregation of the extracted features. The oracle reproduces the
     // stub's arithmetic off the base table — verifying the Spark plumbing
