@@ -442,6 +442,31 @@ object Relational extends QueryModule {
           .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
           .orderBy("o_orderstatus")),
 
+    // t-digest-style percentile sketch — approximate by construction →
+    // no SQL oracle; SimilaritySpec bounds it against the exact
+    // percentile. The scale story: one pass, mergeable sketches,
+    // no global sort.
+    Q(
+      "agg_approx_percentile",
+      None,
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+            expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+          .orderBy("o_orderstatus")),
+
+    // seeded Bernoulli sampling — partition-layout-dependent row choice →
+    // no SQL oracle; SimilaritySpec bounds the sampled fraction.
+    Q(
+      "sample_bernoulli_seeded",
+      None,
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .agg(count(lit(1)).as("n_sampled"))),
+
     // ---- window family ----
     Q(
       "window_rank_orders_per_customer",

@@ -202,6 +202,47 @@ object Streams extends QueryModule {
           .orderBy("user_id")
       }),
 
+    // ---- mapGroupsWithState (strict one-row-per-group variant of the
+    // arbitrary-state surface): latest event per user, state = running
+    // (ts, event_id) max with event_id tiebreak so iterator order can't
+    // leak into results ----
+    Q(
+      "stream_last_event_per_user",
+      Some("""
+        SELECT user_id, CAST(max(eid) AS BIGINT) AS last_event_id
+        FROM (SELECT user_id, ts, event_id AS eid,
+                     max(ts) OVER (PARTITION BY user_id) AS mx
+              FROM events)
+        WHERE ts = mx
+        GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+        val latest = eventStream(s, dir)
+          // unix_micros, not cast-to-long (seconds): sub-second ordering
+          // must match the oracle's full-precision timestamp compare
+          .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[(Long, Long), (Long, Long)](
+            GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long, Long)],
+             state: GroupState[(Long, Long)]) =>
+              val init = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+              val best = rows.foldLeft(init) { case (acc @ (bt, bid), (_, t, id)) =>
+                if (t > bt || (t == bt && id > bid)) (t, id) else acc
+              }
+              state.update(best)
+              (user, best._2)
+          }
+          .toDF("user_id", "last_event_id")
+        materialize(s, latest, "stream_last_event_per_user", "update")
+          .groupBy("user_id")
+          .agg(max("last_event_id").as("last_event_id"))
+          .orderBy("user_id")
+      }),
+
     // ---- Str5: session windows (30-minute gap), batch-mode semantics ----
     Q(
       "session_window_per_user",

@@ -50,6 +50,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within tolerance of exact percentile") {
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+    val exact = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+    approx.join(exact, "o_orderstatus").collect().foreach { r =>
+      val (a50, e50) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p50"))
+      val (a90, e90) = (r.getAs[Double]("p90_approx"), r.getAs[Double]("p90"))
+      assert(math.abs(a50 - e50) <= 0.05 * e50, s"p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= 0.05 * e90, s"p90 $a90 vs $e90")
+    }
+  }
+
+  test("seeded sample is deterministic and near the target fraction") {
+    val a = SparkEntry.queries("sample_bernoulli_seeded")(spark, sf)
+      .collect()(0).getLong(0)
+    val b = SparkEntry.queries("sample_bernoulli_seeded")(spark, sf)
+      .collect()(0).getLong(0)
+    assert(a == b, "same seed must sample identically")
+    val total = Tables.load(spark, sf, "lineitem").count()
+    val frac = a.toDouble / total
+    assert(frac > 0.07 && frac < 0.13, s"sampled fraction $frac far from 0.1")
+  }
+
   test("centroid aggregator matches per-dimension avg") {
     val viaUdaf = SparkEntry.queries("emb_centroid_by_label")(spark, sf)
     val viaSql = Tables.load(spark, sf, "embeddings")
