@@ -606,6 +606,120 @@ object Relational extends QueryModule {
           .orderBy("l_returnflag")
       }),
 
+    // distribution-rank analytics: ntile/percent_rank/cume_dist over a
+    // total per-partition order (orderkey tiebreak → deterministic)
+    Q(
+      "window_distribution_ranks",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // positional window values: first/last/nth over an explicit frame
+    Q(
+      "window_positional_values",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_ok,
+               CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_ok,
+               CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first("o_orderkey").over(w).cast("long").as("first_ok"),
+            last("o_orderkey").over(w).cast("long").as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).cast("long").as("second_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // within-group string aggregation (sorted for determinism)
+    Q(
+      "agg_string_collect",
+      Some("""
+        SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy(col("n_regionkey").cast("long").as("regionkey"))
+          .agg(array_join(array_sort(collect_list("n_name")), ",").as("nations"))
+          .orderBy("regionkey")),
+
+    // conditional aggregates: count_if / filtered sums / bool aggregates
+    Q(
+      "agg_conditional",
+      Some("""
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+                 AS n_big,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+                 AS urgent_cents,
+               bool_or(o_totalprice > 400000) AS any_huge,
+               bool_and(o_totalprice > 0) AS all_positive
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            count_if(col("o_totalprice") > 200000).as("n_big"),
+            sum(when(col("o_orderpriority") === "1-URGENT",
+              round(col("o_totalprice") * 100).cast("long"))).as("urgent_cents"),
+            bool_or(col("o_totalprice") > 400000).as("any_huge"),
+            bool_and(col("o_totalprice") > 0).as("all_positive"))
+          .orderBy("o_orderstatus")),
+
+    // second date sampler: quarter / ISO week / aligned day-of-week /
+    // epoch seconds / month arithmetic
+    Q(
+      "scalar_date_functions2",
+      Some("""
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+               CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+                 AS plus_2mo
+        FROM orders ORDER BY o_orderkey"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            quarter(col("o_orderdate")).cast("long").as("q"),
+            weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+            // Spark dayofweek: 1=Sunday..7=Saturday; ISO dow: 1=Monday..7=Sunday
+            when(dayofweek(col("o_orderdate")) === 1, 7L)
+              .otherwise(dayofweek(col("o_orderdate")).cast("long") - 1)
+              .as("iso_dow"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"),
+            date_format(add_months(col("o_orderdate").cast("date"), 2),
+              "yyyy-MM-dd").as("plus_2mo"))
+          .orderBy("o_orderkey")),
+
     Q(
       "topk_per_group_orders",
       Some("""
