@@ -849,6 +849,58 @@ object Relational extends QueryModule {
             trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
           .orderBy("p_partkey")),
 
+    // second string sampler: padding/translate/repeat/reverse + edit
+    // distance (levenshtein — the classic fuzzy-match primitive)
+    Q(
+      "scalar_string_functions2",
+      Some("""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '.') AS brand_padded,
+               rpad(p_brand, 12, '.') AS brand_rpadded,
+               translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+               repeat('-', CAST(p_size % 5 AS INT)) AS dashes,
+               reverse(p_brand) AS brand_rev,
+               CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist
+        FROM part ORDER BY p_partkey"""),
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, ".").as("brand_padded"),
+            rpad(col("p_brand"), 12, ".").as("brand_rpadded"),
+            translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+            repeat(lit("-"), (col("p_size") % 5).cast("int")).as("dashes"),
+            reverse(col("p_brand")).as("brand_rev"),
+            levenshtein(col("p_brand"), col("p_type")).cast("long")
+              .as("edit_dist"))
+          .orderBy("p_partkey")),
+
+    // struct construction → JSON serialization → parse-back → field
+    // access: the nested-type roundtrip (values compared field-wise; the
+    // JSON text itself is formatting-dependent between engines)
+    Q(
+      "scalar_struct_roundtrip",
+      Some("""
+        SELECT o_orderkey,
+               CAST(json_extract_string(j, '$.status') AS VARCHAR) AS status_back,
+               TRY_CAST(json_extract(j, '$.cents') AS BIGINT) AS cents_back
+        FROM (SELECT o_orderkey,
+                     to_json(struct_pack(
+                       status := o_orderstatus,
+                       cents := CAST(round(o_totalprice * 100) AS BIGINT))) AS j
+              FROM orders)
+        ORDER BY o_orderkey"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            to_json(struct(
+              col("o_orderstatus").as("status"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))).as("j"))
+          .select(col("o_orderkey"),
+            get_json_object(col("j"), "$.status").as("status_back"),
+            get_json_object(col("j"), "$.cents").try_cast("long").as("cents_back"))
+          .orderBy("o_orderkey")),
+
     Q(
       "scalar_date_functions",
       Some("""
