@@ -285,6 +285,26 @@ object TextAnalysis extends QueryModule {
           .limit(50)
       }),
 
+    // explode_outer: the null-preserving generator — rows with no long
+    // tokens survive with a NULL instead of disappearing (the LEFT JOIN
+    // LATERAL semantic; plain explode would drop them)
+    Q(
+      "explode_outer_long_tokens",
+      Some("""
+        SELECT doc_id,
+               unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(list_filter(string_split(text, ' '),
+                       x -> x <> ''), x -> length(x) >= 8) AS lt
+              FROM documents)
+        ORDER BY doc_id, tok"""),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(tokens(col("text")), x => length(x) >= 8).as("lt"))
+          .select(col("doc_id"), explode_outer(col("lt")).as("tok"))
+          .orderBy("doc_id", "tok")),
+
     // custom Catalyst Expression with codegen (U1 showcase): 64-bit
     // polynomial rolling-hash fingerprint. Hash-defined → no SQL oracle;
     // RollingHashSpec pins interpreted-vs-codegen equality and the exact
