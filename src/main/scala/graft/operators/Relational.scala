@@ -740,6 +740,51 @@ object Relational extends QueryModule {
           .orderBy("o_custkey", "rn")
       }),
 
+    // bitwise aggregates (order-independent, integer-exact)
+    Q(
+      "agg_bitwise",
+      Some("""
+        SELECT l_returnflag,
+               CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_and,
+               CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_or,
+               CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_xor
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_and(CAST(l_quantity AS BIGINT))").as("qty_and"),
+            expr("bit_or(CAST(l_quantity AS BIGINT))").as("qty_or"),
+            expr("bit_xor(CAST(l_quantity AS BIGINT))").as("qty_xor"))
+          .orderBy("l_returnflag")),
+
+    // math function sampler (per-row IEEE ops; rounded for the odd libm
+    // last-ulp difference on transcendentals)
+    Q(
+      "scalar_math_functions",
+      Some("""
+        SELECT o_orderkey,
+               round(sqrt(o_totalprice), 6) AS sq,
+               round(ln(o_totalprice), 6) AS logn,
+               round(pow(o_totalprice / 100000, 2), 6) AS pw,
+               CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+               CAST(floor(o_totalprice) AS BIGINT) AS fl,
+               round(abs(-o_totalprice), 2) AS ab,
+               CAST(sign(o_totalprice - 200000) AS BIGINT) AS sgn
+        FROM orders ORDER BY o_orderkey"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            round(sqrt(col("o_totalprice")), 6).as("sq"),
+            round(log(col("o_totalprice")), 6).as("logn"),
+            round(pow(col("o_totalprice") / 100000, 2), 6).as("pw"),
+            ceil(col("o_totalprice")).cast("long").as("ce"),
+            floor(col("o_totalprice")).cast("long").as("fl"),
+            round(abs(-col("o_totalprice")), 2).as("ab"),
+            signum(col("o_totalprice") - 200000).cast("long").as("sgn"))
+          .orderBy("o_orderkey")),
+
     // ---- global sort / top-k (O1/O2) ----
     Q(
       "sort_limit_top_orders",
