@@ -26,18 +26,36 @@ object Bench {
     // min of two timed runs per query: single-shot numbers on a shared
     // box carry ±several-second GC/scheduling noise; the min is the
     // standard steady-state estimator.
+    // failures surface as -1 (never a near-zero "best" time) plus an
+    // errors map, so a broken query degrades the report instead of
+    // silently improving the total.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val r =
+          try { run(name); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case t: Throwable =>
+              errors.getOrElseUpdate(name, t.toString.takeWhile(_ != '\n').take(200))
+              None
+          }
+        // release any within-plan persist() the query made: blocks would
+        // otherwise accumulate across 100+ queries, and a retained cache
+        // would let iteration 2 measure a warm-cache path instead of the
+        // query.
+        spark.catalog.clearCache()
+        r
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

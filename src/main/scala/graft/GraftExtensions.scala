@@ -20,6 +20,9 @@ object GraftExtensions {
     graft.functions.RollingHash.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngrams_gen", exprs => NGramsGenerator(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
   }
 }
 
@@ -42,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => NGramsGenerator(exprs(0), exprs(1))))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner
+    // strategy for graft.plans.AsofJoinPlan
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

@@ -10,6 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (vectorized parquet reader, pushdown-friendly).
   */
 object Tables {
+  /** Root for sink-side scratch output (roundtrip writes, stream
+    * checkpoints). Overridable via -Dgraft.scratch so the queries aren't
+    * tied to this container's layout; defaults to the repo's target dir. */
+  def scratchRoot: String =
+    sys.props.getOrElse("graft.scratch", "/root/repo/target/scratch")
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -272,19 +272,57 @@ object Dedup extends QueryModule {
       }),
 
     // ---- embedding-cosine near-dup: hyperplane-LSH candidate buckets →
-    // exact cosine ≥ 0.95 verify. Same no-all-pairs shape as MinHash;
-    // hash-seeded bucketing → no SQL oracle, DedupSpec pins subset/recall
-    // against the brute-force pair set. ----
+    // exact cosine ≥ 0.95 verify. The testdata has no natural near-dups
+    // (max pairwise cosine ≈ 0.51/0.60 at sf0.01/0.1), so the query
+    // plants deterministic canary duplicates first — the standard way a
+    // production dedup pipeline validates itself end-to-end: each
+    // vec_id % 5 == 0 row gets a copy (id + 10^7) with its tail half
+    // scaled by 1 + (id%7+1)/4, yielding planted pairs spanning cosine
+    // ~0.90–0.9999 so the 0.95 threshold cuts through the middle.
+    // Because the verify step is EXACT, the LSH stage only affects
+    // recall; 24 tables × 8 sign bits gives per-pair miss ≤ 1e-6 at
+    // the threshold angle (18°), so the result equals the exact pair
+    // set and a DuckDB all-pairs oracle checks it (verified at sf0.01
+    // AND sf0.1 — 16 tables deterministically missed one 0.9518 pair). Candidate volume is
+    // bucket-bound (equi-join, no cartesian): near-orthogonal non-dup
+    // pairs collide at ~1/256 per table; production data with tighter
+    // dup clusters would raise `bits` with log(N) to keep buckets small.
     Q(
       "dedup_embedding_cosine",
-      None,
+      Some("""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        planted AS (
+          SELECT orig_id + 10000000 AS vec_id,
+                 list_concat(vec[1:32],
+                   list_transform(vec[33:], x -> x * m)) AS vec
+          FROM (SELECT vec_id AS orig_id, vec,
+                       1.0 + (vec_id % 7 + 1) * 0.25 AS m
+                FROM base WHERE vec_id % 5 = 0)),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                     round(list_cosine_similarity(x.vec, y.vec), 6) AS cos_sim
+              FROM allv x JOIN allv y ON x.vec_id < y.vec_id)
+        SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.95
+        ORDER BY id_a, id_b"""),
       (s, dir) => {
         import graft.functions.VectorExprs
-        val e = t(s, dir, "embeddings")
+        val base = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-        val buckets = e.select(
+        val m = (col("vec_id") % 7 + 1).cast("double") * lit(0.25) + lit(1.0)
+        // perturb BEFORE renaming: aliasing the shifted id as "vec_id" in
+        // the same select would make m's col("vec_id") resolve laterally
+        // to the NEW id (Spark lateral column aliases), silently diverging
+        // from the oracle's orig_id-based multiplier
+        val planted = base.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"),
+            concat(slice(col("vec"), 1, 32),
+              transform(slice(col("vec"), 33, 32), x => x * m)).as("vec"))
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("vec"))
+        val allv = base.unionByName(planted)
+        val buckets = allv.select(
           col("vec_id"), col("vec"),
-          explode(transform(sequence(lit(0), lit(3)), tb =>
+          explode(transform(sequence(lit(0), lit(23)), tb =>
             struct(tb.as("tbl"),
               VectorExprs.lshBucket(s, col("vec"), tb, bits = 8).as("bucket"))))
             .as("tb"))
@@ -297,9 +335,10 @@ object Dedup extends QueryModule {
             col("y.vec_id").as("id_b"), col("y.vec").as("vb"))
           .dropDuplicates("id_a", "id_b")
         pairs
-          .withColumn("cos", VectorExprs.cosine(s, col("va"), col("vb")))
-          .filter(col("cos") >= 0.95)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+          .withColumn("cos_sim",
+            round(VectorExprs.cosine(s, col("va"), col("vb")), 6))
+          .filter(col("cos_sim") >= 0.95)
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
           .orderBy("id_a", "id_b")
       }),
 

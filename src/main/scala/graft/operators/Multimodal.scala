@@ -64,20 +64,26 @@ object Multimodal extends QueryModule {
     // frame sampling: one media row expands to k frame rows (the video
     // frame-extraction batch shape — same typed flatMap a real sampler
     // uses; the "decoder" is the deterministic byte-slice stub, and a
-    // resize stage would be one more map over the same Dataset). Oracle
-    // reproduces the slice arithmetic off the base table — ASCII text
-    // makes byte and character offsets coincide.
+    // resize stage would be one more map over the same Dataset). The
+    // payload is the text stripped to ASCII on BOTH sides, so the
+    // oracle's character offsets provably equal the byte offsets the
+    // Spark side slices — multi-byte rows can't silently diverge.
     Q(
       "multimodal_frame_sample",
       Some("""
+        WITH media AS (
+          SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS payload
+          FROM documents)
         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-               md5(substring(text, i * 7 + 1, 16)) AS frame_digest
-        FROM documents, unnest(range(strlen(text) % 4 + 1)) AS t(i)
+               md5(substring(payload, i * 7 + 1, 16)) AS frame_digest
+        FROM media, unnest(range(strlen(payload) % 4 + 1)) AS t(i)
         ORDER BY doc_id, frame_idx"""),
       (s, dir) => {
         import org.apache.spark.sql.Encoders
         val media = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[^\\x00-\\x7F]", "")
+              .cast("binary").as("payload"))
           .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
         media.flatMap { case (id, bytes) =>
           val k = bytes.length % 4 + 1

@@ -289,6 +289,40 @@ object Relational extends QueryModule {
           .orderBy("event_id")
       }),
 
+    // ---- the same as-of semantics through the custom whole-operator
+    // (graft.plans.AsofJoin: LogicalPlan + Strategy + BinaryExecNode,
+    // SURVEY §2.6 (c)) — each side shuffles on its own key and merges
+    // with O(1) state, vs the union-merge's shuffle of left ∪ right and
+    // per-partition window buffer. Identical DuckDB ASOF JOIN oracle. ----
+    Q(
+      "join_asof_custom_op",
+      Some("""
+        WITH quotes AS (
+          SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS qts,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS quote_cents
+          FROM events GROUP BY 1, 2)
+        SELECT e.event_id, q.quote_cents
+        FROM events e
+        ASOF JOIN quotes q
+          ON e.event_type = q.event_type AND e.ts >= q.qts
+        ORDER BY e.event_id"""),
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val ev = t(s, dir, "events")
+        val events = ev.select(col("event_id"), col("event_type"), col("ts"))
+        val quotes = ev
+          .groupBy(col("event_type").as("q_type"),
+            date_trunc("hour", col("ts")).as("qts"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("quote_cents"))
+        graft.plans.AsofJoin
+          .leftOuter(events, quotes,
+            keys = ("event_type", "q_type"), times = ("ts", "qts"))
+          .filter(col("quote_cents").isNotNull) // ASOF JOIN oracle is inner
+          .select(col("event_id"), col("quote_cents"))
+          .orderBy("event_id")
+      }),
+
     // ---- GROUPING SETS (the general form of rollup/cube), via SQL text ----
     Q(
       "agg_grouping_sets",

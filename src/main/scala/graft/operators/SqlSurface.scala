@@ -26,7 +26,7 @@ object SqlSurface extends QueryModule {
   private val topSpenders = """
     WITH cust_spend AS (
       SELECT c_custkey, c_mktsegment,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_mktsegment)
     SELECT c_mktsegment, c_custkey, spend_cents, rnk FROM (

@@ -20,7 +20,7 @@ object Roundtrip extends QueryModule {
     Tables.load(s, dir, n)
 
   private def scratch(name: String): String = {
-    val d = new java.io.File(s"/root/repo/target/scratch/$name")
+    val d = new java.io.File(s"${Tables.scratchRoot}/$name")
     d.mkdirs()
     d.getAbsolutePath
   }

@@ -25,7 +25,7 @@ import graft.{Q, QueryModule, Tables}
 object Streams extends QueryModule {
 
   private def freshCheckpoint(name: String): String = {
-    val d = new java.io.File(s"/root/repo/target/scratch/ckpt_$name")
+    val d = new java.io.File(s"${Tables.scratchRoot}/ckpt_$name")
     // AvailableNow + an old checkpoint would replay "no new files" and
     // leave the memory sink empty — each registered run starts clean.
     def rm(f: java.io.File): Unit = {

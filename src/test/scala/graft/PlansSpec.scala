@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoin
+
+/** The custom as-of join operator (graft.plans.AsofJoin): semantics vs the
+  * composable union-merge implementation, left-outer null fill, and the
+  * physical plan shape (custom exec node present, keyed exchanges, no
+  * cartesian).
+  */
+class PlansSpec extends SparkSpec {
+
+  test("custom as-of join matches the union-merge implementation") {
+    val a = SparkEntry.queries("join_asof_custom_op")(spark, sf)
+    val b = SparkEntry.queries("join_asof_event_quotes")(spark, sf)
+    assert(a.count() > 0)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("left-outer semantics: unmatched left rows null-fill, ties inclusive") {
+    import spark.implicits._
+    val left = Seq(
+      ("k1", 5L, "l1"), // before any right row -> null
+      ("k1", 10L, "l2"), // exactly at right t=10 -> inclusive match
+      ("k1", 25L, "l3"), // latest right <= 25 is t=20
+      ("k2", 7L, "l4") // key with no right rows at all -> null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      ("k1", 10L, 100L),
+      ("k1", 20L, 200L),
+      ("k3", 1L, 999L) // key with no left rows: must not surface
+    ).toDF("rk", "rt", "v")
+    val res = AsofJoin.leftOuter(left, right, ("k", "rk"), ("t", "rt"))
+      .select("tag", "v").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(res == Map("l1" -> -1L, "l2" -> 100L, "l3" -> 200L, "l4" -> -1L))
+  }
+
+  test("as-of plan uses the custom exec node with keyed exchanges") {
+    val df = SparkEntry.queries("join_asof_custom_op")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec node missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
