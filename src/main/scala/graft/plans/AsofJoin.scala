@@ -83,7 +83,11 @@ case class AsofJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
-      val joiner = UnsafeProjection.create(out, lOut ++ rOut)
+      // bind against NULLABLE right attrs — binding to the child's
+      // original non-null attrs would skip the null check and read
+      // garbage zeros from the null-filled row
+      val joiner =
+        UnsafeProjection.create(out, lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
