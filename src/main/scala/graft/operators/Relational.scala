@@ -323,6 +323,42 @@ object Relational extends QueryModule {
           .orderBy("event_id")
       }),
 
+    // ---- skew-mitigation salted join: event_type has ~5 distinct values,
+    // so a plain shuffle join on it caps parallelism at 5 tasks and piles
+    // each hot key onto one executor at 100 TB. Salting multiplies the key
+    // space ×16: the fact side gets a deterministic salt from its unique
+    // id, the dim side is replicated across all salts, and the equi-join
+    // runs on (key, salt) — 80 balanced partitions instead of 5 skewed
+    // ones. shuffle_hash hint keeps the demo on the shuffle path (a
+    // broadcast join — which AQE would pick here at test scale — has no
+    // skew problem to solve; at 100 TB a fact⋈fact side isn't
+    // broadcastable and this is the portable fix, complementing AQE's
+    // spark.sql.adaptive.skewJoin which only splits sort-merge sides). ----
+    Q(
+      "join_skew_salted_dim",
+      Some("""
+        WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+                     FROM events GROUP BY 1)
+        SELECT e.event_id, d.type_n
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        ORDER BY e.event_id"""),
+      (s, dir) => {
+        val S = 16
+        val ev = t(s, dir, "events")
+        val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+        val salted = ev.select(col("event_id"), col("event_type"),
+          pmod(hash(col("event_id")), lit(S)).as("salt"))
+        val dimSalted = dim.select(col("event_type").as("d_type"),
+          col("type_n"),
+          explode(sequence(lit(0), lit(S - 1))).as("d_salt"))
+        salted
+          .join(dimSalted.hint("shuffle_hash"),
+            col("event_type") === col("d_type") &&
+              col("salt") === col("d_salt"))
+          .select(col("event_id"), col("type_n"))
+          .orderBy("event_id")
+      }),
+
     // ---- GROUPING SETS (the general form of rollup/cube), via SQL text ----
     Q(
       "agg_grouping_sets",

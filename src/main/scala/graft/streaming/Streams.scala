@@ -146,6 +146,42 @@ object Streams extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // ---- stream-stream inner join with watermarks on both sides and a
+    // time-interval condition (view → purchase attribution within 30
+    // minutes). Both watermarks bound the join state: each side buffers
+    // only rows newer than (watermark − interval), so state is O(rate ×
+    // window), not O(stream). Inner-join results emit eagerly (append
+    // mode withholds nothing), so a bounded AvailableNow run equals the
+    // batch self-join the oracle computes. ----
+    Q(
+      "stream_stream_join",
+      Some("""
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+        ORDER BY 1, 2"""),
+      (s, dir) => {
+        val views = eventStream(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("interval 30 minutes"))
+          .select(col("view_id"), col("purchase_id"))
+        materialize(s, joined, "stream_stream_join", "append")
+          .orderBy("view_id", "purchase_id")
+      }),
+
     // ---- stream-static join: the enrichment pattern — a streaming fact
     // joined to a bounded static dimension (broadcast per micro-batch,
     // no stream state) before aggregating ----

@@ -43,7 +43,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("partitioned write enables partition pruning on read") {
-    val out = "/root/repo/target/scratch/prune_test"
+    val out = s"${Tables.scratchRoot}/prune_test"
     Tables.load(spark, sf, "orders")
       .withColumn("status", col("o_orderstatus"))
       .write.mode(SaveMode.Overwrite).partitionBy("status").parquet(out)
@@ -79,6 +79,18 @@ class PlanShapeSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"))
     assert(p.contains("AQEShuffleRead"), "no runtime shuffle coalescing")
+  }
+
+  test("salted skew join stays on the shuffle path with the widened key") {
+    val df = SparkEntry.queries("join_skew_salted_dim")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join should shuffle-hash-join, got:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      "broadcast would defeat the salting demo (no skew to mitigate)")
+    // join keys must include the salt (the whole point: 5 keys -> 5×16)
+    assert(p.contains("salt"), "salt column missing from the join")
   }
 
   test("every registered query returns rows on sf0.001") {
