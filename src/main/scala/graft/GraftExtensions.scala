@@ -23,6 +23,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PruneAsofJoinColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PruneAsofJoinColumns
   }
 }
 
@@ -46,7 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner
-    // strategy for graft.plans.AsofJoinPlan
+    // strategy for graft.plans.AsofJoinPlan, plus the optimizer rule that
+    // column-prunes through it (Catalyst can't see inside custom nodes)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsofJoinColumns)
   }
 }

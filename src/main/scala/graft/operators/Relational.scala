@@ -310,7 +310,10 @@ object Relational extends QueryModule {
       (s, dir) => {
         graft.GraftExtensions.register(s)
         val ev = t(s, dir, "events")
-        val events = ev.select(col("event_id"), col("event_type"), col("ts"))
+        // full-width events on purpose: the PruneAsofJoinColumns optimizer
+        // rule must shrink the left scan to (event_id, event_type, ts)
+        // itself — PlansSpec asserts the pruned ReadSchema
+        val events = ev
         val quotes = ev
           .groupBy(col("event_type").as("q_type"),
             date_trunc("hour", col("ts")).as("qts"))

@@ -125,6 +125,46 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule (SURVEY §2.6 (c), the `Rule[LogicalPlan]` leg): column
+  * pruning THROUGH the custom as-of node. Catalyst's ColumnPruning only
+  * understands built-in operators — without this rule a projection above
+  * an as-of join still scans every column of both inputs (at 100 TB the
+  * difference between reading 2 columns and reading a whole events table).
+  * Pattern: Project(p, AsofJoin(l, r)) where p + join keys/times need only
+  * a subset of child outputs → insert child Projects so pruning cascades
+  * into the scans. Idempotent (fixed-point batch): once children are
+  * pruned the guard sees nothing more to drop.
+  */
+object PruneAsofJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  private def prune(aj: AsofJoinPlan, needed: AttributeSet): AsofJoinPlan = {
+    val keep = needed ++
+      AttributeSet(Seq(aj.leftKey, aj.rightKey, aj.leftTime, aj.rightTime)
+        .flatMap(_.references))
+    val lKeep = aj.left.output.filter(keep.contains)
+    val rKeep = aj.right.output.filter(keep.contains)
+    if (lKeep.length == aj.left.output.length &&
+      rKeep.length == aj.right.output.length) aj
+    else aj.copy(left = Project(lKeep, aj.left),
+      right = Project(rKeep, aj.right))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList, aj: AsofJoinPlan) =>
+      val pruned = prune(aj, AttributeSet(projectList.flatMap(_.references)))
+      if (pruned eq aj) p else p.copy(child = pruned)
+    // predicates can't be pushed through an unknown node, so the common
+    // shape is Project(Filter(AsofJoin)) — prune through the filter too
+    case p @ Project(projectList, f @ Filter(cond, aj: AsofJoinPlan)) =>
+      val pruned = prune(aj, AttributeSet(projectList.flatMap(_.references)) ++
+        cond.references)
+      if (pruned eq aj) p else p.copy(child = f.copy(child = pruned))
+  }
+}
+
 /** Planner strategy mapping the logical as-of node to its exec — injected
   * by GraftExtensions#injectPlannerStrategy. */
 object GraftStrategy extends SparkStrategy {

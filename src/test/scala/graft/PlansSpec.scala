@@ -44,4 +44,26 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("PruneAsofJoinColumns shrinks the scans under the custom node") {
+    // the registered query feeds the FULL 6-column events table into the
+    // as-of join; the injected optimizer rule must prune the left side to
+    // the 3 referenced columns before the scan
+    // AQE wraps the plan and hides the scans from collect(); disable it
+    // for the shape assertion like the q1 pruning test does
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans =
+      try {
+        val df = SparkEntry.queries("join_asof_custom_op")(spark, sf)
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.requiredSchema.fieldNames.toSet
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.subsetOf(Set("event_id", "event_type", "ts", "value"))),
+      s"unpruned scan columns: $scans")
+    assert(!scans.exists(_.contains("props")),
+      "props (the widest column) must be pruned from every scan")
+  }
 }
