@@ -104,6 +104,51 @@ object Similarity extends QueryModule {
           .orderBy("q_id", "rn")
       }),
 
+    // multi-probe LSH ANN: same 8×4-bit tables as sim_ann_hyperplane, but
+    // each QUERY additionally probes the `bits` single-bit-flip neighbor
+    // buckets per table (5 probes/table). Near misses — a neighbor on the
+    // wrong side of ONE hyperplane — land in a Hamming-1 bucket, so recall
+    // rises steeply while the DATA side stays one bucket/table: candidate
+    // cost grows on the bounded query side only (the standard trade from
+    // the multi-probe LSH literature). Hash-seeded → recall pinned in
+    // SimilaritySpec against brute force, strictly ≥ the single-probe run.
+    Q(
+      "sim_ann_multiprobe",
+      None,
+      (s, dir) => {
+        val e = emb(s, dir)
+        val buckets = e.select(
+          col("vec_id"), col("vec"),
+          explode(transform(sequence(lit(0), lit(7)), t =>
+            struct(t.as("tbl"),
+              VectorExprs.lshBucket(s, col("vec"), t, bits = 4).as("bucket"))))
+            .as("tb"))
+          .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+        val probeSet = array(
+          (Seq(col("bucket")) ++
+            (0 until 4).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)
+        val q = buckets.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"),
+            col("tbl").as("q_tbl"),
+            explode(probeSet).as("q_bucket"))
+        val cand = buckets
+          .join(broadcast(q),
+            col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+              col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("qv"),
+            col("vec_id").as("cand_id"), col("vec").as("cv"))
+          .dropDuplicates("q_id", "cand_id")
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("cand_id"))
+        cand
+          .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
+          .select(col("q_id"), col("cand_id"),
+            row_number().over(w).cast("long").as("rn"),
+            round(col("cos"), 6).as("cos_sim"))
+          .filter(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      }),
+
     // IVF-style ANN (the other scale path next to hyperplane-LSH): a
     // deterministic coarse quantizer (16 seed vectors as cell centroids),
     // every vector assigned to its nearest cell (inverted lists), queries

@@ -23,7 +23,7 @@ class RegistrySpec extends SparkSpec {
     // every no-oracle query must be hash-seeded/approximate by design —
     // this list is the explicit allowlist
     val allowed = Set("dedup_minhash_lsh", "dedup_simhash",
-      "sim_ann_hyperplane", "sim_ivf_probe",
+      "sim_ann_hyperplane", "sim_ann_multiprobe", "sim_ivf_probe",
       "agg_approx_count_distinct", "text_rolling_hash",
       "agg_approx_percentile", "sample_bernoulli_seeded")
     assert((noOracle -- allowed).isEmpty,

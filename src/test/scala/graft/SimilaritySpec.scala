@@ -21,6 +21,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"ANN recall $recall = $hit/$total too low")
   }
 
+  test("multi-probe LSH recall beats or matches single-probe at equal tables") {
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .select("q_id", "cand_id")
+    val single = SparkEntry.queries("sim_ann_hyperplane")(spark, sf)
+      .select("q_id", "cand_id")
+    val multi = SparkEntry.queries("sim_ann_multiprobe")(spark, sf)
+      .select("q_id", "cand_id")
+    val total = exact.count()
+    assert(total > 0)
+    val singleHit = single.intersect(exact).count()
+    val multiHit = multi.intersect(exact).count()
+    // probing Hamming-1 buckets can only ADD candidates: the single-probe
+    // candidate set is a subset, so recall is monotone
+    assert(multiHit >= singleHit,
+      s"multi-probe recall $multiHit/$total below single-probe $singleHit/$total")
+    assert(multiHit.toDouble / total >= 0.6,
+      s"multi-probe recall ${multiHit.toDouble / total} too low")
+  }
+
   test("IVF probe achieves reasonable recall of brute-force top-5") {
     val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
       .select("q_id", "cand_id")
