@@ -20,6 +20,8 @@ object GraftExtensions {
     graft.functions.RollingHash.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngrams_gen", exprs => NGramsGenerator(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries", graft.functions.MisraGries.build, "scala_udf")
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
@@ -46,7 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("minhash_sig", "minhash_sig(hashes, perms) - MinHash signature",
         exprs => MinHashSig(exprs(0), exprs(1))),
       ("ngrams_gen", "ngrams_gen(tokens, n) - generator of (pos, ngram) rows",
-        exprs => NGramsGenerator(exprs(0), exprs(1))))
+        exprs => NGramsGenerator(exprs(0), exprs(1))),
+      ("misra_gries",
+        "misra_gries(term, capacity) - heavy-hitters sketch (term, min_count)",
+        graft.functions.MisraGries.build))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner

@@ -285,6 +285,32 @@ object TextAnalysis extends QueryModule {
           .limit(50)
       }),
 
+    // heavy hitters via the native Misra-Gries TypedImperativeAggregate
+    // (functions/HeavyHitters.scala): bounded-state frequent-terms — the
+    // shuffle carries <= capacity counters per partition instead of one
+    // row per distinct term. Capacity 64 > the corpus vocabulary (31
+    // fixed tokens at every SF), so the sketch is exact here and the
+    // DuckDB oracle checks it; the lossy regime's MG guarantee is pinned
+    // in HeavyHittersSpec.
+    Q(
+      "text_heavy_hitters",
+      Some("""
+        SELECT tok AS term, CAST(count(*) AS BIGINT) AS min_count
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY 1 ORDER BY min_count DESC, term LIMIT 10"""),
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents")
+          .select(explode(tokens(lower(col("text")))).as("tok"))
+          .agg(call_function("misra_gries", col("tok"), lit(64)).as("sk"))
+          .select(explode(col("sk")).as("hh"))
+          .select(col("hh.term"), col("hh.min_count"))
+          .orderBy(col("min_count").desc, col("term"))
+          .limit(10)
+      }),
+
     // explode_outer: the null-preserving generator — rows with no long
     // tokens survive with a NULL instead of disappearing (the LEFT JOIN
     // LATERAL semantic; plain explode would drop them)
