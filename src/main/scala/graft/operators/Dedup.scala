@@ -320,21 +320,30 @@ object Dedup extends QueryModule {
               transform(slice(col("vec"), 33, 32), x => x * m)).as("vec"))
           .select((col("vec_id") + 10000000L).as("vec_id"), col("vec"))
         val allv = base.unionByName(planted)
-        val buckets = allv.select(
-          col("vec_id"), col("vec"),
+        // persisted: feeds both sides of the bucket self-join AND the
+        // vector re-attach joins (shuffle exchanges aren't reused across
+        // those shapes, so the union+perturb would otherwise run 4×)
+        val vecs = allv.persist()
+        // candidate generation on IDS ONLY — the 64-dim vectors must not
+        // ride the candidate-dedup shuffle (at 2400 vecs × 24 tables the
+        // id-only dedup moves ~4 MB where vector-carrying pairs moved
+        // hundreds; at 100 TB that difference is the whole game)
+        val buckets = vecs.select(
+          col("vec_id"),
           explode(transform(sequence(lit(0), lit(23)), tb =>
             struct(tb.as("tbl"),
               VectorExprs.lshBucket(s, col("vec"), tb, bits = 8).as("bucket"))))
             .as("tb"))
-          .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
-        val pairs = buckets.as("x")
+          .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+        val cand = buckets.as("x")
           .join(buckets.as("y"),
             col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
               col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("id_a"), col("x.vec").as("va"),
-            col("y.vec_id").as("id_b"), col("y.vec").as("vb"))
-          .dropDuplicates("id_a", "id_b")
-        pairs
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+        cand
+          .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("va")), "id_a")
+          .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vb")), "id_b")
           .withColumn("cos_sim",
             round(VectorExprs.cosine(s, col("va"), col("vb")), 6))
           .filter(col("cos_sim") >= 0.95)

@@ -22,6 +22,31 @@ import graft.{Q, QueryModule, Tables}
   * closed, which is exactly the tail of a bounded input — the batch result
   * is the semantics the oracle can check.
   */
+/** transformWithState processor (Spark 4 arbitrary-state API v2): running
+  * per-user (count, integer-cents sum) in a ValueState. Emits the updated
+  * totals for each key touched by a batch; n_events strictly increases per
+  * emission, so the final per-user row is max-by-n_events. */
+private class UserAggProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, c) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { case (_, cents) => n += 1; c += cents }
+    st.update((n, c))
+    Iterator.single((key, n, c))
+  }
+}
+
 object Streams extends QueryModule {
 
   private def freshCheckpoint(name: String): String = {
@@ -236,6 +261,47 @@ object Streams extends QueryModule {
           .groupBy("user_id")
           .agg(max("n_events").as("n_events")) // last update per user wins
           .orderBy("user_id")
+      }),
+
+    // ---- transformWithState (the Spark 4 arbitrary-state API v2,
+    // superseding map/flatMapGroupsWithState): typed ValueState in the
+    // RocksDB state store (the provider the API requires — also the one
+    // a 100 TB deployment runs, since its state spills to disk instead
+    // of executor heap). Same oracle shape as the v1 queries. ----
+    Q(
+      "stream_transform_with_state",
+      Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val rows = eventStream(s, dir)
+            .select(col("user_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new UserAggProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "cents")
+          materialize(s, rows, "stream_transform_with_state", "update")
+            // latest emission per user = the one with the highest running
+            // count (cents alone isn't monotone: negative values exist)
+            .groupBy("user_id")
+            .agg(max(struct(col("n_events"), col("cents"))).as("last"))
+            .select(col("user_id"), col("last.n_events"), col("last.cents"))
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
       }),
 
     // ---- mapGroupsWithState (strict one-row-per-group variant of the
