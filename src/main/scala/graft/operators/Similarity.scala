@@ -214,6 +214,49 @@ object Similarity extends QueryModule {
           .orderBy("label", "dim_idx")
       }),
 
+    // int8 quantization (the storage/serving compression step of an
+    // embedding pipeline): per-vector max-abs scale, symmetric round to
+    // [-127,127], reconstruction-error audit per label. Pure per-row HOFs
+    // — NO shuffle until the final bounded label aggregation, so the op
+    // streams at scan speed at any scale. Error/scale sums are integerized
+    // (1e9/1e6 fixed point) so the label sums are order-independent and
+    // hash-exact against DuckDB.
+    Q(
+      "emb_quantize_int8",
+      Some("""
+        WITH pv AS (
+          SELECT label, vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings)),
+        e AS (SELECT label, scale,
+                list_aggregate(list_transform(v,
+                  x -> abs(x - round(x * 127 / scale) * scale / 127)), 'max')
+                  AS max_err
+              FROM pv)
+        SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(max_err * 1e9) AS BIGINT)) AS BIGINT)
+                 AS err_nanos,
+               CAST(sum(CAST(round(scale * 1e6) AS BIGINT)) AS BIGINT)
+                 AS scale_micros
+        FROM e GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val vec = col("embedding").cast("array<double>")
+        val sc = array_max(transform(vec, x => abs(x)))
+        Tables.load(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"), vec.as("v"),
+            sc.as("scale"))
+          .select(col("label"), col("scale"),
+            array_max(transform(col("v"), x =>
+              abs(x - round(x * 127 / col("scale")) * col("scale") / 127)))
+              .as("max_err"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("max_err") * 1e9).cast("long")).as("err_nanos"),
+            sum(round(col("scale") * 1e6).cast("long")).as("scale_micros"))
+          .orderBy("label")
+      }),
+
     Q(
       "emb_norm_stats_by_label",
       Some("""

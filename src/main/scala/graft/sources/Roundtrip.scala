@@ -108,6 +108,36 @@ object Roundtrip extends QueryModule {
           .orderBy("status")
       }),
 
+    // ---- range-clustered write: repartitionByRange + sortWithinPartitions
+    // on the filter column — the high-cardinality alternative to hive
+    // partitionBy (which would explode into one directory per value).
+    // Each output file covers a disjoint o_orderdate range, so a date
+    // filter on readback skips whole files/row-groups via parquet
+    // min/max stats (RoundtripSpec asserts the disjoint file ranges). ----
+    Q(
+      "range_clustered_write",
+      Some("""
+        SELECT strftime(time_bucket(INTERVAL '1 month', o_orderdate),
+                 '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("range_clustered_orders")
+        t(s, dir, "orders")
+          .repartitionByRange(8, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate")
+          .write.mode(SaveMode.Overwrite).parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .orderBy("month")
+      }),
+
     // ---- bucketed co-located join: both sides written bucketBy(8, key)
     // into catalog tables, so the fact⋈fact sort-merge join needs NO
     // shuffle exchange (the 100 TB pattern for repeated joins on the same
