@@ -30,4 +30,19 @@ object Actions {
 
   /** S16: global count (sliver.py:140,158). */
   def count(df: DataFrame): Long = df.count()
+
+  /** Pipeline observability via `Dataset.observe` (CollectMetrics): attach
+    * named aggregate metrics to a plan and harvest them from the SAME pass
+    * that materializes the data — how a production pipeline audits row
+    * drops / null rates at 100 TB without a second scan. Returns the
+    * observed metrics Row after running `action` on the instrumented frame.
+    */
+  def observeMetrics(df: DataFrame, name: String,
+      metrics: Seq[org.apache.spark.sql.Column])(
+      action: DataFrame => Unit): Map[String, Any] = {
+    val observation = new org.apache.spark.sql.Observation(name)
+    val instrumented = df.observe(observation, metrics.head, metrics.tail: _*)
+    action(instrumented)
+    observation.get
+  }
 }

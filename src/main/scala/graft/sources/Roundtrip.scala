@@ -108,6 +108,36 @@ object Roundtrip extends QueryModule {
           .orderBy("status")
       }),
 
+    // ---- schema evolution: two writers with different schema versions
+    // land in one dataset; mergeSchema reconciles them at read (the
+    // missing column nulls out for old files) — the P7 reconciliation
+    // story at the STORAGE layer, which is how long-lived 100 TB datasets
+    // actually evolve (no rewrite of old files). ----
+    Q(
+      "merge_schema_evolution",
+      Some("""
+        SELECT r_regionkey AS region_key, r_name AS region_name,
+               CAST(CASE WHEN r_regionkey < 3 THEN NULL
+                         ELSE length(r_name) END AS BIGINT) AS name_len
+        FROM region ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("schema_evolution_region")
+        val r = t(s, dir, "region")
+        // v1 writer: two columns only (regions 0-2)
+        r.filter(col("r_regionkey") < 3)
+          .select(col("r_regionkey"), col("r_name"))
+          .write.mode(SaveMode.Overwrite).parquet(out)
+        // v2 writer: adds name_len (regions 3+), appended
+        r.filter(col("r_regionkey") >= 3)
+          .select(col("r_regionkey"), col("r_name"),
+            length(col("r_name")).cast("long").as("name_len"))
+          .write.mode(SaveMode.Append).parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select(col("r_regionkey").as("region_key"),
+            col("r_name").as("region_name"), col("name_len"))
+          .orderBy("region_key")
+      }),
+
     // ---- range-clustered write: repartitionByRange + sortWithinPartitions
     // on the filter column — the high-cardinality alternative to hive
     // partitionBy (which would explode into one directory per value).

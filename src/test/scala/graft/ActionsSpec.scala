@@ -21,4 +21,18 @@ class ActionsSpec extends SparkSpec {
   test("count matches table cardinality") {
     assert(Actions.count(region) == 5L)
   }
+
+  test("observeMetrics harvests audit metrics from the materializing pass") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sf, "lineitem")
+    val got = Actions.observeMetrics(li, "audit",
+      Seq(count(lit(1)).as("rows"),
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("discounted"))) {
+      df => df.write.mode("overwrite").format("noop").save()
+    }
+    assert(got("rows") == li.count())
+    val expectedDiscounted =
+      li.filter(col("l_discount") > 0.05).count()
+    assert(got("discounted") == expectedDiscounted)
+  }
 }

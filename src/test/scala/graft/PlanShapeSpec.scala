@@ -81,6 +81,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead"), "no runtime shuffle coalescing")
   }
 
+  test("top-k per group gets the map-side WindowGroupLimit prune") {
+    // Spark's InferWindowGroupLimit rewrites Filter(rn <= k, Window) into
+    // a Partial group-limit BEFORE the shuffle + Final after — only ≤k
+    // rows per key per partition ride the exchange. Declarative query,
+    // optimizer-provided scale win; pin it so a regression (or a query
+    // rewrite that breaks the pattern) surfaces.
+    val df = SparkEntry.queries("topk_per_group_orders")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"map-side window group limit missing:\n${p.take(1500)}")
+  }
+
   test("salted skew join stays on the shuffle path with the widened key") {
     val df = SparkEntry.queries("join_skew_salted_dim")(spark, sf)
     df.collect()
