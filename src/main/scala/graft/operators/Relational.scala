@@ -326,6 +326,53 @@ object Relational extends QueryModule {
           .orderBy("event_id")
       }),
 
+    // ---- time-series resample + gap fill: regularize irregular events
+    // onto an hourly grid (sequence() explode per key — the grid is
+    // generated distributed, never collected) and forward-fill holes with
+    // a running last(ignoreNulls). The window partitions by event_type —
+    // bounded keys each with a bounded grid, so state per partition is
+    // one row; the heavy input collapses in the FIRST hash aggregate. ----
+    Q(
+      "resample_forward_fill",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        grid AS (
+          SELECT b.event_type,
+                 unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS h
+          FROM bounds b),
+        j AS (SELECT g.event_type, g.h, hr.cents
+              FROM grid g LEFT JOIN hourly hr USING (event_type, h))
+        SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+               CAST(last_value(cents IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cents_ff
+        FROM j ORDER BY 1, 2"""),
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val grid = hourly
+          .groupBy("event_type")
+          .agg(min("h").as("lo"), max("h").as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+              .as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+            last(col("cents"), ignoreNulls = true).over(w).as("cents_ff"))
+          .orderBy("event_type", "hour")
+      }),
+
     // ---- skew-mitigation salted join: event_type has ~5 distinct values,
     // so a plain shuffle join on it caps parallelism at 5 tasks and piles
     // each hot key onto one executor at 100 TB. Salting multiplies the key
