@@ -108,6 +108,34 @@ object Roundtrip extends QueryModule {
           .orderBy("status")
       }),
 
+    // ---- malformed-record handling: every 5th line of a JSON-lines file
+    // is corrupted (truncated object); the default PERMISSIVE parse turns
+    // each bad line into an all-null row instead of failing the job —
+    // corrupt rows bucket under 'CORRUPT' via the null lang. At 100 TB a
+    // single bad line must never kill an ingest; IngestSpec pins the
+    // FAILFAST contrast (same file, hard error). ----
+    Q(
+      "json_corrupt_records",
+      Some("""
+        SELECT CASE WHEN doc_id % 5 = 0 THEN 'CORRUPT' ELSE lang END
+                 AS lang_bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("corrupt_json_documents")
+        t(s, dir, "documents")
+          .select(
+            when(col("doc_id") % 5 === 0,
+              concat(lit("{bad "), col("doc_id").cast("string")))
+              .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+              .as("value"))
+          .write.mode(SaveMode.Overwrite).text(out)
+        s.read.schema("doc_id LONG, lang STRING").json(out)
+          .groupBy(coalesce(col("lang"), lit("CORRUPT")).as("lang_bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang_bucket")
+      }),
+
     // ---- schema evolution: two writers with different schema versions
     // land in one dataset; mergeSchema reconciles them at read (the
     // missing column nulls out for old files) — the P7 reconciliation

@@ -30,4 +30,19 @@ class IngestSpec extends SparkSpec {
     assert(df.columns.toSet == Set("id", "name"))
     assert(df.count() == 2)
   }
+
+  test("PERMISSIVE nulls corrupt JSON lines; FAILFAST fails the job") {
+    val p = write("mixed.jsonl",
+      """{"id": 1, "name": "a"}
+        |{bad line
+        |{"id": 2, "name": "b"}
+        |""".stripMargin)
+    val permissive = spark.read.schema("id LONG, name STRING").json(p)
+    assert(permissive.count() == 3)
+    assert(permissive.filter(org.apache.spark.sql.functions.col("name").isNull)
+      .count() == 1)
+    val failfast = spark.read.schema("id LONG, name STRING")
+      .option("mode", "FAILFAST").json(p)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
 }
