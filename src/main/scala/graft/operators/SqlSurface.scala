@@ -49,9 +49,24 @@ object SqlSurface extends QueryModule {
             WHERE o_custkey = c_custkey) AS n_orders
     FROM customer ORDER BY c_custkey"""
 
+  // WITH RECURSIVE (Spark 4's iterative SQL surface — the UnionLoop plan):
+  // ancestor chain over the implicit heap hierarchy parent(n) = floor(n/2)
+  // rooted at 0; depth = chain length. The division goes through floor()
+  // on a DOUBLE so the same text means the same thing in both engines
+  // (DuckDB's int '/' yields double, Spark's yields int).
+  private val recursiveHierarchy = """
+    WITH RECURSIVE anc(node, a) AS (
+      SELECT n_nationkey, n_nationkey FROM nation
+      UNION ALL
+      SELECT node, CAST(floor(a / 2.0) AS INT) FROM anc WHERE a > 0)
+    SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS depth
+    FROM anc GROUP BY node ORDER BY node"""
+
   val all: Seq[Q] = Seq(
     Q("sql_cte_window_topk", Some(topSpenders), sql(topSpenders)),
     Q("sql_exists_subquery", Some(existsBigOrder), sql(existsBigOrder)),
-    Q("sql_correlated_scalar_subquery", Some(correlatedCount), sql(correlatedCount))
+    Q("sql_correlated_scalar_subquery", Some(correlatedCount), sql(correlatedCount)),
+    Q("sql_recursive_cte_hierarchy", Some(recursiveHierarchy),
+      sql(recursiveHierarchy))
   )
 }
