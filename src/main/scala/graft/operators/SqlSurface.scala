@@ -62,11 +62,24 @@ object SqlSurface extends QueryModule {
     SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS depth
     FROM anc GROUP BY node ORDER BY node"""
 
+  // correlated LATERAL subquery with per-row ORDER BY + LIMIT (the SQL
+  // form of top-1-per-group; Catalyst decorrelates it into a join rather
+  // than executing the inner query per row)
+  private val lateralTop1 = """
+    SELECT c.c_custkey, o.o_orderkey, o.cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+    ORDER BY c.c_custkey"""
+
   val all: Seq[Q] = Seq(
     Q("sql_cte_window_topk", Some(topSpenders), sql(topSpenders)),
     Q("sql_exists_subquery", Some(existsBigOrder), sql(existsBigOrder)),
     Q("sql_correlated_scalar_subquery", Some(correlatedCount), sql(correlatedCount)),
     Q("sql_recursive_cte_hierarchy", Some(recursiveHierarchy),
-      sql(recursiveHierarchy))
+      sql(recursiveHierarchy)),
+    Q("sql_lateral_topk", Some(lateralTop1), sql(lateralTop1))
   )
 }
