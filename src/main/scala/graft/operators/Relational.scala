@@ -1108,6 +1108,32 @@ object Relational extends QueryModule {
             upper(col("event_type")).as("etype"))
           .orderBy("event_id")),
 
+    // ---- VARIANT (Spark 4's semi-structured binary type): parse once
+    // into the shredded encoding, then typed path extraction — the scale
+    // replacement for repeated string re-parsing (get_json_object parses
+    // the text on every call; a variant column parses once at ingest and
+    // pushes typed access down to the binary). try_variant_get covers the
+    // missing-path-as-null contract. ----
+    Q(
+      "scalar_variant_extraction",
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS k_sum,
+               CAST(count(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                          THEN 1 END) AS BIGINT) AS n_miss
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .selectExpr("event_type",
+            "variant_get(parse_json(props), '$.k', 'int') AS k",
+            "try_variant_get(parse_json(props), '$.missing', 'int') AS miss")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k").cast("long")).as("k_sum"),
+            count(col("miss")).as("n_miss"))
+          .orderBy("event_type")),
+
     // ---- S3: dynamic JSON keys → long form → pivoted columns (the
     // reference flattens parameters[].label→value into top-level keys,
     // app/bronze.py:82-94; same mechanism: parse as map, explode, pivot) ----

@@ -80,6 +80,27 @@ object SqlSurface extends QueryModule {
     Q("sql_correlated_scalar_subquery", Some(correlatedCount), sql(correlatedCount)),
     Q("sql_recursive_cte_hierarchy", Some(recursiveHierarchy),
       sql(recursiveHierarchy)),
-    Q("sql_lateral_topk", Some(lateralTop1), sql(lateralTop1))
+    Q("sql_lateral_topk", Some(lateralTop1), sql(lateralTop1)),
+
+    // SQL scalar UDF (CREATE FUNCTION ... RETURN expr, Spark 4): the
+    // declarative UDF — inlined by the analyzer into the plan, so it
+    // keeps codegen and pushdown (vs a JVM-closure UDF, which is an
+    // opaque black box to the optimizer). Oracle inlines the body.
+    Q(
+      "sql_udf_scalar",
+      Some("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION order_cents(p DOUBLE)
+                 RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)""")
+        s.sql("""
+          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(order_cents(o_totalprice)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1 ORDER BY 1""")
+      })
   )
 }
