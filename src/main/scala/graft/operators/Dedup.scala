@@ -93,6 +93,18 @@ object Dedup extends QueryModule {
     * silently-wrong labels) if the cap is somehow hit. Returns (doc, lbl)
     * where lbl = component id = min member. */
   private[graft] def components(pairs: DataFrame): DataFrame = {
+    // the label frames are tiny relative to the corpus (one row per doc
+    // in the pair graph) but iterate through 3 shuffles per round — pin
+    // the loop's shuffle width low so per-round task overhead doesn't
+    // dominate; restored after (the caller's width suits the big scans).
+    val s = pairs.sparkSession
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try componentsLoop(pairs)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def componentsLoop(pairs: DataFrame): DataFrame = {
     // localCheckpoint (not persist): each round joins the previous labels
     // against themselves, so WITHOUT lineage truncation the logical plan
     // doubles per round and the driver OOMs just printing it. Checkpoint
@@ -111,20 +123,21 @@ object Dedup extends QueryModule {
         .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("doc"))
         .agg(min("lbl").as("nbr_lbl"))
+      // carry the previous label through the round so the convergence
+      // check is a filter on the checkpointed result, not one more join
       val propagated = labels.join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       // pointer jump: a label is always itself a member doc, so its own
       // (smaller-or-equal) label is defined; inner join is total
       val next = propagated.as("p")
         .join(propagated.select(col("doc").as("pj_doc"), col("lbl").as("pj_lbl")),
           col("p.lbl") === col("pj_doc"))
-        .select(col("p.doc").as("doc"),
+        .select(col("p.doc").as("doc"), col("p.old").as("old"),
           least(col("p.lbl"), col("pj_lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.drop("old")
       iter += 1
     }
     if (changed > 0) {
