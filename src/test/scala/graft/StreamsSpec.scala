@@ -65,6 +65,45 @@ class StreamsSpec extends SparkSpec {
     assert(sourceGone, "consumed file still present in source dir")
   }
 
+  test("stateful aggregation carries state across real micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split events into 4 files and force one file per trigger, so the
+    // stateful count genuinely accumulates across batches (a single
+    // AvailableNow batch would never exercise state reload/merge)
+    val base = Paths.get(s"${Tables.scratchRoot}/multibatch")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val srcDir = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    val events = Tables.load(spark, sf, "events")
+    events.repartition(4).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = counts.writeStream
+      .format("memory").queryName("multibatch_counts")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // several batches must actually have run
+    assert(q.lastProgress.batchId >= 3,
+      s"expected >=4 micro-batches, got ${q.lastProgress.batchId + 1}")
+    // and the accumulated state equals the batch aggregate
+    val streamed = spark.table("multibatch_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("foreachBatch sink writes each micro-batch transactionally") {
     val base = Paths.get("/root/repo/target/scratch/foreachbatch")
     if (Files.exists(base)) {
