@@ -106,6 +106,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("salt"), "salt column missing from the join")
   }
 
+  test("AQE splits skewed sort-merge join partitions at runtime") {
+    // build genuine skew: one hot key carries ~90% of rows; force the
+    // shuffle path (no broadcast) and drop AQE's skew thresholds to
+    // test-data scale so OptimizeSkewedJoin actually fires (production
+    // defaults are 256MB — tuned for real partitions, not 60k rows)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val hot = (1 to 50000).map(i => ("hot", i)) ++
+        (1 to 500).map(i => (s"cold${i % 50}", i))
+      val left = hot.toDF("k", "v")
+      val right = (Seq("hot") ++ (0 until 50).map(i => s"cold$i"))
+        .map(k => (k, k.length)).toDF("k", "len")
+      // no aggregation above the join: OptimizeSkewedJoin declines to
+      // split when a parent still requires the hash distribution
+      val joined = left.join(right, "k").select(col("v"), col("len"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("every registered query returns rows on sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
