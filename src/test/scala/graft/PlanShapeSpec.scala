@@ -152,4 +152,26 @@ class PlanShapeSpec extends SparkSpec {
   test("entry smoke returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("global plan audit: no cartesian anywhere; NL joins only on bounded sides") {
+    // nested-loop joins are legal ONLY where one side is bounded by
+    // construction (a constant dim, a broadcast query set, a fixed
+    // centroid table) — everything else must be an equi-join. This is
+    // the enforced form of the repo's no-all-pairs design stance.
+    val boundedNlAllowed = Set(
+      "join_cross_region_flags", // deliberate CROSS of two bounded dims
+      "join_range_price_bands", // BETWEEN theta vs constant bands dim
+      "sim_bruteforce_topk", // broadcast bounded query set (the baseline)
+      "sim_ivf_probe") // 16-centroid quantizer broadcast
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"ERROR ${e.getMessage}" }
+      val cart = plan.contains("CartesianProduct")
+      val bnl = plan.contains("BroadcastNestedLoopJoin") &&
+        !boundedNlAllowed(name)
+      if (cart || bnl) Some(s"$name cart=$cart bnl=$bnl") else None
+    }
+    assert(bad.isEmpty, s"unbounded join shapes: $bad")
+  }
 }
