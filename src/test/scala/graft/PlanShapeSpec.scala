@@ -153,6 +153,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    // selective (filtered) dim side and applies it to the fact scan —
+    // rows that can't join are dropped BEFORE the shuffle. At 100 TB
+    // this is the difference between shuffling the whole fact table and
+    // shuffling the ~matching fraction. Thresholds lowered to test scale
+    // (defaults are sized for real tables); broadcast disabled to keep
+    // the shuffle join the filter exists to protect.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n${p.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("global plan audit: no cartesian anywhere; NL joins only on bounded sides") {
     // nested-loop joins are legal ONLY where one side is bounded by
     // construction (a constant dim, a broadcast query set, a fixed
