@@ -326,6 +326,30 @@ object Relational extends QueryModule {
           .orderBy("event_id")
       }),
 
+    // ---- null-safe equality join (<=>): ordinary equi-join keys drop
+    // NULL rows silently (NULL = NULL is UNKNOWN); the null-safe operator
+    // matches them — and still plans as a hash-partitionable equi-join,
+    // NOT a nested loop (nulls hash to one bucket like any other key). ----
+    Q(
+      "join_null_safe_eq",
+      Some("""
+        WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+                   FROM customer),
+        d AS (SELECT seg, CAST(count(*) AS BIGINT) AS seg_n FROM c GROUP BY 1)
+        SELECT c.c_custkey, d.seg_n
+        FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+        ORDER BY c.c_custkey"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        val d = c.groupBy("seg").agg(count(lit(1)).as("seg_n"))
+          .select(col("seg").as("d_seg"), col("seg_n"))
+        c.join(d, col("seg") <=> col("d_seg"))
+          .select(col("c_custkey"), col("seg_n"))
+          .orderBy("c_custkey")
+      }),
+
     // ---- time-series resample + gap fill: regularize irregular events
     // onto an hourly grid (sequence() explode per key — the grid is
     // generated distributed, never collected) and forward-fill holes with

@@ -74,7 +74,24 @@ object SqlSurface extends QueryModule {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
     ORDER BY c.c_custkey"""
 
+  // NOT IN vs NOT EXISTS under three-valued logic: a NULL in the NOT IN
+  // subquery makes every comparison UNKNOWN → zero rows, while NOT EXISTS
+  // is null-agnostic. The classic silent-wrong-answer trap — pinned as an
+  // engine-semantics contract (both engines agree).
+  private val notInNulls = """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey NOT IN
+         (SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders
+                                    WHERE o_totalprice > 400000))
+          FROM orders WHERE o_totalprice > 400000)) AS n_not_in_with_null,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 400000)) AS n_not_exists"""
+
   val all: Seq[Q] = Seq(
+    Q("sql_not_in_null_semantics", Some(notInNulls), sql(notInNulls)),
     Q("sql_cte_window_topk", Some(topSpenders), sql(topSpenders)),
     Q("sql_exists_subquery", Some(existsBigOrder), sql(existsBigOrder)),
     Q("sql_correlated_scalar_subquery", Some(correlatedCount), sql(correlatedCount)),
