@@ -586,6 +586,25 @@ object Relational extends QueryModule {
           .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"))
           .orderBy("o_orderstatus")),
 
+    // re-aggregatable HLL sketches (Apache DataSketches, Spark 4):
+    // unlike approx_count_distinct — whose state dies with the query —
+    // hll_sketch_agg produces a STORED binary sketch that hll_union_agg
+    // merges later. That two-level shape (sketch per partition key, union
+    // across keys/days) is how a 100 TB deployment keeps incremental
+    // distinct counts without ever rescanning history. Sketch bytes are
+    // engine-specific → spec-bounded vs exact, no SQL oracle.
+    Q(
+      "agg_hll_sketch_union",
+      None,
+      (s, dir) => {
+        val perStatus = t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+        perStatus
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long").as("approx_total_custs"))
+      }),
+
     // t-digest-style percentile sketch — approximate by construction →
     // no SQL oracle; SimilaritySpec bounds it against the exact
     // percentile. The scale story: one pass, mergeable sketches,

@@ -24,7 +24,8 @@ class RegistrySpec extends SparkSpec {
     // this list is the explicit allowlist
     val allowed = Set("dedup_minhash_lsh", "dedup_simhash",
       "sim_ann_hyperplane", "sim_ann_multiprobe", "sim_ivf_probe",
-      "agg_approx_count_distinct", "text_rolling_hash",
+      "agg_approx_count_distinct", "agg_hll_sketch_union",
+      "text_rolling_hash",
       "agg_approx_percentile", "sample_bernoulli_seeded")
     assert((noOracle -- allowed).isEmpty,
       s"queries without oracle not on the allowlist: ${noOracle -- allowed}")

@@ -83,6 +83,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("unioned HLL sketches estimate the global distinct within error") {
+    val approx = SparkEntry.queries("agg_hll_sketch_union")(spark, sf)
+      .collect()(0).getLong(0)
+    val exact = Tables.load(spark, sf, "orders")
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    // HLL default lgK=12 → relative error well under 5%; the union of
+    // per-status sketches must estimate the same universe as a direct
+    // global sketch would
+    assert(math.abs(approx - exact) <= math.max(2.0, 0.05 * exact),
+      s"HLL union estimate $approx too far from exact $exact")
+  }
+
   test("seeded sample is deterministic and near the target fraction") {
     val a = SparkEntry.queries("sample_bernoulli_seeded")(spark, sf)
       .collect()(0).getLong(0)
