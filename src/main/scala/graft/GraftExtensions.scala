@@ -22,6 +22,9 @@ object GraftExtensions {
       "ngrams_gen", exprs => NGramsGenerator(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries", graft.functions.MisraGries.build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trigram_shingles",
+      exprs => graft.functions.TrigramShingles(exprs.head), "scala_udf")
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
@@ -51,7 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => NGramsGenerator(exprs(0), exprs(1))),
       ("misra_gries",
         "misra_gries(term, capacity) - heavy-hitters sketch (term, min_count)",
-        graft.functions.MisraGries.build))
+        graft.functions.MisraGries.build),
+      ("trigram_shingles",
+        "trigram_shingles(tokens) - distinct word-trigram shingles",
+        exprs => graft.functions.TrigramShingles(exprs.head)))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner

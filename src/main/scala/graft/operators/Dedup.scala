@@ -32,6 +32,12 @@ object Dedup extends QueryModule {
     * when the vocabulary is small (bigram posting lists over a narrow
     * vocabulary collide on nearly every document pair).
     */
+  /** Reference HOF spelling of trigram shingling — kept as the semantic
+    * specification the native TrigramShingles expression is tested
+    * against (DedupSpec). */
+  private[graft] def shinglesReference(text: Column): Column =
+    shingles(tokens(text))
+
   private def shingles(ts: Column): Column = {
     val n = greatest(size(ts) - 2, lit(0))
     array_distinct(zip_with(
@@ -41,11 +47,18 @@ object Dedup extends QueryModule {
       (ab, c) => concat(ab, lit(" "), c)))
   }
 
-  /** doc_id + distinct trigram-shingle set (docs with ≥1 shingle). */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct trigram-shingle set (docs with ≥1 shingle).
+    * Shingling runs through the native TrigramShingles expression (one
+    * eval per row) — identical semantics to `shingles(tokens(text))`
+    * (asserted in DedupSpec) but without per-element interpreted-lambda
+    * dispatch, which dominated the Jaccard-family queries' runtime. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     t(s, dir, "documents")
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        call_function("trigram_shingles", split(col("text"), " ")).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** DuckDB fragment: (doc_id, sh LIST<VARCHAR>) distinct trigrams. */
   private val docShinglesSql = """

@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(found.except(again).count() == 0 && again.except(found).count() == 0)
   }
 
+  test("native trigram_shingles matches the HOF reference spelling exactly") {
+    GraftExtensions.register(spark)
+    val docs = Tables.load(spark, sf, "documents")
+    val both = docs.select(
+      call_function("trigram_shingles", split(col("text"), " ")).as("native"),
+      Dedup.shinglesReference(col("text")).as("reference"))
+    assert(both.filter(not(col("native") === col("reference"))).count() == 0,
+      "native expression diverged from the HOF specification")
+    // edge rows: empties, short docs, repeated separators
+    import spark.implicits._
+    val edge = Seq("", "one", "one two", "a  b   c", "x y z x y z")
+      .toDF("text")
+    val eq = edge.select(
+      call_function("trigram_shingles", split(col("text"), " ")).as("n"),
+      Dedup.shinglesReference(col("text")).as("r"))
+    assert(eq.filter(not(col("n") === col("r"))).count() == 0)
+  }
+
   test("connected components converge on a long chain (pointer jumping)") {
     import spark.implicits._
     // a 300-node path: plain min-propagation needs ~300 rounds; the
