@@ -121,6 +121,29 @@ object Medallion extends QueryModule {
             Cleaning.normalizePrice(col("price_raw")).as("price"))
           .orderBy("id")),
 
+    // ---- the plain registered-UDF mechanism (SURVEY §2.6: the
+    // reference's literal `udf(fn, ReturnType)` path, app/sliver.py:86-89)
+    // demonstrated once for surface completeness: a Scala closure UDF is
+    // an optimizer black box (no codegen, no pushdown through it), which
+    // is exactly why every OTHER query here uses built-ins or custom
+    // Expressions. Parity with the declarative spelling is what the
+    // oracle checks. ----
+    Q(
+      "scalar_udf_registered",
+      Some(s"""
+        SELECT id,
+               CAST(length(area_raw) - length(replace(area_raw, ',', ''))
+                 AS BIGINT) AS n_commas
+        FROM ($bronzeishSql) ORDER BY id"""),
+      (s, dir) => {
+        val countCommas = udf((raw: String) =>
+          if (raw == null) null
+          else java.lang.Long.valueOf(raw.count(_ == ',').toLong))
+        bronzeish(s, dir)
+          .select(col("id"), countCommas(col("area_raw")).as("n_commas"))
+          .orderBy("id")
+      }),
+
     // ---- P2: null-drop filter (reference realestate_pipeline.py:148).
     // Catalyst pushes the IsNotNull filter BELOW the projection by
     // substituting the parse expressions into it, so the parse chain
