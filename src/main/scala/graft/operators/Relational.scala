@@ -1151,6 +1151,61 @@ object Relational extends QueryModule {
             upper(col("event_type")).as("etype"))
           .orderBy("event_id")),
 
+    // ---- collation-aware grouping (Spark 4 collations): UTF8_LCASE
+    // equality folds case variants in the GROUPING ITSELF — no lower()
+    // normalization column materialized, and the collation survives into
+    // the hash shuffle key. Oracle normalizes explicitly (same result by
+    // definition for case-insensitive collation). ----
+    Q(
+      "scalar_collation_lcase",
+      Some("""
+        WITH mixed AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END AS seg
+          FROM customer)
+        SELECT lower(seg) AS seg, CAST(count(*) AS BIGINT) AS n
+        FROM mixed GROUP BY lower(seg) ORDER BY seg"""),
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""
+          WITH mixed AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg
+            FROM customer)
+          SELECT min(lower(seg)) AS seg, CAST(count(*) AS BIGINT) AS n
+          FROM mixed GROUP BY collate(seg, 'UTF8_LCASE') ORDER BY seg""")
+      }),
+
+    // ---- try_* ANSI companions: under Spark 4's default ANSI mode,
+    // divide-by-zero and integer overflow THROW; the try_ family yields
+    // NULL instead — the per-expression opt-out a pipeline uses for known
+    // dirty spots without disabling ANSI globally. Oracle spells out the
+    // same semantics with CASE (DuckDB divides doubles IEEE-style). ----
+    Q(
+      "scalar_try_functions",
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                    ELSE CAST(floor(l_extendedprice / l_quantity * 10000)
+                              AS BIGINT) END AS ratio_e4,
+               CASE WHEN l_linenumber % 2 = 0 THEN NULL
+                    ELSE CAST(9223372036854775807 AS BIGINT) END AS of_add
+        FROM lineitem ORDER BY 1, 2"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            // floor of the scaled ratio, not round(…, 4): a half-tie at
+            // the 4th decimal flips between engines' decimalizations;
+            // floor on the identical IEEE quotient is engine-stable
+            floor(try_divide(col("l_extendedprice"),
+              when(col("l_linenumber") % 3 === 0, lit(0.0))
+                .otherwise(col("l_quantity"))) * 10000)
+              .cast("long").as("ratio_e4"),
+            try_add(lit(Long.MaxValue),
+              when(col("l_linenumber") % 2 === 0, lit(1L)).otherwise(lit(0L)))
+              .as("of_add"))
+          .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- VARIANT (Spark 4's semi-structured binary type): parse once
     // into the shredded encoding, then typed path extraction — the scale
     // replacement for repeated string re-parsing (get_json_object parses
