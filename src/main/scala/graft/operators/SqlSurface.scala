@@ -99,6 +99,25 @@ object SqlSurface extends QueryModule {
       sql(recursiveHierarchy)),
     Q("sql_lateral_topk", Some(lateralTop1), sql(lateralTop1)),
 
+    // parameterized SQL (named-parameter binding, Spark 3.4+): the
+    // injection-safe text interface a service layer uses — parameters
+    // bind as literals in the parser, never string-spliced. Oracle is
+    // the same query with the literal inlined.
+    Q(
+      "sql_parameterized",
+      Some("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice > 400000
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql(
+          """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+             FROM orders WHERE o_totalprice > :lim
+             GROUP BY 1 ORDER BY 1""",
+          Map("lim" -> 400000))
+      }),
+
     // SQL scalar UDF (CREATE FUNCTION ... RETURN expr, Spark 4): the
     // declarative UDF — inlined by the analyzer into the plan, so it
     // keeps codegen and pushdown (vs a JVM-closure UDF, which is an

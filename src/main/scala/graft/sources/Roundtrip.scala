@@ -108,6 +108,27 @@ object Roundtrip extends QueryModule {
           .orderBy("status")
       }),
 
+    // ---- XML roundtrip (Spark 4 native XML source): write rowTag
+    // elements, read back with schema inference, verify by aggregate —
+    // the remaining ingestion format next to JSON/CSV/parquet/text. ----
+    Q(
+      "xml_roundtrip_nation",
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               min(n_name) AS first_name
+        FROM nation"""),
+      (s, dir) => {
+        val out = scratch("xml_nation")
+        t(s, dir, "nation")
+          .write.mode(SaveMode.Overwrite)
+          .option("rootTag", "nations").option("rowTag", "nation").xml(out)
+        s.read.option("rowTag", "nation").xml(out)
+          .agg(count(lit(1)).as("n"),
+            sum("n_nationkey").as("key_sum"),
+            min("n_name").as("first_name"))
+      }),
+
     // ---- malformed-record handling: every 5th line of a JSON-lines file
     // is corrupted (truncated object); the default PERMISSIVE parse turns
     // each bad line into an all-null row instead of failing the job —
