@@ -108,6 +108,28 @@ object Roundtrip extends QueryModule {
           .orderBy("status")
       }),
 
+    // ---- ORC roundtrip: the second columnar format next to parquet
+    // (predicate pushdown + column pruning work the same way; ORC is
+    // what Hive-lineage deployments bring). Avro is NOT registered —
+    // spark-avro is an external module absent from this build. ----
+    Q(
+      "orc_roundtrip_supplier",
+      Some("""
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM supplier GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val out = scratch("orc_supplier")
+        t(s, dir, "supplier").write.mode(SaveMode.Overwrite).orc(out)
+        s.read.orc(out)
+          .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("s_acctbal") * 100).cast("long")).as("bal_cents"))
+          .orderBy("nationkey")
+      }),
+
     // ---- XML roundtrip (Spark 4 native XML source): write rowTag
     // elements, read back with schema inference, verify by aggregate —
     // the remaining ingestion format next to JSON/CSV/parquet/text. ----
