@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, QueryModule, Tables}
@@ -395,6 +395,61 @@ object Relational extends QueryModule {
             date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
             last(col("cents"), ignoreNulls = true).over(w).as("cents_ff"))
           .orderBy("event_type", "hour")
+      }),
+
+    // ---- binned interval join: point-in-interval matching at scale.
+    // OSS Spark plans a non-equi BETWEEN join as a nested loop — fine
+    // for a constant band table (join_range_price_bands), fatal when the
+    // interval side GROWS with the data. The scalable shape: quantize
+    // intervals to fixed-width bins, explode each interval over the bins
+    // it covers (bounded fan-out when bin width ~ interval width), then
+    // an EQUI-join on (key, bin) + exact BETWEEN re-filter + dedup. Here:
+    // per-type hourly maintenance windows [qh, qh+45min) derived from the
+    // data, events matched into covering windows; 30-minute bins. ----
+    Q(
+      "join_range_binned_intervals",
+      Some("""
+        WITH win AS (
+          SELECT DISTINCT event_type,
+                 time_bucket(INTERVAL '1 hour', ts) AS lo,
+                 time_bucket(INTERVAL '1 hour', ts) + INTERVAL '45 minutes'
+                   AS hi
+          FROM events),
+        hits AS (
+          SELECT e.event_id, w.lo
+          FROM events e JOIN win w
+            ON e.event_type = w.event_type
+           AND e.ts >= w.lo AND e.ts < w.hi)
+        SELECT event_id, CAST(count(*) AS BIGINT) AS n_windows,
+               strftime(min(lo), '%Y-%m-%d %H:%M') AS first_window
+        FROM hits GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val win = ev.select(col("event_type"),
+          date_trunc("hour", col("ts")).as("lo"))
+          .distinct()
+          .withColumn("hi", col("lo") + expr("interval 45 minutes"))
+        val binSec = 1800L // 30-min bins: each 45-min window covers 2-3
+        val binOf = (c: Column) => floor(unix_timestamp(c) / binSec)
+        val winBinned = win.select(col("event_type").as("w_type"),
+          col("lo"), col("hi"),
+          explode(sequence(binOf(col("lo")),
+            // hi is exclusive: last covered bin is the one holding hi-1s
+            binOf(col("hi") - expr("interval 1 second")))).as("w_bin"))
+        val evBinned = ev.select(col("event_id"), col("event_type"),
+          col("ts"), binOf(col("ts")).as("bin"))
+        evBinned
+          .join(winBinned,
+            col("event_type") === col("w_type") && col("bin") === col("w_bin"))
+          // exact re-filter: the bin match over-approximates the interval
+          .filter(col("ts") >= col("lo") && col("ts") < col("hi"))
+          // an event can hit one window through several bins → dedup on
+          // the PAIR before aggregating
+          .select(col("event_id"), col("lo")).distinct()
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_windows"),
+            date_format(min(col("lo")), "yyyy-MM-dd HH:mm").as("first_window"))
+          .orderBy("event_id")
       }),
 
     // ---- skew-mitigation salted join: event_type has ~5 distinct values,
