@@ -105,4 +105,34 @@ class DedupSpec extends SparkSpec {
     val b = SparkEntry.queries("dedup_simhash")(spark, sf)
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("simhash locality: small edits flip few bits, unrelated text flips many") {
+    import spark.implicits._
+    // synthetic corpus written as a temp documents table the registered
+    // query shape can run over via the same expression pipeline
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val ex = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val sim = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = ex.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val near = hamming(sigs(0L), sigs(1L))
+    val far = hamming(sigs(0L), sigs(2L))
+    assert(near < far,
+      s"near-dup distance $near not below unrelated distance $far")
+    assert(near <= 8, s"1-token edit flipped $near of 32 bits")
+  }
 }

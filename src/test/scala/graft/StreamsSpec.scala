@@ -104,6 +104,57 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark drops events later than the allowed lateness") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpointForTest("late_drop"))
+      .start()
+    try {
+      // batch 1: events in [10:00,10:10) and one at 10:31 that advances
+      // the watermark to 10:26 when batch 2 is planned
+      in.addData((ts(2), "a"), (ts(5), "a"), (ts(31), "b"))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-closed [10:00,10:10)
+      // window — watermark 10:26 > window end 10:10, so it must be
+      // dropped, not resurrect the finalized window
+      in.addData((ts(7), "a"), (ts(35), "b"))
+      q.processAllAvailable()
+      // batch 3: push the watermark far enough to close [10:30,10:40)
+      in.addData((ts(59), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_drop")
+      .select(date_format(col("window.start"), "HH:mm").as("w"),
+        col("k"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // the 10:00 window finalized with the ON-TIME count only
+    assert(rows(("10:00", "a")) == 2L,
+      s"late event resurrected or inflated a closed window: $rows")
+    assert(rows(("10:30", "b")) == 2L, s"on-time events missing: $rows")
+  }
+
+  private def freshCheckpointForTest(name: String): String = {
+    val d = new java.io.File(s"${Tables.scratchRoot}/ckpt_spec_$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (d.exists()) rm(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   test("foreachBatch sink writes each micro-batch transactionally") {
     val base = Paths.get("/root/repo/target/scratch/foreachbatch")
     if (Files.exists(base)) {
