@@ -52,6 +52,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("custom as-of join equals the window-based reference on random timelines") {
+    import org.apache.spark.sql.expressions.Window
+    // randomized keyed timelines with duplicate timestamps, keys missing
+    // from either side, and skewed key sizes — the edge surface of the
+    // hand-written merge in AsofJoinExec
+    for (trial <- 1 to 5) {
+      val leftRows = sample(Gen.listOfN(120,
+        Gen.zip(Gen.oneOf("k1", "k2", "k3", "k4", "konlyleft"),
+          Gen.chooseNum(0L, 40L))), 500L + trial)
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      // unique (key, time) on the right: which of two equal-time right
+      // rows "wins" is tie-order-dependent in any as-of formulation, so
+      // the well-defined domain (and the registered query's hourly-agg
+      // right side) has no right-side time ties
+      val rightRows = sample(Gen.listOfN(60,
+        Gen.zip(Gen.oneOf("k1", "k2", "k3", "konlyright"),
+          Gen.chooseNum(0L, 40L))), 600L + trial)
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong + 1000L) }
+        .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toList
+      val left = leftRows.toDF("k", "t", "lid")
+      val right = rightRows.toDF("rk", "rt", "rid")
+
+      val custom = graft.plans.AsofJoin
+        .leftOuter(left, right, ("k", "rk"), ("t", "rt"))
+        .select(col("lid"), col("rid"))
+
+      // reference: union-merge + running last(ignoreNulls); on duplicate
+      // right times the LATER rid wins in both implementations when the
+      // union orders right rows by (rt, rid)
+      val l = left.select(col("k").as("uk"), col("t").as("ut"),
+        lit(1).as("is_left"), col("lid"),
+        lit(null).cast("long").as("rid"), lit(null).cast("long").as("ordr"))
+      val r = right.select(col("rk").as("uk"), col("rt").as("ut"),
+        lit(0).as("is_left"), lit(null).cast("long").as("lid"),
+        col("rid"), col("rid").as("ordr"))
+      val w = Window.partitionBy("uk")
+        .orderBy(col("ut"), col("is_left"), col("ordr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val reference = l.unionByName(r)
+        .withColumn("asof_rid", last(col("rid"), ignoreNulls = true).over(w))
+        .filter(col("lid").isNotNull)
+        .select(col("lid"), col("asof_rid").as("rid"))
+
+      val diff = custom.except(reference).count() +
+        reference.except(custom).count()
+      assert(diff == 0,
+        s"trial $trial: custom as-of diverged from window reference")
+    }
+  }
+
   test("partitioned parquet write -> read is an identity on rows") {
     for (trial <- 1 to 3) {
       val rows = sample(Gen.listOfN(20,
