@@ -309,6 +309,36 @@ object Medallion extends QueryModule {
             area.as("area"),
             (col("o_totalprice") / nullif(area, lit(0.0))).as("price_per_m2"))
           .orderBy("id")
-      })
+      }),
+
+    // ---- the ML-prep step (reference realestate_pipeline.py:217-224:
+    // sklearn 80/20 random_state split after toPandas) re-expressed
+    // engine-side: a DETERMINISTIC hash split — reproducible across runs
+    // and cluster sizes (a seeded randomSplit reshuffles with
+    // partitioning; a hash of the row key never does), computed in the
+    // same distributed pass that assembles the feature columns. The
+    // referee for the 80/20 intent is the split-fraction check; the
+    // assignment itself is exact and oracled. ----
+    Q(
+      "gold_train_test_split",
+      Some("""
+        SELECT CASE WHEN (o_orderkey * 1000003) % 4294967296 % 5 = 0
+                    THEN 'test' ELSE 'train' END AS split,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS price_cents
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          // explicit multiplicative hash, not hash(): Spark's Murmur3 and
+          // DuckDB's hash() disagree, and the split must be reproducible
+          // by ANY engine reading the table
+          .withColumn("split",
+            when(col("o_orderkey") * 1000003L % 4294967296L % 5 === 0,
+              lit("test")).otherwise(lit("train")))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+          .orderBy("split"))
   )
 }
