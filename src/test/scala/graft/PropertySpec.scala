@@ -102,6 +102,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("misra-gries on random streams: exact when capacity covers, bounded when not") {
+    GraftExtensions.register(spark)
+    for (trial <- 1 to 3) {
+      val terms = sample(Gen.listOfN(800,
+        Gen.frequency(
+          5 -> Gen.const("heavy"),
+          3 -> Gen.oneOf("warm1", "warm2"),
+          2 -> Gen.chooseNum(0, 60).map(i => s"cold$i"))), 700L + trial)
+      val df = terms.toDF("term").repartition(3)
+      val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // exact regime
+      val wide = df.agg(call_function("misra_gries", col("term"), lit(128))
+          .as("sk"))
+        .select(explode(col("sk")).as("hh"))
+        .select("hh.term", "hh.min_count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(wide == exact, s"trial $trial: wide sketch not exact")
+      // lossy regime: guarantees only
+      val n = terms.size
+      val cap = 6
+      val tight = df.agg(call_function("misra_gries", col("term"), lit(cap))
+          .as("sk"))
+        .select(explode(col("sk")).as("hh"))
+        .select("hh.term", "hh.min_count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(tight.size <= cap)
+      tight.foreach { case (t, c) =>
+        assert(c <= exact(t), s"trial $trial: $t overcounted $c > ${exact(t)}")
+      }
+      // every term with frequency > N/(cap+1) must be present
+      exact.filter(_._2 > n / (cap + 1)).keys.foreach { t =>
+        assert(tight.contains(t), s"trial $trial: heavy hitter $t evicted")
+      }
+    }
+  }
+
+  test("trigram_shingles equals the HOF reference on random token arrays") {
+    GraftExtensions.register(spark)
+    val token: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf("中文", "Ω", "a b")) // multi-byte + embedded space
+    for (trial <- 1 to 3) {
+      val texts = sample(Gen.listOfN(60, Gen.listOf(token).map(_.mkString(" "))),
+        800L + trial)
+      val df = texts.toDF("text")
+      val diff = df.select(
+        call_function("trigram_shingles", split(col("text"), " ")).as("n"),
+        graft.operators.Dedup.shinglesReference(col("text")).as("r"))
+        .filter(not(col("n") === col("r"))).count()
+      assert(diff == 0, s"trial $trial: native/HOF shingle mismatch")
+    }
+  }
+
   test("partitioned parquet write -> read is an identity on rows") {
     for (trial <- 1 to 3) {
       val rows = sample(Gen.listOfN(20,
