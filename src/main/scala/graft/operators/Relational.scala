@@ -685,6 +685,22 @@ object Relational extends QueryModule {
           .sample(withReplacement = false, fraction = 0.1, seed = 42L)
           .agg(count(lit(1)).as("n_sampled"))),
 
+    // stratified sampling (sampleBy): per-stratum fractions — the
+    // class-rebalancing primitive of training-data curation (downsample
+    // the majority class, keep the rare one). Seeded rng over partition
+    // layout → no SQL oracle; SimilaritySpec bounds each stratum's
+    // realized fraction.
+    Q(
+      "sample_stratified_by_status",
+      None,
+      (s, dir) =>
+        t(s, dir, "orders")
+          .stat.sampleBy("o_orderstatus",
+            Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5), seed = 42L)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("o_orderstatus")),
+
     // ---- window family ----
     Q(
       "window_rank_orders_per_customer",

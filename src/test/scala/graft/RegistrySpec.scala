@@ -26,7 +26,8 @@ class RegistrySpec extends SparkSpec {
       "sim_ann_hyperplane", "sim_ann_multiprobe", "sim_ivf_probe",
       "agg_approx_count_distinct", "agg_hll_sketch_union",
       "text_rolling_hash",
-      "agg_approx_percentile", "sample_bernoulli_seeded")
+      "agg_approx_percentile", "sample_bernoulli_seeded",
+      "sample_stratified_by_status")
     assert((noOracle -- allowed).isEmpty,
       s"queries without oracle not on the allowlist: ${noOracle -- allowed}")
   }

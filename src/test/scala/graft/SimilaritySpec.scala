@@ -106,6 +106,25 @@ class SimilaritySpec extends SparkSpec {
     assert(frac > 0.07 && frac < 0.13, s"sampled fraction $frac far from 0.1")
   }
 
+  test("stratified sample holds each stratum near its target fraction") {
+    val fractions = Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5)
+    val sampled = SparkEntry.queries("sample_stratified_by_status")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // determinism
+    val again = SparkEntry.queries("sample_stratified_by_status")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled == again, "same seed must sample identically")
+    fractions.foreach { case (k, f) =>
+      val got = sampled.getOrElse(k, 0L).toDouble / totals(k)
+      // Bernoulli per stratum: allow generous band at small strata
+      assert(math.abs(got - f) <= math.max(0.1, 3 * math.sqrt(f / totals(k))),
+        s"stratum $k realized $got vs target $f (n=${totals(k)})")
+    }
+  }
+
   test("centroid aggregator matches per-dimension avg") {
     val viaUdaf = SparkEntry.queries("emb_centroid_by_label")(spark, sf)
     val viaSql = Tables.load(spark, sf, "embeddings")
