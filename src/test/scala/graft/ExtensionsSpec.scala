@@ -19,6 +19,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](3).length == 2)
   }
 
+  test("round-3 injections resolve from SQL: shingles, heavy hitters") {
+    val row = spark.sql("""
+      SELECT trigram_shingles(array('a', 'b', 'c', 'd')) AS sh
+    """).collect()(0)
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    val hh = spark.sql("""
+      SELECT misra_gries(t, 4) AS sk
+      FROM VALUES ('x'), ('x'), ('y') AS v(t)
+    """).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("injected functions appear in the catalog with descriptions") {
     val desc = spark.sql("DESCRIBE FUNCTION rolling_hash")
       .collect().map(_.getString(0)).mkString("\n")
