@@ -183,6 +183,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("window and sort-merge-join results are exact under forced spills") {
+    // at 100 TB these operators WILL spill; prove correctness doesn't
+    // depend on buffers fitting in memory by forcing row-level spill
+    // thresholds and comparing against in-memory results
+    val confs = Seq(
+      "spark.sql.windowExec.buffer.spill.threshold" -> "16",
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "16",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    def run() = {
+      val w = SparkEntry.queries("window_running_sum_spend")(spark, sf)
+        .collect().toSeq
+      val j = SparkEntry.queries("join_inner_order_lines")(spark, sf)
+        .collect().toSeq
+      (w, j)
+    }
+    val (wMem, jMem) = run()
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val (wSpill, jSpill) =
+      try run()
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    assert(wMem == wSpill, "window results changed under forced spill")
+    assert(jMem == jSpill, "join results changed under forced spill")
+  }
+
   test("global plan audit: no cartesian anywhere; NL joins only on bounded sides") {
     // nested-loop joins are legal ONLY where one side is bounded by
     // construction (a constant dim, a broadcast query set, a fixed
