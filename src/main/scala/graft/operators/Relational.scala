@@ -1277,6 +1277,78 @@ object Relational extends QueryModule {
               .as("of_add"))
           .orderBy("l_orderkey", "l_linenumber")),
 
+    // scalar bit-manipulation sampler (the hash/bitmap toolbox: shifts,
+    // masks, popcount — what sketch and bucketing code is made of)
+    Q(
+      "scalar_bitwise_functions",
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+               CAST(o_orderkey >> 4 AS BIGINT) AS shifted,
+               CAST((o_orderkey << 2) & 65535 AS BIGINT) AS shifted_masked,
+               CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+               CAST(xor(o_orderkey, 12345) AS BIGINT) AS xored
+        FROM orders ORDER BY o_orderkey"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderkey").bitwiseAND(255L).as("low_byte"),
+            shiftright(col("o_orderkey"), 4).cast("long").as("shifted"),
+            shiftleft(col("o_orderkey"), 2).bitwiseAND(65535L).cast("long")
+              .as("shifted_masked"),
+            bit_count(col("o_orderkey")).cast("long").as("popcount"),
+            col("o_orderkey").bitwiseXOR(12345L).as("xored"))
+          .orderBy("o_orderkey")),
+
+    // conditional-expression sampler: the null-handling algebra
+    // (coalesce/nullif/nvl2/greatest/least) every silver layer leans on
+    Q(
+      "scalar_conditional_functions",
+      Some("""
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg,
+               CAST(greatest(c_nationkey, 12) AS BIGINT) AS floor12,
+               CAST(least(c_nationkey, 12) AS BIGINT) AS cap12,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM customer ORDER BY c_custkey"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+              lit("REDACTED")).as("seg"),
+            greatest(col("c_nationkey"), lit(12)).cast("long").as("floor12"),
+            least(col("c_nationkey"), lit(12)).cast("long").as("cap12"),
+            when(col("c_acctbal") < 0, "debt")
+              .when(col("c_acctbal") < 5000, "mid")
+              .otherwise("high").as("band"))
+          .orderBy("c_custkey")),
+
+    // interval arithmetic sampler: duration math on event timestamps
+    Q(
+      "scalar_interval_arithmetic",
+      Some("""
+        SELECT event_id,
+               strftime(ts + INTERVAL '90 minutes', '%Y-%m-%d %H:%M:%S')
+                 AS plus90m,
+               strftime(ts - INTERVAL '1 day', '%Y-%m-%d %H:%M:%S')
+                 AS minus1d,
+               CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)
+                 AS BIGINT) AS minutes_since_epoch0
+        FROM events ORDER BY event_id"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            date_format(col("ts") + expr("interval 90 minutes"),
+              "yyyy-MM-dd HH:mm:ss").as("plus90m"),
+            date_format(col("ts") - expr("interval 1 day"),
+              "yyyy-MM-dd HH:mm:ss").as("minus1d"),
+            ((unix_timestamp(col("ts")) -
+              unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp")))
+              / 60).cast("long").as("minutes_since_epoch0"))
+          .orderBy("event_id")),
+
     // ---- VARIANT (Spark 4's semi-structured binary type): parse once
     // into the shredded encoding, then typed path extraction — the scale
     // replacement for repeated string re-parsing (get_json_object parses
