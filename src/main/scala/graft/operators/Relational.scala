@@ -1277,6 +1277,71 @@ object Relational extends QueryModule {
               .as("of_add"))
           .orderBy("l_orderkey", "l_linenumber")),
 
+    // argmax/argmin aggregates (max_by/min_by): "the row attribute AT the
+    // extremum" without a self-join or window — one hash aggregate
+    Q(
+      "agg_max_by_min_by",
+      Some("""
+        SELECT o_orderstatus,
+               CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT)
+                 AS priciest_order,
+               CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT)
+                 AS cheapest_order
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            max_by(col("o_orderkey"), col("o_totalprice"))
+              .as("priciest_order"),
+            min_by(col("o_orderkey"), col("o_totalprice"))
+              .as("cheapest_order"))
+          .orderBy("o_orderstatus")),
+
+    // gap-based sessionization via window composition (lag → gap flag →
+    // running sum as session id): the manual spelling of session_window,
+    // needed whenever the gap rule is custom (per-user idle threshold,
+    // activity-type resets). Two window passes over the same keyed sort —
+    // ONE shuffle, the second window reuses the partitioning/order.
+    Q(
+      "window_sessionize_by_gap",
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM marked)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts") > col("prev_ts") + expr("interval 30 minutes"), 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(running).cast("long"))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"))
+          .orderBy("user_id", "session_id")
+      }),
+
     // scalar bit-manipulation sampler (the hash/bitmap toolbox: shifts,
     // masks, popcount — what sketch and bucketing code is made of)
     Q(
