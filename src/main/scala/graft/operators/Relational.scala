@@ -1277,6 +1277,48 @@ object Relational extends QueryModule {
               .as("of_add"))
           .orderBy("l_orderkey", "l_linenumber")),
 
+    // regexp_extract_all: one-to-many extraction (all matches, not just
+    // the first) — exploded and counted so the oracle is order-free
+    Q(
+      "scalar_regexp_extract_all",
+      Some("""
+        SELECT num, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(props, '[0-9]+')) AS num
+              FROM events)
+        GROUP BY 1 ORDER BY n DESC, num LIMIT 20"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(explode(expr("regexp_extract_all(props, '[0-9]+', 0)"))
+            .as("num"))
+          .groupBy("num").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("num"))
+          .limit(20)),
+
+    // pivot with MULTIPLE aggregates per cell (count + integer-cents sum
+    // per pivoted status) — the wide-report shape BI layers generate
+    Q(
+      "pivot_multi_agg",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS f_cents,
+               CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS o_cents
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(round(col("o_totalprice") * 100).cast("long")),
+              lit(0L)).as("cents"))
+          .select(col("o_orderpriority"),
+            col("F_n").as("f_n"), col("F_cents").as("f_cents"),
+            col("O_n").as("o_n"), col("O_cents").as("o_cents"))
+          .orderBy("o_orderpriority")),
+
     // argmax/argmin aggregates (max_by/min_by): "the row attribute AT the
     // extremum" without a self-join or window — one hash aggregate
     Q(
