@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.TextAnalysis,
+    operators.Curation,
     operators.Multimodal,
     operators.Typed,
     sources.Roundtrip,

@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, QueryModule, Tables}
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond per-document text analysis: eval-set decontamination, corpus-wide
+  * paragraph dedup, token-budget sequence packing, deterministic epoch
+  * shuffling, PII redaction, unigram-LM scoring, and reproducible
+  * hash-based sampling. Everything is expression-pipeline + equi-join /
+  * window — no UDFs, no cartesian products, no driver-side loops.
+  *
+  * Scale notes are inline per query; the common theme: candidate
+  * generation always goes through an inverted-index equi-join or a
+  * hash-partitioned window, never all-pairs, and the only broadcast sides
+  * are ones that are genuinely bounded (the eval split, the vocabulary).
+  */
+object Curation extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), x => x =!= lit(""))
+
+  /** Word trigrams (space-joined) per document, DISTINCT within a doc —
+    * the native TrigramShingles expression (one eval per row; the HOF
+    * spelling dispatches interpreted lambdas per element). n=3 on this
+    * synthetic ~31-word vocab plays the role 8–13-grams play on natural
+    * text (same mechanism, observable overlap signal).
+    */
+  private def docGrams(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(call_function("trigram_shingles",
+          split(col("text"), " "))).as("g"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Eval-set decontamination: flag training docs sharing word
+    // n-grams with a held-out eval split (doc_id % 97 == 0 stands in for
+    // the benchmark set). Scale: the eval side is bounded (benchmarks are
+    // small) → broadcast; the train side streams through an equi-join on
+    // the gram — an inverted index, never doc×doc. At 100 TB the gram
+    // strings would be xxhash64-ed to 8-byte keys before the join; kept
+    // as strings here so the DuckDB oracle can share the key space. ----
+    Q(
+      "curate_decontam_ngram_overlap",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, ts FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents) WHERE len(ts) >= 3),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS g
+          FROM toks, unnest(range(len(ts) - 2)) AS t(i)),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        tr AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+        hits AS (SELECT tr.doc_id, count(*) AS n_shared
+                 FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
+        SELECT h.doc_id, CAST(h.n_shared AS BIGINT) AS n_shared,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               round(h.n_shared / t.n_grams, 6) AS overlap_ratio
+        FROM hits h JOIN tot t USING (doc_id) ORDER BY doc_id"""),
+      (s, dir) => {
+        val grams = docGrams(s, dir)
+        val ev = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+        val tr = grams.filter(col("doc_id") % 97 =!= 0)
+        val tot = tr.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        tr.join(broadcast(ev), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .join(tot, "doc_id")
+          .select(col("doc_id"), col("n_shared"), col("n_grams"),
+            round(col("n_shared") / col("n_grams"), 6).as("overlap_ratio"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Corpus-wide paragraph dedup (C4-style): split every doc into
+    // 4-token chunks, keep only the globally-first occurrence of each
+    // chunk (by doc_id, then position), reassemble the surviving text.
+    // Scale: one shuffle hash-partitioned by chunk content for the
+    // keep-first window, one by doc_id for reassembly — both scale-free
+    // in key width (at 100 TB the chunk would be replaced by its
+    // 16-byte digest in the window key). ----
+    Q(
+      "curate_paragraph_dedup",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, ts FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents) WHERE len(ts) > 0),
+        ch AS (
+          SELECT doc_id, i AS idx,
+                 array_to_string(ts[i*4+1:i*4+4], ' ') AS chunk
+          FROM toks, unnest(range((len(ts) + 3) // 4)) AS t(i)),
+        mk AS (
+          SELECT *, row_number() OVER
+                   (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS keep
+          FROM ch)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep)
+                 AS dedup_text
+        FROM mk GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) > 0)
+        val chunks = toks.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ((size(col("ts")) + 3) / 4).cast("int") - 1),
+            i => array_join(slice(col("ts"), i * 4 + 1, lit(4)), " "))))
+          .toDF("doc_id", "idx", "chunk")
+        val keep = row_number().over(
+          Window.partitionBy("chunk").orderBy("doc_id", "idx")) === 1
+        chunks.withColumn("keep", keep)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            collect_list(when(col("keep"),
+              struct(col("idx"), col("chunk")))).as("kept"))
+          .select(col("doc_id"), col("n_chunks"),
+            size(col("kept")).cast("long").as("n_kept"),
+            when(size(col("kept")) === 0, lit(null).cast("string"))
+              .otherwise(array_join(
+                transform(array_sort(col("kept")), x => x.getField("chunk")),
+                " ")).as("dedup_text"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Sequence packing: concat-then-chunk docs into fixed 512-token
+    // training bins, per language, in deterministic doc_id order. Each
+    // doc's bin and intra-bin offset come from the running token count
+    // before it. Scale: a per-lang window cumsum = range-partition by
+    // (lang, doc_id) then a single sorted pass — no global sort, no
+    // driver state; exactly how you'd lay out packed sequences for a
+    // tokenizer fleet. ----
+    Q(
+      "curate_pack_sequences",
+      Some("""
+        WITH nt AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        pf AS (
+          SELECT doc_id, lang, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS prefix
+          FROM nt)
+        SELECT doc_id, lang, n_tokens,
+               CAST(prefix // 512 AS BIGINT) AS bin_id,
+               CAST(prefix % 512 AS BIGINT) AS bin_offset
+        FROM pf ORDER BY doc_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("prefix", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            floor(col("prefix") / 512).as("bin_id"),
+            (col("prefix") % 512).as("bin_offset"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Deterministic epoch shuffle: reproducible global training
+    // order per epoch via md5(doc_id, epoch-seed) sort keys. Scale: this
+    // IS a global sort (range-partitioned TeraSort shape) — the standard
+    // way to materialize a shuffled epoch without driver-side RNG state;
+    // changing the seed string reshuffles without touching the data. ----
+    Q(
+      "curate_epoch_shuffle",
+      Some("""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY
+                 md5(doc_id::VARCHAR || ':e1'), doc_id) AS BIGINT)
+                 AS pos_epoch1,
+               CAST(row_number() OVER (ORDER BY
+                 md5(doc_id::VARCHAR || ':e2'), doc_id) AS BIGINT)
+                 AS pos_epoch2
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) => {
+        def pos(seed: String): Column =
+          row_number().over(Window.orderBy(
+            md5(concat(col("doc_id").cast("string"), lit(seed))),
+            col("doc_id"))).cast("long")
+        docs(s, dir).select(col("doc_id"),
+          pos(":e1").as("pos_epoch1"), pos(":e2").as("pos_epoch2"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- PII redaction: inject synthetic identifiers (the corpus has
+    // none), then strip emails and digit runs with counted replacements;
+    // the md5 digest pins the exact redacted output. Scale: pure per-row
+    // regex in whole-stage codegen — no shuffle at all before the final
+    // ORDER BY. DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all. ----
+    Q(
+      "curate_pii_redact",
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR ||
+                 '@example.com or code-' || (doc_id*7)::VARCHAR AS t
+          FROM documents),
+        r1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t,
+                   '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+                 regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+',
+                   '<EMAIL>', 'g') AS t1
+          FROM aug)
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(t1, '[0-9]+')) AS BIGINT)
+                 AS n_numbers,
+               md5(regexp_replace(t1, '[0-9]+', '<NUM>', 'g'))
+                 AS redacted_digest
+        FROM r1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val aug = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or code-"),
+          (col("doc_id") * 7).cast("string"))
+        docs(s, dir)
+          .select(col("doc_id"),
+            regexp_count(aug, lit(emailPat)).cast("long").as("n_emails"),
+            regexp_replace(aug, emailPat, "<EMAIL>").as("t1"))
+          .select(col("doc_id"), col("n_emails"),
+            regexp_count(col("t1"), lit("[0-9]+")).cast("long")
+              .as("n_numbers"),
+            md5(regexp_replace(col("t1"), "[0-9]+", "<NUM>"))
+              .as("redacted_digest"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Unigram-LM document scoring (KenLM-style quality signal with a
+    // unigram stand-in): corpus token frequencies → per-token log-prob →
+    // per-doc sum. Integer-floored micros keep the sum order-independent
+    // (float += is not associative; BIGINT + is). Scale: vocabulary is
+    // bounded (≪ corpus) → broadcast back to the exploded token stream;
+    // one shuffle to build the vocab, one to re-aggregate per doc. ----
+    Q(
+      "curate_unigram_logprob",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        sc AS (
+          SELECT tok, CAST(floor(ln(cnt / sum(cnt) OVER ()) * 1000000)
+                 AS BIGINT) AS lp
+          FROM vocab)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(s.lp) AS BIGINT) AS logprob_micro
+        FROM tok t JOIN sc s USING (tok)
+        GROUP BY t.doc_id ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val scored = vocab
+          .withColumn("total", sum("cnt").over(Window.partitionBy()))
+          .select(col("tok"),
+            floor(log(col("cnt").cast("double") / col("total")) * 1e6)
+              .cast("long").as("lp"))
+        tok.join(broadcast(scored), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("lp").as("logprob_micro"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Domain-mixture rebalancing: draw a 200-doc training mix at
+    // target per-language proportions (en .30 / de .20 / fr .20 / es .15 /
+    // zh .15 — the corpus itself is ~42% en), choosing WITHIN each
+    // language by deterministic md5 order. Scale: per-lang window rank —
+    // each language shard ranks independently; for unbounded shards you'd
+    // flip to rate-based hash sampling (sample_hash_deterministic) and
+    // keep this rank form for bounded "take exactly n_l" draws. ----
+    Q(
+      "curate_domain_mixture",
+      Some("""
+        WITH quota AS (
+          SELECT * FROM (VALUES ('en', 60), ('de', 40), ('fr', 40),
+                                ('es', 30), ('zh', 30)) q(lang, n_take)),
+        rk AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY
+                   md5(doc_id::VARCHAR || ':mix'), doc_id) AS mix_rank
+          FROM documents)
+        SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank
+        FROM rk r JOIN quota q ON r.lang = q.lang
+        WHERE r.mix_rank <= q.n_take
+        ORDER BY r.doc_id"""),
+      (s, dir) => {
+        val quota = s.createDataFrame(Seq(
+          ("en", 60), ("de", 40), ("fr", 40), ("es", 30), ("zh", 30)))
+          .toDF("lang", "n_take")
+        val rk = docs(s, dir).select(col("doc_id"), col("lang"),
+          row_number().over(Window.partitionBy("lang").orderBy(
+            md5(concat(col("doc_id").cast("string"), lit(":mix"))),
+            col("doc_id"))).as("mix_rank"))
+        rk.join(broadcast(quota), "lang")
+          .filter(col("mix_rank") <= col("n_take"))
+          .select(col("doc_id"), col("lang"),
+            col("mix_rank").cast("long").as("mix_rank"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Weighted sampling (A-Res, Efraimidis–Spirakis): top-5 docs per
+    // language by key u^(1/w) with w = n_chars — longer docs
+    // proportionally likelier — made fully deterministic by deriving u
+    // from a Knuth multiplicative hash of doc_id (pure integer
+    // arithmetic, engine-portable). The key is compared as
+    // floor(ln(u)/w · 1e9) BIGINT with a doc_id tiebreak, so both
+    // engines order identically (float keys near-tie-proof via the
+    // integer floor + tiebreak). Scale: per-group window top-k =
+    // WindowGroupLimit pushdown; the reservoir form of the same
+    // algorithm is the streaming analogue. ----
+    Q(
+      "sample_weighted_ares",
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(floor(ln(((doc_id * 2654435761) % 4294967296 + 1)
+                     / 4294967297.0) / n_chars * 1000000000) AS BIGINT)
+                   AS wkey
+          FROM documents),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY lang
+                   ORDER BY wkey DESC, doc_id) AS rk
+          FROM keyed)
+        SELECT doc_id, lang, n_chars, wkey
+        FROM rk WHERE rk <= 5 ORDER BY lang, wkey DESC, doc_id"""),
+      (s, dir) => {
+        val u = ((col("doc_id") * 2654435761L) % 4294967296L + 1) /
+          lit(4294967297.0)
+        val wkey = floor(log(u) / col("n_chars") * 1e9).cast("long")
+        val keyed = docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            wkey.as("wkey"))
+        keyed
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("wkey").desc,
+              col("doc_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("wkey"))
+          .orderBy(col("lang"), col("wkey").desc, col("doc_id"))
+      }),
+
+    // ---- Reproducible hash sampling: the oracled companion to the
+    // seed-dependent sample_bernoulli_seeded — both engines agree on
+    // md5, so the ~20% subset (first digest byte < 0x33) is exact and
+    // stable across runs, engines, and partitionings. Scale: embarrassingly
+    // parallel filter, no shuffle; the property that makes it a pipeline
+    // primitive is that membership is a pure function of the key. ----
+    Q(
+      "sample_hash_deterministic",
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(doc_id::VARCHAR || ':seed42'), 1, 2) < '33'
+        ORDER BY doc_id"""),
+      (s, dir) =>
+        docs(s, dir)
+          .filter(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":seed42"))), 1, 2) < "33")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")))
+}
