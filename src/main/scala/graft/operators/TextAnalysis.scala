@@ -332,12 +332,29 @@ object TextAnalysis extends QueryModule {
           .orderBy("doc_id", "tok")),
 
     // custom Catalyst Expression with codegen (U1 showcase): 64-bit
-    // polynomial rolling-hash fingerprint. Hash-defined → no SQL oracle;
-    // RollingHashSpec pins interpreted-vs-codegen equality and the exact
-    // polynomial against a reference implementation.
+    // polynomial rolling-hash fingerprint. The polynomial is simple
+    // enough to replay in DuckDB: HUGEINT list_reduce over the byte
+    // stream emulates mod-2^64 wraparound, then a two's-complement fold
+    // maps to signed BIGINT. ord(char) == byte only because the corpus is
+    // ASCII (asserted true at every SF); RollingHashSpec additionally
+    // pins interpreted-vs-codegen equality and the exact polynomial
+    // against a reference implementation.
     Q(
       "text_rolling_hash",
-      None,
+      Some("""
+        SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                         THEN v - 18446744073709551616::HUGEINT
+                         ELSE v END AS BIGINT) AS fp
+        FROM (
+          SELECT doc_id, list_reduce(
+                   list_prepend(0::HUGEINT,
+                     list_transform(range(strlen(text)),
+                       i -> ord(text[i+1:i+1])::HUGEINT)),
+                   (h, b) -> (h * 1000000007::HUGEINT + b)
+                             % 18446744073709551616::HUGEINT) AS v
+          FROM documents)
+        ORDER BY doc_id"""),
       (s, dir) => {
         graft.functions.RollingHash.register(s)
         t(s, dir, "documents")

@@ -171,6 +171,33 @@ object Streams extends QueryModule {
           .orderBy("event_type")
       }),
 
+    // ---- dropDuplicatesWithinWatermark (the Spark 3.5+ bounded-state
+    // dedup): unlike dropDuplicates, key state is EVICTED once the
+    // watermark passes eventTime + delay, so state is O(rate × delay)
+    // instead of O(distinct keys ever seen) — the form that survives an
+    // unbounded stream. Daily-active-users shape: dedup on (user, day).
+    // The 40-day delay covers this bounded input's 30-day span, so no
+    // state evicts and the result equals the batch distinct the oracle
+    // computes; the eviction/re-admit semantics that distinguish the
+    // operator are pinned in StreamsSpec with a MemoryStream. ----
+    Q(
+      "stream_dedup_within_watermark",
+      Some("""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val dedup = eventStream(s, dir)
+          .withWatermark("ts", "40 days")
+          .withColumn("day", to_date(col("ts")))
+          .dropDuplicatesWithinWatermark("user_id", "day")
+        materialize(s, dedup, "stream_dedup_within_watermark", "append")
+          .groupBy("day")
+          .agg(count(lit(1)).as("dau"))
+          .select(col("day").cast("string").as("day"), col("dau"))
+          .orderBy("day")
+      }),
+
     // ---- stream-stream inner join with watermarks on both sides and a
     // time-interval condition (view → purchase attribution within 30
     // minutes). Both watermarks bound the join state: each side buffers

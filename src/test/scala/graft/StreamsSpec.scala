@@ -144,6 +144,39 @@ class StreamsSpec extends SparkSpec {
     assert(rows(("10:30", "b")) == 2L, s"on-time events missing: $rows")
   }
 
+  test("dropDuplicatesWithinWatermark evicts key state after the delay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val dedup = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("user")
+    val q = dedup.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpointForTest("wm_dedup"))
+      .start()
+    try {
+      in.addData((ts(0), 1L)) // user 1 first seen → emitted, state opens
+      q.processAllAvailable()
+      // a duplicate within the delay window is suppressed
+      in.addData((ts(3), 1L))
+      q.processAllAvailable()
+      // watermark advances to 10:15 (20 − 5) > 10:00 + 5min → user-1
+      // state evicts; the SAME user re-emits where plain dropDuplicates
+      // (O(keys-ever-seen) state) would still suppress it
+      in.addData((ts(20), 2L))
+      q.processAllAvailable()
+      in.addData((ts(21), 1L))
+      q.processAllAvailable()
+      val user1 = spark.table("wm_dedup").filter(col("user") === 1).count()
+      assert(user1 == 2,
+        s"user 1 must re-emit after state eviction (got $user1 rows)")
+    } finally q.stop()
+  }
+
   private def freshCheckpointForTest(name: String): String = {
     val d = new java.io.File(s"${Tables.scratchRoot}/ckpt_spec_$name")
     def rm(f: java.io.File): Unit = {
