@@ -99,6 +99,30 @@ object SqlSurface extends QueryModule {
       sql(recursiveHierarchy)),
     Q("sql_lateral_topk", Some(lateralTop1), sql(lateralTop1)),
 
+    // SQL PIVOT clause (the parser-level relational pivot, distinct from
+    // the Dataset .pivot API already covered): statuses become columns
+    // with per-cell counts. Spark's PIVOT yields NULL for an empty cell
+    // where a conditional-aggregation spelling yields 0 — the coalesce
+    // makes both engines agree at every scale factor. Oracle is the
+    // portable conditional-aggregation form (PIVOT syntax differs across
+    // dialects; cell semantics are what the hash compares).
+    Q(
+      "sql_pivot_clause",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      sql("""
+        SELECT o_orderpriority,
+               CAST(coalesce(F, 0) AS BIGINT) AS f_cnt,
+               CAST(coalesce(O, 0) AS BIGINT) AS o_cnt,
+               CAST(coalesce(P, 0) AS BIGINT) AS p_cnt
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (count(*) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+        ORDER BY o_orderpriority""")),
+
     // parameterized SQL (named-parameter binding, Spark 3.4+): the
     // injection-safe text interface a service layer uses — parameters
     // bind as literals in the parser, never string-spliced. Oracle is

@@ -239,6 +239,42 @@ object Roundtrip extends QueryModule {
           .orderBy("month")
       }),
 
+    // ---- Z-order clustering key (the Delta/Iceberg OPTIMIZE ZORDER
+    // primitive): bit-interleave two 8-bit dimensions into one 16-bit
+    // sort key so range-partitioning on it gives files bounded in BOTH
+    // dimensions at once — two-dimensional file skipping from a
+    // one-dimensional layout. Pure integer bit arithmetic (exact in any
+    // engine); RoundtripSpec asserts the locality property on an actual
+    // repartitionByRange(zkey) write. ----
+    Q(
+      "zorder_interleave_key",
+      Some {
+        val terms = (0 until 8).map(i =>
+          s"((x >> $i) & 1) * ${1L << (2 * i)} + " +
+            s"((y >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+        s"""
+        SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CAST($terms AS BIGINT) AS zkey
+        FROM (SELECT o_orderkey,
+                     o_custkey % 256 AS x,
+                     dayofyear(o_orderdate) % 256 AS y
+              FROM orders)
+        ORDER BY o_orderkey"""
+      },
+      (s, dir) => {
+        val z = (0 until 8).map(i =>
+          shiftright(col("x"), i).bitwiseAND(1) * lit(1L << (2 * i)) +
+            shiftright(col("y"), i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+          .reduce(_ + _)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_custkey") % 256).as("x"),
+            (dayofyear(col("o_orderdate")) % 256).as("y"))
+          .select(col("o_orderkey"), col("x").cast("long").as("x"),
+            col("y").cast("long").as("y"), z.cast("long").as("zkey"))
+          .orderBy("o_orderkey")
+      }),
+
     // ---- bucketed co-located join: both sides written bucketBy(8, key)
     // into catalog tables, so the fact⋈fact sort-merge join needs NO
     // shuffle exchange (the 100 TB pattern for repeated joins on the same

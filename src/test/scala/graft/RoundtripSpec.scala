@@ -27,4 +27,33 @@ class RoundtripSpec extends SparkSpec {
         s"file ranges overlap: $prev vs $next")
     }
   }
+
+  test("z-order layout bounds BOTH dimensions per partition") {
+    // range-cluster by the interleaved key, then measure per-partition
+    // spans of each source dimension: with 16 partitions over a 256×256
+    // space, z-ordering must keep the average span of x AND y well under
+    // the global 255 — a 1-D sort on x alone leaves y's span at ~255
+    // everywhere (that contrast is the whole point of the interleave).
+    val keyed = SparkEntry.queries("zorder_interleave_key")(spark, sf)
+    val parts = keyed.repartitionByRange(16, col("zkey"))
+      .select(col("x"), col("y"),
+        org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .groupBy("p")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(parts.length > 4, "expect a real multi-partition layout")
+    def avg(f: org.apache.spark.sql.Row => Long): Double =
+      parts.map(f).sum.toDouble / parts.length
+    val (ax, ay) = (avg(_.getLong(1)), avg(_.getLong(2)))
+    assert(ax < 200 && ay < 200,
+      f"z-order average spans x=$ax%.0f y=$ay%.0f not jointly bounded")
+    // and the same partition count sorted on x alone does NOT bound y
+    val linear = keyed.repartitionByRange(16, col("x"))
+      .select(col("y"),
+        org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .groupBy("p").agg((max("y") - min("y")).as("sy")).collect()
+    val ayLinear = linear.map(_.getLong(1)).sum.toDouble / linear.length
+    assert(ayLinear > ay,
+      f"linear layout should be worse on y ($ayLinear%.0f vs $ay%.0f)")
+  }
 }
