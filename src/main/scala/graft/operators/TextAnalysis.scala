@@ -221,6 +221,72 @@ object TextAnalysis extends QueryModule {
           .orderBy("doc_id", "term")
       }),
 
+    // BM25 lexical retrieval (k1=1.2, b=0.75): score every document
+    // against a fixed 3-term query, return the top-20. The inverted-index
+    // shape at scale: explode → filter to query terms FIRST (the posting
+    // stream is |q|/|vocab| of the corpus before any shuffle), tf/df
+    // aggregates, broadcast the 3-row df dictionary back. Per-term weights
+    // are floored to BIGINT micros before summing so the score is
+    // order-independent; global n/avgdl derive from exact integer counts.
+    Q(
+      "text_bm25_retrieval",
+      Some("""
+        WITH toks AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                      FROM documents),
+        dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+        g AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+        ex AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        q AS (SELECT unnest(['spark', 'window', 'slow']) AS term),
+        hits AS (SELECT ex.doc_id, ex.term FROM ex JOIN q USING (term)),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM hits GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM hits GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor(
+                   ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                        / (CAST(g.tot AS DOUBLE) / g.n)))
+                   * 1000000.0) AS BIGINT) AS tm
+          FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+               CROSS JOIN g),
+        agg AS (SELECT doc_id, CAST(sum(tm) AS BIGINT) AS score_micro
+                FROM scored GROUP BY 1)
+        SELECT doc_id, score_micro,
+               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                 AS BIGINT) AS rank
+        FROM agg QUALIFY rank <= 20 ORDER BY rank"""),
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+        val dl = base.select(col("doc_id"),
+          size(col("ts")).cast("long").as("dl"))
+        val g = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot")).head()
+        val n = g.getLong(0)
+        val avgdl = g.getLong(1).toDouble / n
+        val ex = base.select(col("doc_id"), explode(col("ts")).as("term"))
+          .filter(col("term").isInCollection(Seq("spark", "window", "slow")))
+        val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = ex.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val tm = floor(
+          log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl"))
+                 / lit(avgdl)))
+            * 1000000.0).cast("long")
+        tf.join(broadcast(df), "term").join(dl, "doc_id")
+          .select(col("doc_id"), tm.as("tm"))
+          .groupBy("doc_id").agg(sum("tm").as("score_micro"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+          .filter(col("rank") <= 20)
+          .orderBy("rank")
+      }),
+
     // content fingerprint: md5 over the sorted distinct token set — the
     // canonical "bag of words" fingerprint for clustering near-identical
     // docs at scale (16-byte shuffle key instead of the document).
