@@ -840,6 +840,40 @@ object Relational extends QueryModule {
           .orderBy("l_returnflag")
       }),
 
+    // incremental aggregate maintenance (the materialized-view refresh
+    // pattern): per-group state (count, integer-cents sum) computed
+    // separately over the already-materialized base and a new delta
+    // batch, then MERGED by summing states — never rescanning the base.
+    // avg derives at read time from exact merged integers. This is the
+    // algebraic-aggregate contract that makes 100 TB incremental ETL
+    // possible (same shape the HLL-sketch union pins for distinct
+    // counts); the oracle recomputes from scratch and must agree.
+    Q(
+      "agg_incremental_merge",
+      Some("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / CAST(count(*) AS BIGINT) AS avg_cents
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        def state(df: DataFrame): DataFrame = df
+          .select(col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
+        val orders = t(s, dir, "orders")
+        val base = state(orders.filter(col("o_orderkey") % 10 =!= 9))
+        val delta = state(orders.filter(col("o_orderkey") % 10 === 9))
+        base.unionByName(delta)
+          .groupBy("o_orderstatus")
+          .agg(sum("pn").as("n"), sum("pc").as("cents"))
+          .select(col("o_orderstatus"), col("n"), col("cents"),
+            (col("cents") / col("n")).as("avg_cents"))
+          .orderBy("o_orderstatus")
+      }),
+
     // distribution-rank analytics: ntile/percent_rank/cume_dist over a
     // total per-partition order (orderkey tiebreak → deterministic)
     Q(

@@ -90,6 +90,13 @@ object SqlSurface extends QueryModule {
                          WHERE o.o_custkey = c.c_custkey
                            AND o.o_totalprice > 400000)) AS n_not_exists"""
 
+  private val groupByAll = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY ALL ORDER BY ALL"""
+
   val all: Seq[Q] = Seq(
     Q("sql_not_in_null_semantics", Some(notInNulls), sql(notInNulls)),
     Q("sql_cte_window_topk", Some(topSpenders), sql(topSpenders)),
@@ -98,6 +105,15 @@ object SqlSurface extends QueryModule {
     Q("sql_recursive_cte_hierarchy", Some(recursiveHierarchy),
       sql(recursiveHierarchy)),
     Q("sql_lateral_topk", Some(lateralTop1), sql(lateralTop1)),
+
+    // GROUP BY ALL / ORDER BY ALL (the modern analyst shorthand both
+    // Spark 4 and DuckDB implement): grouping keys inferred as every
+    // non-aggregate select item, ordering over the full select list —
+    // one shared text, parsed by both engines.
+    Q(
+      "sql_group_by_all",
+      Some(groupByAll),
+      sql(groupByAll)),
 
     // SQL PIVOT clause (the parser-level relational pivot, distinct from
     // the Dataset .pivot API already covered): statuses become columns
