@@ -452,6 +452,46 @@ object Relational extends QueryModule {
           .orderBy("event_id")
       }),
 
+    // ---- range join as a CUSTOM OPERATOR (plans/RangeJoin.scala:
+    // LogicalPlan + strategy + exec): the same point-in-interval semantics
+    // as join_range_binned_intervals, planned as sampled range buckets +
+    // interval replication + one sort-sweep per bucket — no nested loop,
+    // no hand-tuned bin width. Windows: every half-hour start, 75 minutes
+    // wide, so each event lands in 2–3 overlapping windows (a real
+    // many-to-many). Bounds travel as epoch seconds (the exec's
+    // long-backed contract); RangeJoinSpec pins operator semantics
+    // against a reference nested-loop join on random data. ----
+    Q(
+      "join_range_custom_op",
+      Some("""
+        WITH win AS (
+          SELECT DISTINCT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
+                   AS lo_s
+          FROM events),
+        hits AS (
+          SELECT e.event_id, w.lo_s
+          FROM events e JOIN win w
+            ON epoch(e.ts) >= w.lo_s AND epoch(e.ts) < w.lo_s + 4500)
+        SELECT event_id, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(min(lo_s) AS BIGINT) AS first_window_epoch
+        FROM hits GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val ev = t(s, dir, "events")
+        val pts = ev.select(col("event_id"),
+          unix_timestamp(col("ts")).as("ps"))
+        val win = ev
+          .select((floor(unix_timestamp(col("ts")) / 1800) * 1800)
+            .cast("long").as("lo_s"))
+          .distinct()
+          .withColumn("hi_s", col("lo_s") + 4500L)
+        graft.plans.RangeJoin.pointInInterval(pts, win, "ps", "lo_s", "hi_s")
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_windows"),
+            min(col("lo_s")).as("first_window_epoch"))
+          .orderBy("event_id")
+      }),
+
     // ---- skew-mitigation salted join: event_type has ~5 distinct values,
     // so a plain shuffle join on it caps parallelism at 5 tasks and piles
     // each hot key onto one executor at 100 TB. Salting multiplies the key

@@ -152,6 +152,17 @@ object PruneAsofJoinColumns
       right = Project(rKeep, aj.right))
   }
 
+  private def pruneRange(rj: RangeJoinPlan, needed: AttributeSet): RangeJoinPlan = {
+    val keep = needed ++
+      AttributeSet(Seq(rj.point, rj.lo, rj.hi).flatMap(_.references))
+    val lKeep = rj.left.output.filter(keep.contains)
+    val rKeep = rj.right.output.filter(keep.contains)
+    if (lKeep.length == rj.left.output.length &&
+      rKeep.length == rj.right.output.length) rj
+    else rj.copy(left = Project(lKeep, rj.left),
+      right = Project(rKeep, rj.right))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(projectList, aj: AsofJoinPlan) =>
       val pruned = prune(aj, AttributeSet(projectList.flatMap(_.references)))
@@ -162,6 +173,14 @@ object PruneAsofJoinColumns
       val pruned = prune(aj, AttributeSet(projectList.flatMap(_.references)) ++
         cond.references)
       if (pruned eq aj) p else p.copy(child = f.copy(child = pruned))
+    // same two shapes through the range-join node
+    case p @ Project(projectList, rj: RangeJoinPlan) =>
+      val pruned = pruneRange(rj, AttributeSet(projectList.flatMap(_.references)))
+      if (pruned eq rj) p else p.copy(child = pruned)
+    case p @ Project(projectList, f @ Filter(cond, rj: RangeJoinPlan)) =>
+      val pruned = pruneRange(rj,
+        AttributeSet(projectList.flatMap(_.references)) ++ cond.references)
+      if (pruned eq rj) p else p.copy(child = f.copy(child = pruned))
   }
 }
 
@@ -171,6 +190,8 @@ object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
       AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case RangeJoinPlan(l, r, p, lo, hi) =>
+      RangeJoinExec(p, lo, hi, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
