@@ -354,6 +354,35 @@ object Roundtrip extends QueryModule {
           .orderBy("n_regionkey")
       }),
 
+    // ---- small-file compaction (the OPTIMIZE/maintenance half of a
+    // lakehouse): a fragmented landing zone (64 splinter files — the
+    // shape a streaming or per-batch ingest leaves behind) rewritten to
+    // size-targeted files via repartition, with content identity checked
+    // by the oracle and the file-count collapse asserted in
+    // RoundtripSpec. At 100 TB this is the job that keeps scan task
+    // counts and parquet footer overhead bounded; the rewrite is one
+    // round-robin shuffle, no driver-side file handling. ----
+    Q(
+      "compact_small_files",
+      Some("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val frag = scratch("compact_fragmented")
+        val tidy = scratch("compact_tidy")
+        t(s, dir, "documents")
+          .repartition(64)
+          .write.mode(SaveMode.Overwrite).parquet(frag)
+        s.read.parquet(frag)
+          .repartition(4)
+          .write.mode(SaveMode.Overwrite).parquet(tidy)
+        s.read.parquet(tidy)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      }),
+
     // ---- MERGE/upsert without a table format: the reference README
     // declares Delta but ships plain parquet (SURVEY §0) — the engine
     // expresses upsert as keyed anti-join + union + partition overwrite,

@@ -28,6 +28,16 @@ class RoundtripSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses the fragmented landing zone's file count") {
+    SparkEntry.queries("compact_small_files")(spark, sf).collect()
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles(s"${Tables.scratchRoot}/compact_fragmented")
+    val after = parquetFiles(s"${Tables.scratchRoot}/compact_tidy")
+    assert(before >= 32, s"landing zone should be fragmented, got $before")
+    assert(after <= 4, s"compacted output should be few files, got $after")
+  }
+
   test("z-order layout bounds BOTH dimensions per partition") {
     // range-cluster by the interleaved key, then measure per-partition
     // spans of each source dimension: with 16 partitions over a 256×256
