@@ -25,6 +25,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "trigram_shingles",
       exprs => graft.functions.TrigramShingles(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantiles",
+      exprs => graft.functions.KllQuantiles(exprs.head), "scala_udf")
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
@@ -57,7 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MisraGries.build),
       ("trigram_shingles",
         "trigram_shingles(tokens) - distinct word-trigram shingles",
-        exprs => graft.functions.TrigramShingles(exprs.head)))
+        exprs => graft.functions.TrigramShingles(exprs.head)),
+      ("kll_quantiles",
+        "kll_quantiles(x) - KLL sketch [p50, p90, p99] of a double column",
+        exprs => graft.functions.KllQuantiles(exprs.head)))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner

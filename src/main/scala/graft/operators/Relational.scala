@@ -700,6 +700,23 @@ object Relational extends QueryModule {
             .cast("long").as("approx_total_custs"))
       }),
 
+    // KLL quantile sketch (DataSketches, TypedImperativeAggregate): the
+    // re-aggregatable quantile companion to agg_hll_sketch_union — one
+    // pass, mergeable O(k log n) partial buffers, no global sort.
+    // Approximate by construction → no SQL oracle; KllQuantilesSpec
+    // brackets each output between the exact quantiles at rank ± 3%.
+    Q(
+      "agg_kll_quantiles",
+      None,
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(expr("kll_quantiles(CAST(o_totalprice AS DOUBLE))")
+            .as("quantiles"))
+          .orderBy("o_orderstatus")
+      }),
+
     // t-digest-style percentile sketch — approximate by construction →
     // no SQL oracle; SimilaritySpec bounds it against the exact
     // percentile. The scale story: one pass, mergeable sketches,

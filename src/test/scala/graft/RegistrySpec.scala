@@ -25,6 +25,7 @@ class RegistrySpec extends SparkSpec {
     val allowed = Set("dedup_minhash_lsh", "dedup_simhash",
       "sim_ann_hyperplane", "sim_ann_multiprobe", "sim_ivf_probe",
       "agg_approx_count_distinct", "agg_hll_sketch_union",
+      "agg_kll_quantiles",
       "agg_approx_percentile", "sample_bernoulli_seeded",
       "sample_stratified_by_status")
     assert((noOracle -- allowed).isEmpty,
