@@ -359,6 +359,74 @@ object Curation extends QueryModule {
           .orderBy(col("lang"), col("wkey").desc, col("doc_id"))
       }),
 
+    // ---- The composed curation pipeline, round-4 edition: quality gate
+    // → exact dedup (keep min doc_id per text) → eval-set decontamination
+    // (drop the eval split AND every doc sharing a trigram with it) →
+    // 512-token sequence packing of the survivors. One declarative plan:
+    // the stages a production corpus pass chains, each individually
+    // oracled above, composed here so the interactions (dedup before
+    // decontam, packing over the post-filter survivor order) are pinned
+    // too. ----
+    Q(
+      "pipeline_curation_full",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, text, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        quality AS (SELECT * FROM toks WHERE len(ts) >= 5),
+        kept AS (
+          SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+        dedup AS (
+          SELECT q.* FROM quality q JOIN kept k ON q.doc_id = k.doc_id),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS g
+          FROM toks, unnest(range(len(ts) - 2)) AS t(i) WHERE len(ts) >= 3),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        dirty AS (
+          SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)
+          WHERE gr.doc_id % 97 <> 0),
+        clean AS (
+          SELECT d.doc_id, d.lang, CAST(len(d.ts) AS BIGINT) AS n_tokens
+          FROM dedup d
+          WHERE d.doc_id % 97 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+        packed AS (
+          SELECT doc_id, lang, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS prefix
+          FROM clean)
+        SELECT doc_id, lang, n_tokens,
+               CAST(prefix // 512 AS BIGINT) AS bin_id,
+               CAST(prefix % 512 AS BIGINT) AS bin_offset
+        FROM packed ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"), col("text"),
+          col("lang"), tokens(col("text")).as("ts"))
+        val quality = toks.filter(size(col("ts")) >= 5)
+        val kept = quality.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val dedup = quality.join(kept, "doc_id")
+        val grams = docGrams(s, dir)
+        val ev = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+        val dirty = grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ev), "g").select("doc_id").distinct()
+        val clean = dedup
+          .filter(col("doc_id") % 97 =!= 0)
+          .join(dirty, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"),
+            size(col("ts")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        clean
+          .withColumn("prefix", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            floor(col("prefix") / 512).as("bin_id"),
+            (col("prefix") % 512).as("bin_offset"))
+          .orderBy("doc_id")
+      }),
+
     // ---- Reproducible hash sampling: the oracled companion to the
     // seed-dependent sample_bernoulli_seeded — both engines agree on
     // md5, so the ~20% subset (first digest byte < 0x33) is exact and
