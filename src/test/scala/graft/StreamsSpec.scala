@@ -177,6 +177,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers close sessions at watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val sessions = in.toDS().toDF("ts", "user")
+      .withWatermark("ts", "1 minute")
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .transformWithState(new TimerSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user", "n_events")
+    // event-time timers use a timer column family — RocksDB provider only
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = sessions.writeStream.format("memory").queryName("timer_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", freshCheckpointForTest("timer_sessions"))
+      .start()
+    try {
+      // user 1's session: two events; timer armed at 10:02 + 10min gap
+      in.addData((ts(0), 1L), (ts(2), 1L))
+      q.processAllAvailable()
+      assert(spark.table("timer_sessions").count() == 0,
+        "no session may close before the watermark passes its gap")
+      // user 2 at 10:30 pushes the watermark to 10:29 > 10:12 → user 1's
+      // timer fires and ONLY that session emits (user 2's gap is open)
+      in.addData((ts(30), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("timer_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L)),
+        s"exactly user 1's 2-event session must close, got $rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   private def freshCheckpointForTest(name: String): String = {
     val d = new java.io.File(s"${Tables.scratchRoot}/ckpt_spec_$name")
     def rm(f: java.io.File): Unit = {
@@ -216,5 +263,47 @@ class StreamsSpec extends SparkSpec {
     val expected = spark.read.parquet(s"$sf/events.parquet").count()
     assert(written.count() == expected)
     assert(written.columns.toSet == Set("event_id", "event_type", "batch_id"))
+  }
+}
+
+/** Event-time session processor for the timer spec: counts events per key,
+  * (re-)arms a timer at max-event-time + a 10-minute gap, and emits the
+  * session ONLY from handleExpiredTimer — the timer leg of the
+  * transformWithState API (the registered queries cover the input leg).
+  */
+private class TimerSessionProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (java.sql.Timestamp, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  private val gapMs = 10L * 60 * 1000
+
+  // (n_events, armed_timer_ms)
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("session",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(java.sql.Timestamp, Long)],
+      timers: TimerValues): Iterator[(Long, Long)] = {
+    var (n, oldTimer) = if (st.exists()) st.get() else (0L, -1L)
+    var maxTs = Long.MinValue
+    rows.foreach { case (t, _) => n += 1; maxTs = math.max(maxTs, t.getTime) }
+    val newTimer = maxTs + gapMs
+    if (oldTimer >= 0 && oldTimer != newTimer) getHandle.deleteTimer(oldTimer)
+    getHandle.registerTimer(newTimer)
+    st.update((n, newTimer))
+    Iterator.empty // sessions emit only on timer expiry
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+    val (n, _) = if (st.exists()) st.get() else (0L, -1L)
+    st.clear()
+    Iterator.single((key, n))
   }
 }
