@@ -440,6 +440,48 @@ object Dedup extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // ---- fuzzy entity-resolution join (edit distance <= 1) via
+    // DELETION-NEIGHBORHOOD BLOCKING: each string generates itself plus
+    // its |s| single-deletion variants as blocking keys; any pair within
+    // edit distance 1 provably shares a key (substitution → same
+    // deletion position; insert/delete → the shorter string itself), so
+    // an equi-join on the key + an exact levenshtein re-filter finds
+    // every pair with |s|+1 keys per row instead of an all-pairs scan —
+    // at 100 TB the blocking join shuffles O(n·|s|) short keys where the
+    // naive form compares n². The oracle IS the naive form (exact at
+    // test scale), so the blocking is verified complete, not just
+    // plausible. ----
+    Q(
+      "dedup_fuzzy_name_join",
+      Some("""
+        WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+                   WHERE c_nationkey = 0)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
+        ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val base = t(s, dir, "customer")
+          .filter(col("c_nationkey") === 0)
+          .select(col("c_custkey").as("id"), col("c_name").as("s"))
+        val keys = base.select(col("id"), col("s"),
+          explode(array_union(
+            array(col("s")),
+            transform(sequence(lit(0), length(col("s")) - 1), i =>
+              concat(col("s").substr(lit(1), i),
+                col("s").substr(i + 2, length(col("s"))))))).as("k"))
+        keys.as("a")
+          .join(keys.as("b"),
+            col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.s").as("sa"), col("b.s").as("sb"))
+          .distinct()
+          .filter(levenshtein(col("sa"), col("sb")) <= 1)
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // ---- SimHash: 32-bit signature from token hashes (bit-majority).
     // Hash-seeded → no SQL oracle; DedupSpec pins determinism + locality. ----
     Q(

@@ -24,7 +24,8 @@ class DedupSpec extends SparkSpec {
 
   test("exact/jaccard/minhash plans contain no cartesian product") {
     for (q <- Seq("dedup_exact", "dedup_exact_hash", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_embedding_cosine")) {
+        "dedup_minhash_lsh", "dedup_embedding_cosine",
+        "dedup_fuzzy_name_join")) {
       assertNoCartesian(SparkEntry.queries(q)(spark, sf), q)
     }
   }
