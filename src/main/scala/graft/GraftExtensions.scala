@@ -28,6 +28,21 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantiles",
       exprs => graft.functions.KllQuantiles(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_sketch_agg",
+      exprs => graft.functions.ThetaSketchAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_estimate",
+      exprs => graft.functions.ThetaEstimate(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_intersect_est",
+      exprs => graft.functions.ThetaIntersectEst(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_union_est",
+      exprs => graft.functions.ThetaUnionEst(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_anotb_est",
+      exprs => graft.functions.ThetaAnotBEst(exprs(0), exprs(1)), "scala_udf")
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
@@ -63,7 +78,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => graft.functions.TrigramShingles(exprs.head)),
       ("kll_quantiles",
         "kll_quantiles(x) - KLL sketch [p50, p90, p99] of a double column",
-        exprs => graft.functions.KllQuantiles(exprs.head)))
+        exprs => graft.functions.KllQuantiles(exprs.head)),
+      ("theta_sketch_agg",
+        "theta_sketch_agg(x) - theta sketch of a key column (binary)",
+        exprs => graft.functions.ThetaSketchAgg(exprs.head)),
+      ("theta_estimate",
+        "theta_estimate(sk) - distinct-count estimate of a theta sketch",
+        exprs => graft.functions.ThetaEstimate(exprs.head)),
+      ("theta_intersect_est",
+        "theta_intersect_est(a, b) - |A intersect B| estimate",
+        exprs => graft.functions.ThetaIntersectEst(exprs(0), exprs(1))),
+      ("theta_union_est",
+        "theta_union_est(a, b) - |A union B| estimate",
+        exprs => graft.functions.ThetaUnionEst(exprs(0), exprs(1))),
+      ("theta_anotb_est",
+        "theta_anotb_est(a, b) - |A minus B| estimate",
+        exprs => graft.functions.ThetaAnotBEst(exprs(0), exprs(1))))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner

@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Curation,
     operators.Multimodal,
     operators.Typed,
+    operators.Analytics,
     sources.Roundtrip,
     streaming.Streams)
 

@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, QueryModule, Tables}
+
+/** Warehouse/graph analytics the reference's lakehouse shape implies but
+  * never spells out: slowly-changing-dimension history (the versioned
+  * silver dimension a medallion pipeline maintains over re-crawled
+  * listings — reference app/silver.py rewrites in place, losing history),
+  * CDC changelog application (the incremental MERGE a bronze→silver hop
+  * performs when the source emits upserts/deletes), iterative graph
+  * analytics (PageRank / BFS as bounded-round BSP, the same loop shape as
+  * dedup_cluster_keepers' label propagation), and theta-sketch set
+  * algebra (segment-overlap distinct counts without per-pair rescans).
+  *
+  * Scale stance (100 TB):
+  *   - SCD2/CDC are pure window queries partitioned by the business key —
+  *     one hash shuffle each, no self-joins, no global sort except the
+  *     bounded final output ordering;
+  *   - PageRank/BFS iterate a FIXED number of rounds; each round is one
+  *     keyed equi-join (ranks ⋈ edges, both sides hash-partitioned on the
+  *     node key — a co-partitioned join under a shared partitioner on a
+  *     real cluster) plus one groupBy shuffle; the frontier/rank state per
+  *     round is O(nodes), never O(paths), because BFS anti-joins against
+  *     the visited set and PageRank aggregates before the next round;
+  *   - theta sketches reduce "distinct in A and B" to mergeable O(k)
+  *     buffers: map-side partial agg, one exchange of kilobyte sketches,
+  *     set algebra on the merged result — vs INTERSECT's full re-shuffle
+  *     of both inputs.
+  */
+object Analytics extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** µs-precision timestamp string — matches DuckDB strftime %f. */
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** Undirected bipartite part↔supplier graph from lineitem:
+    * node ids: part → 2·l_partkey, supplier → 2·l_suppkey+1 (disjoint
+    * integer node space, no string keys in the shuffle). */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val edgesSql =
+    """e0 AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+      |             FROM lineitem),
+      |e AS (SELECT src, dst FROM e0
+      |      UNION ALL SELECT dst, src FROM e0)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- SCD Type-2 dimension build: collapse the per-user event_type
+    // stream into versioned validity intervals (effective_from/to,
+    // is_current). Two window passes over the same (user_id, ts) ordering
+    // — Catalyst plans them in ONE Window exchange+sort. (user_id, ts) is
+    // unique in the testdata, so ordering is total. ----
+    Q(
+      "scd2_dimension_build",
+      Some(s"""
+        WITH ord AS (
+          SELECT user_id, ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+        v AS (SELECT user_id, ts, event_type FROM ord
+              WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               event_type AS attr_value,
+               strftime(ts, '$TsFmtDuck') AS eff_from,
+               strftime(lead(ts) OVER w, '$TsFmtDuck') AS eff_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id, version"""),
+      (s, dir) => {
+        val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val versions = t(s, dir, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(byKey))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        versions.select(
+          col("user_id"),
+          row_number().over(w).cast("long").as("version"),
+          col("event_type").as("attr_value"),
+          date_format(col("ts"), TsFmt).as("eff_from"),
+          date_format(lead(col("ts"), 1).over(w), TsFmt).as("eff_to"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      }),
+
+    // ---- CDC changelog apply: treat events as a keyed changelog
+    // (key=user_id, seq=(ts, event_id), op: 'error' rows are deletes,
+    // everything else upserts) and materialize the end-state snapshot —
+    // the MERGE a bronze→silver incremental hop performs. Latest-wins by
+    // one ranking window, deletes dropped after ranking (a late delete
+    // must beat earlier upserts). ----
+    Q(
+      "cdc_apply_changelog",
+      Some(s"""
+        WITH c AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_type AS last_op,
+               CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+               strftime(ts, '$TsFmtDuck') AS last_ts
+        FROM c WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(
+            col("user_id"),
+            col("event_type").as("last_op"),
+            round(col("value") * 100).cast("long").as("last_value_cents"),
+            date_format(col("ts"), TsFmt).as("last_ts"))
+          .orderBy("user_id")
+      }),
+
+    // ---- PageRank, 3 fixed iterations over the part↔supplier graph.
+    // ALL-INTEGER arithmetic (ranks scaled to 1e12, integer division at
+    // every step) so both engines compute bit-identical ranks — float
+    // PageRank would diverge in summation order. Each iteration: one
+    // keyed join (ranks ⋈ out-degree'd edges on the node key) + one
+    // groupBy(dst) shuffle. No dangling nodes by construction (every
+    // node of an undirected edge has out-degree ≥ 1). ----
+    Q(
+      "graph_pagerank_3iter",
+      Some(s"""
+        WITH $edgesSql,
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT src AS node, 1000000000000 // (SELECT n FROM n) AS r
+               FROM deg),
+        it1 AS (SELECT e.dst AS node,
+                       CAST(((1000000000000 * 15) // 100) // (SELECT n FROM n)
+                            + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM r0 r JOIN e ON r.node = e.src JOIN deg d ON d.src = r.node
+                GROUP BY 1),
+        it2 AS (SELECT e.dst AS node,
+                       CAST(((1000000000000 * 15) // 100) // (SELECT n FROM n)
+                            + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM it1 r JOIN e ON r.node = e.src JOIN deg d ON d.src = r.node
+                GROUP BY 1),
+        it3 AS (SELECT e.dst AS node,
+                       CAST(((1000000000000 * 15) // 100) // (SELECT n FROM n)
+                            + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM it2 r JOIN e ON r.node = e.src JOIN deg d ON d.src = r.node
+                GROUP BY 1)
+        SELECT CAST(node AS BIGINT) AS node,
+               CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'part' END
+                 AS node_type,
+               r AS rank_scaled
+        FROM it3
+        ORDER BY rank_scaled DESC, node LIMIT 20"""),
+      (s, dir) => {
+        val SCALE = 1000000000000L
+        val e = edges(s, dir)
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        // edge list with out-degree attached once, reused every round —
+        // one persisted build instead of a per-iteration deg join
+        val eDeg = e.join(deg, "src").persist()
+        val n = eDeg.select("src").distinct().count()
+        val tele = ((SCALE * 15) / 100) / n
+        var ranks = eDeg.select(col("src").as("node")).distinct()
+          .withColumn("r", lit(SCALE / n))
+        for (_ <- 1 to 3) {
+          ranks = ranks
+            .join(eDeg, ranks("node") === eDeg("src"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst").as("node"))
+            .agg(expr(s"CAST($tele + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
+        }
+        ranks.select(
+          col("node"),
+          when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("part"))
+            .as("node_type"),
+          col("r").as("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("node"))
+          .limit(20)
+      }),
+
+    // ---- BFS minimum-hop distance: 4 frontier rounds from nation-0
+    // suppliers across the part↔supplier graph. Classic BSP frontier:
+    // expand (join edges) → distinct → anti-join visited → union. Level-
+    // order expansion means first discovery IS the minimum hop, which the
+    // oracle re-derives independently as min(hop) over a recursive CTE.
+    // State per round is O(nodes) (visited set), never O(paths). ----
+    Q(
+      "graph_bfs_min_hops",
+      Some(s"""
+        WITH RECURSIVE $edgesSql,
+        seeds AS (SELECT DISTINCT s_suppkey*2+1 AS node
+                  FROM supplier WHERE s_nationkey = 0),
+        reach(node, hop) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT e.dst, r.hop + 1
+          FROM reach r JOIN e ON r.node = e.src
+          WHERE r.hop < 4)
+        SELECT CAST(node AS BIGINT) AS node,
+               CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'part' END
+                 AS node_type,
+               CAST(min(hop) AS BIGINT) AS min_hop
+        FROM reach GROUP BY 1, 2 ORDER BY 1"""),
+      (s, dir) => {
+        val e = edges(s, dir).persist()
+        val seeds = t(s, dir, "supplier")
+          .filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+          .distinct()
+        var visited = seeds.withColumn("min_hop", lit(0L))
+        var frontier = seeds
+        for (h <- 1 to 4) {
+          val next = frontier
+            .join(e, frontier("node") === e("src"))
+            .select(col("dst").as("node"))
+            .distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+          frontier = next
+          visited = visited.union(next.withColumn("min_hop", lit(h.toLong)))
+        }
+        visited.select(
+          col("node"),
+          when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("part"))
+            .as("node_type"),
+          col("min_hop"))
+          .orderBy("node")
+      }),
+
+    // ---- theta-sketch set algebra: distinct customers per order-status
+    // segment and their overlap/difference — ONE scan building two
+    // mergeable sketches (FILTER'd aggregates), then O(k) sketch algebra.
+    // The oracle recomputes every figure exactly via INTERSECT / UNION /
+    // EXCEPT; parity holds because lgK=15 keeps the sketches in exact
+    // mode over this key domain (ThetaSketch scaladoc). ----
+    Q(
+      "agg_theta_set_ops",
+      Some("""
+        SELECT
+          (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'F') AS n_f,
+          (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'O') AS n_o,
+          (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_both,
+          (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             UNION
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_either,
+          (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_f_only"""),
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .agg(
+            expr("theta_sketch_agg(o_custkey) FILTER (WHERE o_orderstatus = 'F')")
+              .as("skf"),
+            expr("theta_sketch_agg(o_custkey) FILTER (WHERE o_orderstatus = 'O')")
+              .as("sko"))
+          .select(
+            expr("theta_estimate(skf)").as("n_f"),
+            expr("theta_estimate(sko)").as("n_o"),
+            expr("theta_intersect_est(skf, sko)").as("n_both"),
+            expr("theta_union_est(skf, sko)").as("n_either"),
+            expr("theta_anotb_est(skf, sko)").as("n_f_only"))
+      })
+  )
+}

@@ -425,6 +425,39 @@ object Roundtrip extends QueryModule {
             sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       }),
 
+    // ---- table-format core from first principles: immutable files +
+    // per-version manifests + copy-on-write commits (sources.Snapshots).
+    // v2 rewrites 1 of 8 buckets and re-references the rest; reading
+    // "as of v1" after the v2 commit must still see the original data —
+    // the oracle recomputes both snapshots relationally ----
+    Q(
+      "snapshot_time_travel",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderstatus = 'F'),
+        v2 AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 40 = 0 THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice
+               FROM base)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM base
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          FROM v2)
+        ORDER BY version"""),
+      (s, dir) => {
+        val root = Snapshots.buildDemoTable(s, dir)
+        def snap(v: Int) = Snapshots.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .select(lit(v.toLong).as("version"), col("n"), col("cents"))
+        snap(1).unionByName(snap(2)).orderBy("version")
+      }),
+
     // ---- S4/J1: incremental ingest dedup — new batch anti-joined against
     // the already-seen key set (reference keeps list_ids.txt; we keep a
     // keyed DataFrame — at scale, a bucketed table of seen keys) ----

@@ -66,4 +66,30 @@ class RoundtripSpec extends SparkSpec {
     assert(ayLinear > ay,
       f"linear layout should be worse on y ($ayLinear%.0f vs $ay%.0f)")
   }
+
+  test("snapshot manifests: copy-on-write reuses untouched file groups," +
+    " old versions stay readable") {
+    import org.apache.spark.sql.functions._
+    val root = graft.sources.Snapshots.buildDemoTable(spark, sf)
+    val m1 = graft.sources.Snapshots.readManifest(root, 1)
+    val m2 = graft.sources.Snapshots.readManifest(root, 2)
+    // v2 reuses exactly v1's non-bucket-0 files, plus new v2 files
+    val carried = m2.filter(_.contains("data_v1"))
+    assert(carried.toSet == m1.filterNot(_.contains("bkt=0")).toSet)
+    assert(m2.exists(_.contains("data_v2")))
+    // time travel: v1 read AFTER the v2 commit equals the base relation
+    val v1cents = graft.sources.Snapshots.readVersion(spark, root, 1)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    val basecents = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    assert(v1cents == basecents, "v1 snapshot must be immutable under v2 commit")
+    // and v2 differs exactly by the doubled keys' contribution
+    val v2cents = graft.sources.Snapshots.readVersion(spark, root, 2)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    val delta = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 40 === 0)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    assert(v2cents == basecents + delta)
+  }
 }
