@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryModule, Tables}
 import graft.functions.Cleaning
@@ -339,6 +339,157 @@ object Medallion extends QueryModule {
           .groupBy("split")
           .agg(count(lit(1)).as("n"),
             sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
-          .orderBy("split"))
+          .orderBy("split")),
+
+    // ---- data-quality constraint audit (Deequ-style expectations): every
+    // constraint is an aggregate over ONE shared scan — completeness,
+    // uniqueness, domain membership, range, and referential integrity
+    // (orphan keys vs customer) — emitted as (constraint, n_violations,
+    // passed) rows. At 100 TB this is the same single fact-table pass any
+    // one of the checks would cost; the RI check adds one keyed anti-join
+    // against the (much smaller, broadcastable) dimension. ----
+    Q(
+      "quality_constraint_audit",
+      Some("""
+        SELECT constraint_name, n_violations, n_violations = 0 AS passed
+        FROM (
+          SELECT 'orderdate_in_range' AS constraint_name,
+                 CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+                       OR o_orderdate >= TIMESTAMP '2000-01-01') AS BIGINT)
+                   AS n_violations
+          FROM orders
+          UNION ALL
+          SELECT 'orderkey_not_null',
+                 CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'orderkey_unique',
+                 CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'custkey_referential',
+                 CAST(count(*) AS BIGINT)
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL
+          UNION ALL
+          SELECT 'status_in_domain',
+                 CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                   AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'totalprice_positive',
+                 CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+          FROM orders)
+        ORDER BY constraint_name"""),
+      (s, dir) => {
+        // ONE fact scan: broadcast-left-join the dimension keys, then
+        // every constraint — including referential integrity (unmatched
+        // c_custkey) — is a conditional aggregate in the same pass
+        val o = t(s, dir, "orders").join(
+          broadcast(t(s, dir, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        val wide = o.agg(
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("custkey_referential"),
+          sum(when(col("o_orderdate") < lit("1992-01-01") ||
+            col("o_orderdate") >= lit("2000-01-01"), 1L).otherwise(0L))
+            .as("orderdate_in_range"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("orderkey_not_null"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("orderkey_unique"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+            .as("status_in_domain"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("totalprice_positive"))
+        wide.selectExpr(
+          """stack(6,
+             'custkey_referential', custkey_referential,
+             'orderdate_in_range', orderdate_in_range,
+             'orderkey_not_null', orderkey_not_null,
+             'orderkey_unique', orderkey_unique,
+             'status_in_domain', status_in_domain,
+             'totalprice_positive', totalprice_positive)
+             AS (constraint_name, n_violations)""")
+          .withColumn("passed", col("n_violations") === 0)
+          .orderBy("constraint_name")
+      }),
+
+    // ---- single-scan column profiler (ANALYZE-style data profiling):
+    // count / nulls / distinct / integer-cents min-max for five columns
+    // of orders in ONE aggregate pass, unpivoted to a row per column.
+    // The oracle recomputes each column's profile independently. ----
+    Q(
+      "quality_profile_columns",
+      Some("""
+        SELECT * FROM (
+          SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                   AS n_nulls,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                 CAST(min(o_custkey) * 100 AS BIGINT) AS min_cents,
+                 CAST(max(o_custkey) * 100 AS BIGINT) AS max_cents
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT o_orderkey) AS BIGINT),
+                 CAST(min(o_orderkey) * 100 AS BIGINT),
+                 CAST(max(o_orderkey) * 100 AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                 CAST(round(min(o_totalprice) * 100) AS BIGINT),
+                 CAST(round(max(o_totalprice) * 100) AS BIGINT)
+          FROM orders)
+        ORDER BY col_name"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def numProfile(c: String, cents: Column => Column) = Seq(
+          count(lit(1)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          cents(min(col(c))).cast("long").as(s"${c}_min"),
+          cents(max(col(c))).cast("long").as(s"${c}_max"))
+        def strProfile(c: String) = Seq(
+          count(lit(1)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"))
+        val aggs =
+          numProfile("o_custkey", _ * 100) ++
+          numProfile("o_orderkey", _ * 100) ++
+          strProfile("o_orderpriority") ++
+          strProfile("o_orderstatus") ++
+          numProfile("o_totalprice", x => round(x * 100))
+        val wide = o.agg(aggs.head, aggs.tail: _*)
+        wide.selectExpr(
+          """stack(5,
+             'o_custkey', o_custkey_n, o_custkey_nulls, o_custkey_distinct,
+               o_custkey_min, o_custkey_max,
+             'o_orderkey', o_orderkey_n, o_orderkey_nulls, o_orderkey_distinct,
+               o_orderkey_min, o_orderkey_max,
+             'o_orderpriority', o_orderpriority_n, o_orderpriority_nulls,
+               o_orderpriority_distinct, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             'o_orderstatus', o_orderstatus_n, o_orderstatus_nulls,
+               o_orderstatus_distinct, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             'o_totalprice', o_totalprice_n, o_totalprice_nulls,
+               o_totalprice_distinct, o_totalprice_min, o_totalprice_max)
+             AS (col_name, n, n_nulls, n_distinct, min_cents, max_cents)""")
+          .orderBy("col_name")
+      })
   )
 }

@@ -84,4 +84,23 @@ class PipelineSpec extends SparkSpec {
         .withColumn("Area", lit(0.0)))
     assert(zeroArea.select("price_per_m2").collect().forall(_.isNullAt(0)))
   }
+
+  test("quality audit/profile: one scan per base table, no extra passes") {
+    // AQE hides FileSourceScanExec from executedPlan.collect — pin the
+    // scan count on the non-adaptive physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scans(name: String): Int = {
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.size
+      }
+      // profiler: 5 column profiles from ONE orders scan
+      assert(scans("quality_profile_columns") == 1)
+      // audit: one orders scan for all row-local constraints + one
+      // customer scan for the referential check
+      assert(scans("quality_constraint_audit") == 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
