@@ -168,29 +168,39 @@ object Analytics extends QueryModule {
         ORDER BY rank_scaled DESC, node LIMIT 20"""),
       (s, dir) => {
         val SCALE = 1000000000000L
-        val e = edges(s, dir)
-        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        // edge list with out-degree attached once, reused every round —
-        // one persisted build instead of a per-iteration deg join
-        val eDeg = e.join(deg, "src").persist()
-        val n = eDeg.select("src").distinct().count()
-        val tele = ((SCALE * 15) / 100) / n
-        var ranks = eDeg.select(col("src").as("node")).distinct()
-          .withColumn("r", lit(SCALE / n))
-        for (_ <- 1 to 3) {
-          ranks = ranks
-            .join(eDeg, ranks("node") === eDeg("src"))
-            .select(col("dst"), expr("r div deg").as("c"))
-            .groupBy(col("dst").as("node"))
-            .agg(expr(s"CAST($tele + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
-        }
-        ranks.select(
+        // BSP loop hygiene (same shape as Dedup.componentsLoop): truncate
+        // lineage each round with localCheckpoint — without it the final
+        // plan re-derives every prior round — and pin the loop's shuffle
+        // width low (rank/edge frames are small per partition; per-round
+        // task overhead dominates otherwise).
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val e = edges(s, dir)
+          val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          // edge list with out-degree attached once, reused every round
+          val eDeg = e.join(deg, "src").localCheckpoint()
+          val n = eDeg.select("src").distinct().count()
+          val tele = ((SCALE * 15) / 100) / n
+          var ranks = eDeg.select(col("src").as("node")).distinct()
+            .withColumn("r", lit(SCALE / n))
+            .localCheckpoint()
+          for (_ <- 1 to 3) {
+            ranks = ranks
+              .join(eDeg, ranks("node") === eDeg("src"))
+              .select(col("dst"), expr("r div deg").as("c"))
+              .groupBy(col("dst").as("node"))
+              .agg(expr(s"CAST($tele + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
+              .localCheckpoint()
+          }
+          ranks.select(
           col("node"),
           when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("part"))
             .as("node_type"),
-          col("r").as("rank_scaled"))
-          .orderBy(col("rank_scaled").desc, col("node"))
-          .limit(20)
+            col("r").as("rank_scaled"))
+            .orderBy(col("rank_scaled").desc, col("node"))
+            .limit(20)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }),
 
     // ---- BFS minimum-hop distance: 4 frontier rounds from nation-0
@@ -217,28 +227,40 @@ object Analytics extends QueryModule {
                CAST(min(hop) AS BIGINT) AS min_hop
         FROM reach GROUP BY 1, 2 ORDER BY 1"""),
       (s, dir) => {
-        val e = edges(s, dir).persist()
-        val seeds = t(s, dir, "supplier")
-          .filter(col("s_nationkey") === 0)
-          .select((col("s_suppkey") * 2 + 1).as("node"))
-          .distinct()
-        var visited = seeds.withColumn("min_hop", lit(0L))
-        var frontier = seeds
-        for (h <- 1 to 4) {
-          val next = frontier
-            .join(e, frontier("node") === e("src"))
-            .select(col("dst").as("node"))
+        // per-round localCheckpoint: visited unions every round's frontier,
+        // so WITHOUT truncation the final plan re-derives each expansion
+        // once per later round (exponential recomputation); with it each
+        // superstep reads materialized leaves — the BSP barrier made
+        // explicit. Loop shuffle width pinned low like componentsLoop.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val e = edges(s, dir).localCheckpoint()
+          val seeds = t(s, dir, "supplier")
+            .filter(col("s_nationkey") === 0)
+            .select((col("s_suppkey") * 2 + 1).as("node"))
             .distinct()
-            .join(visited.select("node"), Seq("node"), "left_anti")
-          frontier = next
-          visited = visited.union(next.withColumn("min_hop", lit(h.toLong)))
-        }
-        visited.select(
-          col("node"),
-          when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("part"))
-            .as("node_type"),
-          col("min_hop"))
-          .orderBy("node")
+          var visited = seeds.withColumn("min_hop", lit(0L)).localCheckpoint()
+          var frontier = seeds
+          for (h <- 1 to 4) {
+            val next = frontier
+              .join(e, frontier("node") === e("src"))
+              .select(col("dst").as("node"))
+              .distinct()
+              .join(visited.select("node"), Seq("node"), "left_anti")
+              .localCheckpoint()
+            frontier = next
+            visited = visited
+              .union(next.withColumn("min_hop", lit(h.toLong)))
+              .localCheckpoint()
+          }
+          visited.select(
+            col("node"),
+            when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("part"))
+              .as("node_type"),
+            col("min_hop"))
+            .orderBy("node")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }),
 
     // ---- theta-sketch set algebra: distinct customers per order-status
