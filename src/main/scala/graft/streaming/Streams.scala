@@ -76,6 +76,30 @@ object Streams extends QueryModule {
       s.readStream.schema(raw).parquet(s"$dir/events.parquet*"))
   }
 
+  /** Latest-per-user ranking shared by the foreachBatch upsert sink and
+    * its cross-batch spec. */
+  private[graft] def latestPerKey(df: DataFrame): DataFrame =
+    df.withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)"))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** One foreachBatch upsert commit: reduce the batch to latest-per-key,
+    * merge with snapshot version `version`, write version+1 (never an
+    * in-place overwrite). Returns the new version. Late rows older than
+    * the snapshot's entry for their key lose the re-rank and are
+    * discarded — latest-wins is global across batches. */
+  private[graft] def upsertBatch(s: SparkSession, stateRoot: String,
+      version: Int, batch: DataFrame): Int = {
+    val latest = latestPerKey(batch)
+    val merged =
+      if (version == 0) latest
+      else latestPerKey(
+        s.read.parquet(s"$stateRoot/v$version").unionByName(latest))
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateRoot/v${version + 1}")
+    version + 1
+  }
+
   /** Run a streaming DF to completion into a memory sink, return the table.
     * State partition count is pinned low for the run: each state partition
     * costs per-batch store commits, and the checkpoint (fresh per run)
@@ -402,6 +426,50 @@ object Streams extends QueryModule {
             date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
               .as("session_start"),
             col("n_events"))
-          .orderBy("user_id", "session_start"))
+          .orderBy("user_id", "session_start")),
+
+    // ---- foreachBatch incremental-upsert sink: each micro-batch is
+    // reduced to latest-per-key, merged with the accumulated snapshot
+    // (read prev → union → re-rank → write NEXT version dir — never an
+    // in-place overwrite), deletes dropped only at read time so a late
+    // delete in a later batch still suppresses earlier upserts. The
+    // oracle checks the end state against the batch latest-wins CDC
+    // semantics. Snapshot versions make each batch commit atomic — the
+    // same protocol as sources.Snapshots, driven from a stream. ----
+    Q(
+      "stream_foreachbatch_upsert",
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT event_type AS last_op,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM c WHERE rn = 1 AND event_type <> 'error'
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val stateRoot = freshCheckpoint("fbu_state") // wiped like a ckpt
+        var version = 0
+        val q = eventStream(s, dir)
+          .select("user_id", "ts", "event_id", "event_type", "value")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            version = upsertBatch(s, stateRoot, version, batch)
+            ()
+          }
+          .option("checkpointLocation", freshCheckpoint("fbu"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$stateRoot/v$version")
+          .filter(col("event_type") =!= "error")
+          .groupBy(col("event_type").as("last_op"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy("last_op")
+      })
   )
 }

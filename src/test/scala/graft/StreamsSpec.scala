@@ -264,6 +264,44 @@ class StreamsSpec extends SparkSpec {
     assert(written.count() == expected)
     assert(written.columns.toSet == Set("event_id", "event_type", "batch_id"))
   }
+
+  test("foreachBatch upsert merges across batches: latest wins globally," +
+    " late older rows lose, deletes suppress at read") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val stateRoot = freshCheckpointForTest("fbu_state")
+    var version = 0
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        version = graft.streaming.Streams.upsertBatch(spark, stateRoot, version, batch)
+        ()
+      }
+      .option("checkpointLocation", freshCheckpointForTest("fbu"))
+      .start()
+    try {
+      in.addData((1L, ts(10), 1L, "view", 1.0), (2L, ts(10), 2L, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: user 1 superseded; user 2 gets a LATE OLDER row (must
+      // lose the merge re-rank); user 3 arrives already deleted
+      in.addData((1L, ts(20), 3L, "purchase", 5.0),
+        (2L, ts(5), 0L, "click", 9.0), (3L, ts(1), 4L, "error", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(version == 2, "each micro-batch must commit one snapshot version")
+    val state = spark.read.parquet(s"$stateRoot/v$version")
+      .filter(col("event_type") =!= "error")
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getDouble(4))).toMap
+    assert(state == Map(1L -> ("purchase", 5.0), 2L -> ("view", 2.0)))
+    // snapshot versioning: batch-1 state is still readable (v1 intact)
+    val v1 = spark.read.parquet(s"$stateRoot/v1").collect()
+    assert(v1.length == 2 && v1.forall(_.getString(3) == "view"))
+  }
 }
 
 /** Event-time session processor for the timer spec: counts events per key,
