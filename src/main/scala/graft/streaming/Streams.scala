@@ -452,19 +452,21 @@ object Streams extends QueryModule {
         GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
         val stateRoot = freshCheckpoint("fbu_state") // wiped like a ckpt
-        var version = 0
+        // AtomicInteger: the closure runs on the stream-execution thread;
+        // the final read happens on the caller thread after termination
+        val version = new java.util.concurrent.atomic.AtomicInteger(0)
         val q = eventStream(s, dir)
           .select("user_id", "ts", "event_id", "event_type", "value")
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            version = upsertBatch(s, stateRoot, version, batch)
+            version.set(upsertBatch(s, stateRoot, version.get, batch))
             ()
           }
           .option("checkpointLocation", freshCheckpoint("fbu"))
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$stateRoot/v$version")
+        s.read.parquet(s"$stateRoot/v${version.get}")
           .filter(col("event_type") =!= "error")
           .groupBy(col("event_type").as("last_op"))
           .agg(count(lit(1)).as("n_users"),

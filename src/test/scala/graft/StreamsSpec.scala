@@ -276,10 +276,11 @@ class StreamsSpec extends SparkSpec {
     val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
     val df = in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
     val stateRoot = freshCheckpointForTest("fbu_state")
-    var version = 0
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        version = graft.streaming.Streams.upsertBatch(spark, stateRoot, version, batch)
+        version.set(graft.streaming.Streams.upsertBatch(
+          spark, stateRoot, version.get, batch))
         ()
       }
       .option("checkpointLocation", freshCheckpointForTest("fbu"))
@@ -293,8 +294,8 @@ class StreamsSpec extends SparkSpec {
         (2L, ts(5), 0L, "click", 9.0), (3L, ts(1), 4L, "error", 0.0))
       q.processAllAvailable()
     } finally q.stop()
-    assert(version == 2, "each micro-batch must commit one snapshot version")
-    val state = spark.read.parquet(s"$stateRoot/v$version")
+    assert(version.get == 2, "each micro-batch must commit one snapshot version")
+    val state = spark.read.parquet(s"$stateRoot/v${version.get}")
       .filter(col("event_type") =!= "error")
       .collect().map(r => r.getLong(0) -> (r.getString(3), r.getDouble(4))).toMap
     assert(state == Map(1L -> ("purchase", 5.0), 2L -> ("view", 2.0)))
