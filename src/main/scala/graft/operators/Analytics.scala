@@ -323,6 +323,62 @@ object Analytics extends QueryModule {
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }),
 
+    // ---- triangle counting (graph motif matching) on the co-supplier
+    // graph: suppliers are adjacent iff they supply a common part. The
+    // canonical distributed shape: orient every edge low→high, then one
+    // self-join finds wedges and a second (with an edge-existence
+    // semi-join) closes them — each triangle counted exactly once, no
+    // cartesian. At 100 TB the standard refinement is degree-ordering
+    // instead of id-ordering (bounds wedge fan-out by max degree); the
+    // plan shape — two keyed equi-joins — is unchanged. ----
+    Q(
+      "graph_triangle_count",
+      Some("""
+        WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate <  TIMESTAMP '1997-01-01'),
+        e AS (SELECT DISTINCT a.s AS lo, b.s AS hi
+              FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        tri AS (
+          SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+          FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+          WHERE EXISTS (SELECT 1 FROM e e3
+                        WHERE e3.lo = e1.lo AND e3.hi = e2.hi))
+        SELECT 'n_edges' AS metric, CAST(count(*) AS BIGINT) AS value FROM e
+        UNION ALL
+        SELECT 'n_triangles', CAST(count(*) AS BIGINT) FROM tri
+        ORDER BY metric"""),
+      (s, dir) => {
+        // one ship-year scope: the per-part pair enumeration is the
+        // quadratic step (C(suppliers-per-part, 2) rows per part — same
+        // shape as the n-gram dedup candidate join), so a motif query
+        // scopes its snapshot; the filter reaches the parquet scan
+        val ps = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+          .distinct()
+        val e = ps.as("a")
+          .join(ps.as("b"),
+            col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+          .select(col("a.sup").as("lo"), col("b.sup").as("hi"))
+          .distinct()
+          .localCheckpoint() // reused 3×: wedge build (2 sides) + closure
+        val wedges = e.as("e1")
+          .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+          .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+            col("e2.hi").as("c"))
+        val tri = wedges.join(e.as("e3"),
+          col("a") === col("e3.lo") && col("c") === col("e3.hi"),
+          "left_semi")
+        e.agg(count(lit(1)).as("value"))
+          .select(lit("n_edges").as("metric"), col("value"))
+          .unionByName(tri.agg(count(lit(1)).as("value"))
+            .select(lit("n_triangles").as("metric"), col("value")))
+          .orderBy("metric")
+      }),
+
     // ---- theta-sketch set algebra: distinct customers per order-status
     // segment and their overlap/difference — ONE scan building two
     // mergeable sketches (FILTER'd aggregates), then O(k) sketch algebra.
