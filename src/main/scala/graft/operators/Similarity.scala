@@ -257,6 +257,69 @@ object Similarity extends QueryModule {
           .orderBy("label")
       }),
 
+    // ---- hybrid retrieval via reciprocal-rank fusion: a lexical leg
+    // (query-term frequency rank over documents) fused with a vector leg
+    // (cosine rank against a query embedding) as
+    // rrf = Σ 1e9 div (60 + rank), integer arithmetic so both engines
+    // fuse identically. Each leg is capped at its top-100 BEFORE fusion
+    // — at scale the caps come from an inverted index / ANN probe (the
+    // bm25 and LSH queries), so the global rank windows only ever see
+    // bounded candidate lists; the full-outer join handles docs present
+    // in one leg only. doc_id and vec_id share the id space (TESTDATA). ----
+    Q(
+      "retrieval_hybrid_rrf",
+      Some("""
+        WITH toks AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS term
+                      FROM documents),
+        lex0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS lex_tf
+                 FROM toks WHERE term IN ('spark', 'window', 'slow')
+                 GROUP BY 1),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY lex_tf DESC, doc_id) AS lr
+                FROM lex0 QUALIFY lr <= 100),
+        vec0 AS (SELECT vec_id AS doc_id,
+                        list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                           WHERE vec_id = 0)) AS cos
+                 FROM embeddings WHERE vec_id <> 0),
+        vec AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY cos DESC, doc_id) AS vr
+                FROM vec0 QUALIFY vr <= 100)
+        SELECT doc_id,
+               CAST(COALESCE(1000000000 // (60 + lr), 0)
+                  + COALESCE(1000000000 // (60 + vr), 0) AS BIGINT)
+                 AS rrf_score
+        FROM lex FULL OUTER JOIN vec USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id LIMIT 20"""),
+      (s, dir) => {
+        val wl = Window.orderBy(col("lex_tf").desc, col("doc_id"))
+        val lex = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin("spark", "window", "slow"))
+          .groupBy("doc_id").agg(count(lit(1)).as("lex_tf"))
+          .withColumn("lr", row_number().over(wl))
+          .filter(col("lr") <= 100).select("doc_id", "lr")
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"))
+        val wv = Window.orderBy(col("cos").desc, col("doc_id"))
+        val vec = e.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("vec")))
+          .select(col("vec_id").as("doc_id"), col("cos"))
+          .withColumn("vr", row_number().over(wv))
+          .filter(col("vr") <= 100).select("doc_id", "vr")
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000 div (60 + lr)"), lit(0L)) +
+             coalesce(expr("1000000000 div (60 + vr)"), lit(0L)))
+              .cast("long").as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(20)
+      }),
+
     Q(
       "emb_norm_stats_by_label",
       Some("""

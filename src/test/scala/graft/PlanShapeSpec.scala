@@ -222,7 +222,8 @@ class PlanShapeSpec extends SparkSpec {
       "join_cross_region_flags", // deliberate CROSS of two bounded dims
       "join_range_price_bands", // BETWEEN theta vs constant bands dim
       "sim_bruteforce_topk", // broadcast bounded query set (the baseline)
-      "sim_ivf_probe") // 16-centroid quantizer broadcast
+      "sim_ivf_probe", // 16-centroid quantizer broadcast
+      "retrieval_hybrid_rrf") // broadcast single query embedding
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
