@@ -43,6 +43,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_anotb_est",
       exprs => graft.functions.ThetaAnotBEst(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_assert_exact",
+      exprs => graft.functions.ThetaAssertExact(exprs.head), "scala_udf")
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
@@ -93,7 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => graft.functions.ThetaUnionEst(exprs(0), exprs(1))),
       ("theta_anotb_est",
         "theta_anotb_est(a, b) - |A minus B| estimate",
-        exprs => graft.functions.ThetaAnotBEst(exprs(0), exprs(1))))
+        exprs => graft.functions.ThetaAnotBEst(exprs(0), exprs(1))),
+      ("theta_assert_exact",
+        "theta_assert_exact(sk) - sketch unchanged; error if estimate-mode",
+        exprs => graft.functions.ThetaAssertExact(exprs.head)))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner

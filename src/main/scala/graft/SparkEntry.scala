@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.Typed,
     operators.Analytics,
+    operators.Catalog,
     sources.Roundtrip,
     streaming.Streams)
 

@@ -49,4 +49,28 @@ object Tables {
     * reference: docker-compose.yml:70-88). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** BSP-loop lineage truncation with a fault-tolerance toggle.
+    *
+    * Default: `localCheckpoint()` — fast (executor block manager), the
+    * right call in local mode and for short loops. Its cluster-scale
+    * caveat: blocks are pinned to executors, so losing an executor
+    * mid-iteration kills the job (the truncated lineage can't recompute).
+    * Setting `-Dgraft.checkpoint.dir=/shared/fs/path` switches every BSP
+    * loop to RELIABLE `checkpoint()` against that directory (HDFS/S3 on a
+    * real cluster), which survives executor loss at the cost of a write
+    * per superstep — the standard Pregel/GraphX trade. */
+  def truncateLineage(df: DataFrame): DataFrame =
+    sys.props.get("graft.checkpoint.dir") match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
+  /** `.truncated` chains where `.localCheckpoint()` used to. */
+  implicit class LineageOps(private val df: DataFrame) extends AnyVal {
+    def truncated: DataFrame = truncateLineage(df)
+  }
 }

@@ -124,6 +124,30 @@ case class ThetaUnionEst(left: Expression, right: Expression)
       l: Expression, r: Expression): ThetaUnionEst = copy(left = l, right = r)
 }
 
+/** theta_assert_exact(sk) → the sketch unchanged, or an error if it has
+  * left exact mode (theta < 1, i.e. the retained-hash set saturated the
+  * nominal lgK capacity and started sampling). Guards queries whose
+  * ORACLE parity depends on exactness — agg_theta_set_ops compares
+  * against exact INTERSECT/EXCEPT counts, which only holds while the
+  * per-segment key domain stays under 2^15; at a larger scale factor
+  * this fails loudly instead of producing a silent hash mismatch. */
+case class ThetaAssertExact(child: Expression)
+  extends UnaryExpression with ThetaScalar with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_assert_exact"
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = wrap(v)
+    if (sk.getTheta < 1.0)
+      throw new IllegalStateException(
+        s"theta sketch left exact mode (theta=${sk.getTheta}, retained=" +
+          s"${sk.getRetainedEntries}): the key domain outgrew lgK — raise " +
+          "setLogNominalEntries or switch the query to estimate-mode specs")
+    v
+  }
+  override protected def withNewChildInternal(c: Expression): ThetaAssertExact =
+    copy(child = c)
+}
+
 /** theta_anotb_est(a, b) → BIGINT estimate of |A \ B|. */
 case class ThetaAnotBEst(left: Expression, right: Expression)
   extends BinaryExpression with ThetaScalar with CodegenFallback {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, QueryModule, Tables}
+import graft.Tables.LineageOps
 
 /** Warehouse/graph analytics the reference's lakehouse shape implies but
   * never spells out: slowly-changing-dimension history (the versioned
@@ -239,19 +240,19 @@ object Analytics extends QueryModule {
           val e = edges(s, dir)
           val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
           // edge list with out-degree attached once, reused every round
-          val eDeg = e.join(deg, "src").localCheckpoint()
+          val eDeg = e.join(deg, "src").truncated
           val n = eDeg.select("src").distinct().count()
           val tele = ((SCALE * 15) / 100) / n
           var ranks = eDeg.select(col("src").as("node")).distinct()
             .withColumn("r", lit(SCALE / n))
-            .localCheckpoint()
+            .truncated
           for (_ <- 1 to 3) {
             ranks = ranks
               .join(eDeg, ranks("node") === eDeg("src"))
               .select(col("dst"), expr("r div deg").as("c"))
               .groupBy(col("dst").as("node"))
               .agg(expr(s"CAST($tele + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
-              .localCheckpoint()
+              .truncated
           }
           ranks.select(
           col("node"),
@@ -295,12 +296,12 @@ object Analytics extends QueryModule {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
-          val e = edges(s, dir).localCheckpoint()
+          val e = edges(s, dir).truncated
           val seeds = t(s, dir, "supplier")
             .filter(col("s_nationkey") === 0)
             .select((col("s_suppkey") * 2 + 1).as("node"))
             .distinct()
-          var visited = seeds.withColumn("min_hop", lit(0L)).localCheckpoint()
+          var visited = seeds.withColumn("min_hop", lit(0L)).truncated
           var frontier = seeds
           for (h <- 1 to 4) {
             val next = frontier
@@ -308,11 +309,11 @@ object Analytics extends QueryModule {
               .select(col("dst").as("node"))
               .distinct()
               .join(visited.select("node"), Seq("node"), "left_anti")
-              .localCheckpoint()
+              .truncated
             frontier = next
             visited = visited
               .union(next.withColumn("min_hop", lit(h.toLong)))
-              .localCheckpoint()
+              .truncated
           }
           visited.select(
             col("node"),
@@ -364,7 +365,7 @@ object Analytics extends QueryModule {
             col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
           .select(col("a.sup").as("lo"), col("b.sup").as("hi"))
           .distinct()
-          .localCheckpoint() // reused 3×: wedge build (2 sides) + closure
+          .truncated // reused 3×: wedge build (2 sides) + closure
         val wedges = e.as("e1")
           .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
           .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
@@ -413,12 +414,26 @@ object Analytics extends QueryModule {
               .as("skf"),
             expr("theta_sketch_agg(o_custkey) FILTER (WHERE o_orderstatus = 'O')")
               .as("sko"))
+          // runtime guard for the oracle's exactness precondition: fail
+          // loudly if either input sketch saturated lgK (theta < 1)
+          // instead of silently hash-mismatching at a larger SF
+          .select(
+            expr("theta_assert_exact(skf)").as("skf"),
+            expr("theta_assert_exact(sko)").as("sko"))
           .select(
             expr("theta_estimate(skf)").as("n_f"),
             expr("theta_estimate(sko)").as("n_o"),
             expr("theta_intersect_est(skf, sko)").as("n_both"),
             expr("theta_union_est(skf, sko)").as("n_either"),
             expr("theta_anotb_est(skf, sko)").as("n_f_only"))
+          // exact inputs make intersect/anotb exact, but the UNION can
+          // still saturate on its own — inclusion-exclusion is an exact
+          // invariant precisely when it didn't, so pin it here
+          .select(
+            col("n_f"), col("n_o"), col("n_both"),
+            expr("IF(n_f + n_o - n_both = n_either, n_either, " +
+              "raise_error('theta union left exact mode'))").as("n_either"),
+            col("n_f_only"))
       })
   )
 }

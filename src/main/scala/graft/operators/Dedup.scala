@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryModule, Tables}
+import graft.Tables.LineageOps
 
 /** Document deduplication for large-scale training-data pipelines: exact
   * (hash groupBy), exact-by-digest, n-gram Jaccard via an inverted-index
@@ -59,6 +60,16 @@ object Dedup extends QueryModule {
         call_function("trigram_shingles", split(col("text"), " ")).as("sh"))
       .filter(size(col("sh")) > 0)
   }
+
+  /** DuckDB fragment converting the first `n` hex chars of md5 expression
+    * `m` to a BIGINT — the cross-engine replayable hash primitive (Spark
+    * side: `conv(substring(md5(x), 1, n), 16, 10)`). Positional digit
+    * arithmetic because DuckDB has no baseN conv(). */
+  private def duckHexToLong(m: String, n: Int): String =
+    (1 to n).map { k =>
+      val coef = math.pow(16, (n - k).toDouble).toLong
+      s"(strpos('0123456789abcdef', substr($m, $k, 1)) - 1) * $coef"
+    }.mkString("(", " + ", ")")
 
   /** DuckDB fragment: (doc_id, sh LIST<VARCHAR>) distinct trigrams. */
   private val docShinglesSql = """
@@ -125,9 +136,9 @@ object Dedup extends QueryModule {
     // the standard shape for iterative DataFrame algorithms.
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").truncated
     var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).localCheckpoint()
+      .withColumn("lbl", col("doc")).truncated
     var changed = 1L
     var iter = 0
     val maxIters = 64 // O(log n) rounds with pointer jumping; wide margin
@@ -148,7 +159,7 @@ object Dedup extends QueryModule {
           col("p.lbl") === col("pj_doc"))
         .select(col("p.doc").as("doc"), col("p.old").as("old"),
           least(col("p.lbl"), col("pj_lbl")).as("lbl"))
-        .localCheckpoint()
+        .truncated
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.drop("old")
       iter += 1
@@ -249,17 +260,58 @@ object Dedup extends QueryModule {
           .orderBy("doc_id")),
 
     // ---- MinHash (16 perms) + LSH banding (4 bands × 4) → candidate
-    // equi-join on (band, band-hash) → exact Jaccard verify. Hash-seeded,
-    // so no SQL oracle; DedupSpec pins recall against dedup_ngram_jaccard
-    // and asserts the no-cartesian plan. ----
+    // equi-join on (band, band-hash) → exact Jaccard verify. Every hash in
+    // the pipeline is md5-derived (shingle hash = 48 md5 bits mod 1000003,
+    // band key = md5 of the signature slice), so the ENTIRE pipeline —
+    // signatures, banding, candidate set, final pairs — replays exactly in
+    // DuckDB and the row is hash-oracled, not allowlisted. DedupSpec
+    // additionally pins recall against dedup_ngram_jaccard and the
+    // no-cartesian plan. ----
     Q(
       "dedup_minhash_lsh",
-      None,
+      Some(s"""
+        WITH docs AS ($docShinglesSql),
+        ex AS (SELECT doc_id, unnest(sh) AS sg FROM docs),
+        hh AS (SELECT doc_id,
+                      ${duckHexToLong("md5(sg)", 12)} % 1000003 AS h
+               FROM ex),
+        perms AS (SELECT unnest(range(0, 16)) AS i),
+        sigs AS (
+          SELECT doc_id, i,
+                 min((h * (2*i + 1) + 7*i + 13) % 998244353) AS v
+          FROM hh CROSS JOIN perms
+          GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id, i // 4 AS band_id,
+                 md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS bkey
+          FROM sigs GROUP BY doc_id, (i // 4)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+        inter AS (
+          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c
+          JOIN ex a ON a.doc_id = c.id_a
+          JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b,
+                 round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2)
+        SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
       (s, dir) => {
         import graft.functions.VectorExprs
         val docs = docShingles(s, dir)
           .withColumn("hs",
-            transform(col("sh"), x => pmod(xxhash64(x), lit(1000003L))))
+            transform(col("sh"), x =>
+              conv(substring(md5(x), 1, 12), 16, 10).cast("long") % 1000003L))
           .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), 16))
         // persisted: the signature pipeline feeds both sides of the
         // candidate self-join (stream + broadcast build), and Spark only
@@ -269,7 +321,12 @@ object Dedup extends QueryModule {
           col("doc_id"),
           explode(transform(sequence(lit(0), lit(3)), b =>
             struct(b.as("band_id"),
-              hash(slice(col("sig"), b * 4 + 1, lit(4))).as("bkey"))))
+              // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
+              // engine-neutral band keys are what make the whole LSH
+              // pipeline oracle-replayable
+              md5(concat_ws(",",
+                transform(slice(col("sig"), b * 4 + 1, lit(4)),
+                  _.cast("string")))).as("bkey"))))
             .as("band"))
           .select(col("doc_id"), col("band.band_id"), col("band.bkey"))
           .persist()
@@ -483,14 +540,32 @@ object Dedup extends QueryModule {
       }),
 
     // ---- SimHash: 32-bit signature from token hashes (bit-majority).
-    // Hash-seeded → no SQL oracle; DedupSpec pins determinism + locality. ----
+    // Token hash = first 32 md5 bits, so every signature replays exactly
+    // in DuckDB (positional hex arithmetic — no conv() there) and the row
+    // is hash-oracled; DedupSpec still pins determinism + locality. ----
     Q(
       "dedup_simhash",
-      None,
+      Some {
+        val bitSum = (0 until 32).map { j =>
+          s"""CASE WHEN sum(CASE WHEN (v // ${1L << j}) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+                  THEN ${1L << j} ELSE 0 END"""
+        }.mkString(" + ")
+        s"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+          FROM documents),
+        h AS (SELECT doc_id, ${duckHexToLong("md5(tok)", 8)} AS v FROM ex)
+        SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash
+        FROM h GROUP BY doc_id ORDER BY doc_id"""
+      },
       (s, dir) => {
         val ex = t(s, dir, "documents")
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .withColumn("h", xxhash64(col("tok")))
+          .withColumn("h",
+            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
         val bitAggs = (0 until 32).map(j =>
           sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
             .otherwise(-1)).as(s"b$j"))

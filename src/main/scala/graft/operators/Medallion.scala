@@ -341,6 +341,76 @@ object Medallion extends QueryModule {
             sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
           .orderBy("split")),
 
+    // ---- the ML train step itself (reference realestate_pipeline.py:
+    // 224-234 fits sklearn RandomForest + r² driver-side after toPandas)
+    // closed ENGINE-side with public math: ordinary least squares of
+    // price on area has the closed form slope = (n·Σxy − Σx·Σy) /
+    // (n·Σx² − (Σx)²) — one distributed aggregation pass, no ML library.
+    // Oracle determinism: every Σ is an EXACT integer (x is a small int,
+    // y is price in integer cents; sums in DECIMAL(38,0) / HUGEINT), so
+    // both engines convert the SAME exact integers to double and apply
+    // the SAME IEEE ops — unlike regr_slope/regr_r2, whose internal
+    // double accumulation order differs across engines (the float-sum
+    // digit-flip trap). Same one-pass shape fits 100 TB: six map-side
+    // partial sums, one exchange of a single row. ----
+    Q(
+      "gold_regression_fit",
+      Some("""
+        WITH f AS (
+          SELECT CAST(o_orderkey % 500 + 1 AS BIGINT) AS x,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS y
+          FROM orders),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x*x) AS HUGEINT) AS sxx,
+                 CAST(sum(x*y) AS HUGEINT) AS sxy,
+                 CAST(sum(y*y) AS HUGEINT) AS syy
+          FROM f),
+        d AS (
+          SELECT n, sx, sy,
+                 n*sxy - sx*sy AS num,
+                 n*sxx - sx*sx AS den,
+                 n*syy - sy*sy AS deny
+          FROM s)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                 AS slope_cents,
+               round((CAST(sy AS DOUBLE) - CAST(num AS DOUBLE)
+                   / CAST(den AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 6) AS intercept_cents,
+               round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                   / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+        FROM d"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .selectExpr(
+            "CAST(o_orderkey % 500 + 1 AS BIGINT) AS x",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
+          .agg(
+            // per-row products fit BIGINT; their SUMS don't (Σy² ≈ 5e19 at
+            // sf0.01) — cast each addend to decimal so Spark accumulates
+            // in DECIMAL(38,0), the analogue of DuckDB's HUGEINT sum
+            expr("CAST(count(*) AS DECIMAL(38,0))").as("n"),
+            expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+            expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+            expr("sum(CAST(x*x AS DECIMAL(38,0)))").as("sxx"),
+            expr("sum(CAST(x*y AS DECIMAL(38,0)))").as("sxy"),
+            expr("sum(CAST(y*y AS DECIMAL(38,0)))").as("syy"))
+          .selectExpr("n", "sx", "sy",
+            "n*sxy - sx*sy AS num",
+            "n*sxx - sx*sx AS den",
+            "n*syy - sy*sy AS deny")
+          .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope_cents",
+            "round((CAST(sy AS DOUBLE) - CAST(num AS DOUBLE)" +
+              " / CAST(den AS DOUBLE) * CAST(sx AS DOUBLE))" +
+              " / CAST(n AS DOUBLE), 6) AS intercept_cents",
+            "round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)" +
+              " / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2")),
+
     // ---- data-quality constraint audit (Deequ-style expectations): every
     // constraint is an aggregate over ONE shared scan — completeness,
     // uniqueness, domain membership, range, and referential integrity

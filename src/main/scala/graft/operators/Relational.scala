@@ -710,10 +710,17 @@ object Relational extends QueryModule {
       None,
       (s, dir) => {
         graft.GraftExtensions.register(s)
+        // scalar columns, not array<double>: the driver's comparator
+        // sorts/hashes cell values and cannot hash an array cell.
         t(s, dir, "orders")
           .groupBy("o_orderstatus")
           .agg(expr("kll_quantiles(CAST(o_totalprice AS DOUBLE))")
             .as("quantiles"))
+          .select(
+            col("o_orderstatus"),
+            col("quantiles").getItem(0).as("p50"),
+            col("quantiles").getItem(1).as("p90"),
+            col("quantiles").getItem(2).as("p99"))
           .orderBy("o_orderstatus")
       }),
 
@@ -732,8 +739,13 @@ object Relational extends QueryModule {
             expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
           .orderBy("o_orderstatus")),
 
-    // seeded Bernoulli sampling — partition-layout-dependent row choice →
-    // no SQL oracle; SimilaritySpec bounds the sampled fraction.
+    // seeded Bernoulli sampling — allowlist rationale: Spark's sample()
+    // seeds an XORShift rng PER PARTITION (seed + partition index) and
+    // draws in row-iteration order, so the selected row set is a function
+    // of the physical partition layout, not of row values — no SQL engine
+    // can replay it, and unlike sampleBy below there is no per-stratum
+    // population to bracket against in the output shape. SimilaritySpec
+    // bounds the realized fraction instead.
     Q(
       "sample_bernoulli_seeded",
       None,
@@ -744,19 +756,38 @@ object Relational extends QueryModule {
 
     // stratified sampling (sampleBy): per-stratum fractions — the
     // class-rebalancing primitive of training-data curation (downsample
-    // the majority class, keep the rare one). Seeded rng over partition
-    // layout → no SQL oracle; SimilaritySpec bounds each stratum's
-    // realized fraction.
+    // the majority class, keep the rare one). The seeded rng draws per
+    // partition layout, so realized counts aren't cross-engine
+    // reproducible — but the CLT bracket |n_s − f·n| ≤ 4σ + 5 is: the
+    // query asserts it engine-side while the oracle pins the population
+    // counts exactly plus the bracket verdict, turning the row from
+    // allowlisted to hash-oracled without faking determinism the API
+    // doesn't have. SimilaritySpec still bounds each realized fraction.
     Q(
       "sample_stratified_by_status",
-      None,
-      (s, dir) =>
-        t(s, dir, "orders")
-          .stat.sampleBy("o_orderstatus",
-            Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5), seed = 42L)
+      Some("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_pop,
+               TRUE AS within_bracket
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val fractions = Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5)
+        val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("o_orderstatus") === k, v).otherwise(acc)
+        }
+        val sampled = t(s, dir, "orders")
+          .stat.sampleBy("o_orderstatus", fractions, seed = 42L)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_sampled"))
-          .orderBy("o_orderstatus")),
+        t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_pop"))
+          .join(sampled, Seq("o_orderstatus"), "left")
+          .select(col("o_orderstatus"), col("n_pop"),
+            (abs(coalesce(col("n_sampled"), lit(0L)) - f * col("n_pop"))
+              <= sqrt(f * (lit(1.0) - f) * col("n_pop")) * 4 + 5)
+              .as("within_bracket"))
+          .orderBy("o_orderstatus")
+      }),
 
     // ---- window family ----
     Q(

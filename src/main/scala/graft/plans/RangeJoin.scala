@@ -62,7 +62,7 @@ case class RangeJoinExec(
   override def output: Seq[Attribute] = left.output ++ right.output
 
   protected override def doExecute(): RDD[InternalRow] = {
-    import RangeJoinExec.longEval
+    import RangeJoinExec.{longEval, nullableLongEval}
     val lOut = left.output
     val rOut = right.output
     val out = output
@@ -73,10 +73,21 @@ case class RangeJoinExec(
     val parts = math.max(1, conf.numShufflePartitions)
 
     val lRdd = left.execute().mapPartitions { it =>
-      val ev = longEval(p, lOut)
+      val ev = nullableLongEval(p, lOut)
       val toUnsafe = UnsafeProjection.create(lOut, lOut)
-      it.map(r => (ev(r), toUnsafe(r).copy()))
+      // NULL point matches no interval (SQL inner-join semantics) —
+      // without the filter the unsafe getLong would read 0 and the row
+      // would spuriously join any interval containing 0.
+      it.flatMap { r =>
+        val v = ev(r)
+        if (v == null) Iterator.empty
+        else Iterator.single((v.longValue(), toUnsafe(r).copy()))
+      }
     }
+    // the boundary sketch and the shuffle both consume lRdd; persist it
+    // so the left child plan runs once, not twice (spill-safe level —
+    // the ContextCleaner unpersists it once the join RDD is unreferenced)
+    lRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded seeded sketch of the point distribution — what an Exchange
     // rangepartitioning samples; ~20 samples per target partition
     val sample = lRdd.map(_._1)
@@ -98,16 +109,21 @@ case class RangeJoinExec(
     val lKeyed = lRdd.map { case (v, r) => (bucket(v), r) }
       .partitionBy(partitioner)
     val rKeyed = right.execute().mapPartitions { it =>
-      val loEv = longEval(l, rOut)
-      val hiEv = longEval(h, rOut)
+      val loEv = nullableLongEval(l, rOut)
+      val hiEv = nullableLongEval(h, rOut)
       val toUnsafe = UnsafeProjection.create(rOut, rOut)
       it.flatMap { r =>
-        val (lv, hv) = (loEv(r), hiEv(r))
-        if (hv <= lv) Iterator.empty
+        val (lvB, hvB) = (loEv(r), hiEv(r))
+        // NULL bound → interval matches nothing (not a [lo,0)/[0,hi) span)
+        if (lvB == null || hvB == null) Iterator.empty
         else {
-          val row = toUnsafe(r).copy()
-          // hi is exclusive but bucket(hi) may still hold points < hi
-          (bucket(lv) to bucket(hv)).iterator.map(b => (b, row))
+          val (lv, hv) = (lvB.longValue(), hvB.longValue())
+          if (hv <= lv) Iterator.empty
+          else {
+            val row = toUnsafe(r).copy()
+            // hi is exclusive but bucket(hi) may still hold points < hi
+            (bucket(lv) to bucket(hv)).iterator.map(b => (b, row))
+          }
         }
       }
     }.partitionBy(partitioner)
@@ -159,6 +175,19 @@ object RangeJoinExec {
       attrs: Seq[Attribute]): InternalRow => Long = {
     val proj = UnsafeProjection.create(Seq(e), attrs)
     row => proj(row).getLong(0)
+  }
+
+  /** Null-aware variant for the keying map side: returns null instead of
+    * silently reading 0 from the unsafe row's zeroed slot. Rows with a
+    * null key are dropped BEFORE bucketing, so the sweep phase (which
+    * uses the primitive evaluator) only ever sees non-null keys. */
+  private def nullableLongEval(e: Expression,
+      attrs: Seq[Attribute]): InternalRow => java.lang.Long = {
+    val proj = UnsafeProjection.create(Seq(e), attrs)
+    row => {
+      val r = proj(row)
+      if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+    }
   }
 }
 

@@ -5,8 +5,9 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import graft.Tables
 
 /** Manifest-tracked versioned parquet table — the table-format core
@@ -54,19 +55,137 @@ object Snapshots {
   def readManifest(root: String, version: Int): Seq[String] =
     Files.readAllLines(manifestPath(root, version)).asScala.toSeq
 
+  def schemaPath(root: String, version: Int): java.nio.file.Path =
+    Paths.get(root, s"schema_v$version.json")
+
+  private def writeSchema(root: String, version: Int, schema: StructType): Unit = {
+    Files.write(schemaPath(root, version),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readSchema(root: String, version: Int): Option[StructType] = {
+    val p = schemaPath(root, version)
+    if (Files.exists(p))
+      Some(DataType.fromJson(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+    else None
+  }
+
   /** Read the table as of a committed version: manifest N's files, no
     * directory listing, no partition inference — the file list is the
-    * source of truth (so concurrently-written newer files are invisible). */
+    * source of truth (so concurrently-written newer files are invisible).
+    * If the version carries an evolved schema (schema_vN.json, written by
+    * an ADD-COLUMN commit), the read applies it explicitly: data files
+    * that predate the new column simply yield NULL for it — the same
+    * read-time fill Delta/Iceberg perform from their log schema, so
+    * schema evolution never rewrites untouched files. */
   def readVersion(s: SparkSession, root: String, version: Int): DataFrame =
-    s.read.parquet(readManifest(root, version): _*)
+    readSchema(root, version) match {
+      case Some(schema) =>
+        s.read.schema(schema).parquet(readManifest(root, version): _*)
+      case None => s.read.parquet(readManifest(root, version): _*)
+    }
+
+  /** The demo table's bucketing rule — recomputed from the key on read
+    * because partitionBy strips `bkt` from the data files and an explicit
+    * file-list read performs no partition-path inference. Deterministic
+    * key→bucket is what makes copy-on-write surgical: a predicate's
+    * touched buckets are derivable without reading untouched files. */
+  private def bucketOf(key: Column): Column = pmod(key, lit(8)).cast("int")
+
+  /** Copy-on-write commit core for the SQL DML verbs: rows of version
+    * `fromV` matching `pred` select the TOUCHED buckets; those buckets
+    * are rewritten through `rewrite` (delete filters, update rewrites
+    * columns); every untouched file is re-referenced from the previous
+    * manifest. Write amplification is O(touched buckets), never O(table).
+    * The new manifest (written LAST) is the atomic commit point. */
+  private def commitCow(s: SparkSession, root: String, fromV: Int,
+      pred: Column, rewrite: DataFrame => DataFrame): Int = {
+    val cur = readVersion(s, root, fromV)
+      .withColumn("bkt", bucketOf(col("o_orderkey")))
+    val touched = cur.filter(pred).select("bkt").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ bucket count — metadata scale
+    commitFiles(s, root, fromV, touched,
+      rewrite(cur.filter(col("bkt").isin(touched.map(Integer.valueOf): _*))))
+  }
+
+  /** Shared commit tail: write the rewritten buckets as data_v{N+1},
+    * re-reference every untouched file, carry the version schema, and
+    * write the manifest LAST (the atomic commit point). */
+  private def commitFiles(s: SparkSession, root: String, fromV: Int,
+      touched: Array[Int], newData: DataFrame): Int = {
+    val toV = fromV + 1
+    val touchedFiles: String => Boolean =
+      f => touched.exists(b => f.contains(s"bkt=$b/") || f.contains(s"bkt=$b${File.separator}"))
+    newData
+      .repartition(math.max(1, touched.length), col("bkt"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+      .parquet(s"$root/data_v$toV")
+    val carried = readManifest(root, fromV).filterNot(touchedFiles)
+    readSchema(root, fromV).foreach(writeSchema(root, toV, _))
+    writeManifest(root, toV,
+      carried ++ parquetFilesUnder(new File(s"$root/data_v$toV")))
+    toV
+  }
+
+  /** SQL `MERGE INTO t USING src ON t.key = src.key WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` as a copy-on-write
+    * commit. Touched buckets derive from the SOURCE keys (matched rows
+    * to replace and new rows both land where their key hashes), so the
+    * write amplification is proportional to the changeset's key spread —
+    * the same property Delta's file-pruning MERGE optimizes for. */
+  def commitMerge(s: SparkSession, root: String, fromV: Int,
+      source: DataFrame, key: String = "o_orderkey"): Int = {
+    val src = source.withColumn("bkt", bucketOf(col(key)))
+    val touched = src.select("bkt").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cur = readVersion(s, root, fromV)
+      .withColumn("bkt", bucketOf(col(key)))
+    val kept = cur
+      .filter(col("bkt").isin(touched.map(Integer.valueOf): _*))
+      .join(src.select(col(key).as("__merge_key")),
+        col(key) === col("__merge_key"), "left_anti")
+    commitFiles(s, root, fromV, touched, kept.unionByName(src))
+  }
+
+  /** SQL `DELETE FROM t WHERE pred` as a copy-on-write commit. */
+  def commitDelete(s: SparkSession, root: String, fromV: Int,
+      pred: Column): Int =
+    commitCow(s, root, fromV, pred, _.filter(!pred))
+
+  /** SQL `UPDATE t SET col = expr WHERE pred` as a copy-on-write commit:
+    * non-matching rows in a touched bucket are carried into the new file
+    * unchanged. */
+  def commitUpdate(s: SparkSession, root: String, fromV: Int,
+      pred: Column, set: (String, Column)): Int =
+    commitCow(s, root, fromV, pred,
+      df => df.withColumn(set._1, when(pred, set._2).otherwise(col(set._1))))
+
+  /** SQL `ALTER TABLE t ADD COLUMN` as a METADATA-ONLY commit: same file
+    * list as the previous version, evolved schema in schema_vN.json. Every
+    * existing row reads the new column as NULL until a later COW commit
+    * populates it — zero data movement, like Delta's log-schema change. */
+  def commitAddColumn(s: SparkSession, root: String, fromV: Int,
+      name: String, dataType: DataType): Int = {
+    val toV = fromV + 1
+    val base = readSchema(root, fromV)
+      .getOrElse(readVersion(s, root, fromV).schema)
+    writeSchema(root, toV,
+      StructType(base.fields :+ StructField(name, dataType, nullable = true)))
+    writeManifest(root, toV, readManifest(root, fromV))
+    toV
+  }
 
   /** Build the demo table: v1 = orders(status F) bucketed 8 ways by key;
     * v2 = copy-on-write commit doubling o_totalprice for keys % 40 == 0.
     * All such keys live in bucket 0 (40 is a multiple of 8), so the
     * commit rewrites exactly one bucket and re-references the other 7
     * file groups from v1's manifest. Returns the table root. */
-  def buildDemoTable(s: SparkSession, dir: String): String = {
-    val rootF = new File(s"${Tables.scratchRoot}/time_travel")
+  def buildDemoTable(s: SparkSession, dir: String,
+      sub: String = "time_travel"): String = {
+    val rootF = new File(s"${Tables.scratchRoot}/$sub")
     wipe(rootF)
     rootF.mkdirs()
     val root = rootF.getAbsolutePath

@@ -123,4 +123,45 @@ class AnalyticsSpec extends SparkSpec {
       expr("theta_anotb_est(a, b)")).head
     assert(r.getLong(0) == 100L && r.getLong(1) == 500L && r.getLong(2) == 200L)
   }
+
+  test("theta_assert_exact passes exact sketches, fails estimate-mode ones") {
+    GraftExtensions.register(spark)
+    val ok = spark.range(0, 1000)
+      .agg(expr("theta_estimate(theta_assert_exact(theta_sketch_agg(id)))"))
+      .head.getLong(0)
+    assert(ok == 1000L)
+    val e = intercept[Exception] {
+      spark.range(0, 200000)
+        .agg(expr("theta_estimate(theta_assert_exact(theta_sketch_agg(id)))"))
+        .head
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("BSP loops run in reliable-checkpoint mode when graft.checkpoint.dir is set") {
+    // the fault-tolerance toggle (Tables.truncateLineage): localCheckpoint
+    // pins blocks to executors — on a real cluster an executor loss kills
+    // the job mid-loop; -Dgraft.checkpoint.dir switches every BSP loop to
+    // reliable checkpoint() against a shared dir. Same results, and the
+    // checkpoint dir must actually receive the RDD snapshots.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toFile
+    val baseline = run("graph_bfs_min_hops").collect().toSeq
+    sys.props("graft.checkpoint.dir") = ckpt.getAbsolutePath
+    try {
+      val reliable = run("graph_bfs_min_hops").collect().toSeq
+      assert(reliable == baseline,
+        "reliable-checkpoint mode must not change results")
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(ckpt), "checkpoint dir received no RDD snapshots")
+    } finally {
+      sys.props.remove("graft.checkpoint.dir")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ckpt)
+    }
+  }
 }

@@ -119,7 +119,9 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val ex = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      // same md5-derived 32-bit token hash as the registered query
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val bitAggs = (0 until 32).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$j"))

@@ -25,6 +25,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 100L), (2L, 100L)))
   }
 
+  test("NULL keys match nothing (SQL inner-join semantics)") {
+    import spark.implicits._
+    // a null point must not join the interval containing 0, and a null
+    // bound must not degrade to a [lo,0) / [0,hi) interval
+    val pts = Seq((1L, Some(0L)), (2L, None), (3L, Some(7L)))
+      .toDF("pid", "p")
+    val ivs = Seq(
+      (100L, Some(-5L), Some(5L)), // contains 0
+      (200L, None, Some(50L)),     // null lo: matches nothing
+      (300L, Some(-50L), None)     // null hi: matches nothing
+    ).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L)), s"got $got")
+  }
+
   test("matches a nested-loop reference on random many-to-many intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)

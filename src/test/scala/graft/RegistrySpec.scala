@@ -21,13 +21,14 @@ class RegistrySpec extends SparkSpec {
   test("oracle coverage: at most a small hash-seeded minority lacks oracles") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // every no-oracle query must be hash-seeded/approximate by design —
-    // this list is the explicit allowlist
-    val allowed = Set("dedup_minhash_lsh", "dedup_simhash",
+    // this list is the explicit allowlist. (Round 5 flipped minhash-LSH,
+    // simhash, and the stratified sampler to real oracles: md5-replayable
+    // hashing for the first two, a CLT count-bracket for the third.)
+    val allowed = Set(
       "sim_ann_hyperplane", "sim_ann_multiprobe", "sim_ivf_probe",
       "agg_approx_count_distinct", "agg_hll_sketch_union",
       "agg_kll_quantiles",
-      "agg_approx_percentile", "sample_bernoulli_seeded",
-      "sample_stratified_by_status")
+      "agg_approx_percentile", "sample_bernoulli_seeded")
     assert((noOracle -- allowed).isEmpty,
       s"queries without oracle not on the allowlist: ${noOracle -- allowed}")
   }

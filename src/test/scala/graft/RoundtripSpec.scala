@@ -92,4 +92,56 @@ class RoundtripSpec extends SparkSpec {
       .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
     assert(v2cents == basecents + delta)
   }
+
+  test("snapshot DML: DELETE/UPDATE rewrite only touched buckets;" +
+    " ADD COLUMN is metadata-only and version schemas stay independent") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Snapshots
+    val root = Snapshots.buildDemoTable(spark, sf, "spec_dml")
+
+    // DELETE %40==0 (all in bucket 0): v3 carries every non-bucket-0
+    // file of v2 by reference and rewrites exactly one file group
+    val v3 = Snapshots.commitDelete(spark, root, 2,
+      col("o_orderkey") % 40 === 0)
+    val m2 = Snapshots.readManifest(root, 2)
+    val m3 = Snapshots.readManifest(root, v3)
+    assert(m3.filterNot(_.contains("data_v3")).toSet ==
+      m2.filterNot(_.contains("bkt=0")).toSet,
+      "delete must re-reference every untouched file group")
+    assert(Snapshots.readVersion(spark, root, v3)
+      .filter(col("o_orderkey") % 40 === 0).count() == 0)
+    // prior version unaffected (immutability under the delete commit)
+    assert(Snapshots.readVersion(spark, root, 2)
+      .filter(col("o_orderkey") % 40 === 0).count() > 0)
+
+    // UPDATE %40==13 (bucket 5 only) on top of the delete
+    val v4 = Snapshots.commitUpdate(spark, root, v3,
+      col("o_orderkey") % 40 === 13,
+      "o_totalprice" -> (col("o_totalprice") + 1000))
+    val m4 = Snapshots.readManifest(root, v4)
+    assert(m4.filterNot(_.contains("data_v4")).toSet ==
+      m3.filterNot(_.contains("bkt=5")).toSet,
+      "update must re-reference every untouched file group")
+    val bumped = Snapshots.readVersion(spark, root, v4)
+      .filter(col("o_orderkey") % 40 === 13)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    val before = Snapshots.readVersion(spark, root, v3)
+      .filter(col("o_orderkey") % 40 === 13)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")),
+        count(lit(1))).head
+    assert(bumped == before.getLong(0) + 100000L * before.getLong(1))
+
+    // ADD COLUMN: same file list, evolved schema; old version keeps the
+    // old schema; pre-existing rows read the new column as NULL
+    val v5 = Snapshots.commitAddColumn(spark, root, v4, "price_band",
+      org.apache.spark.sql.types.StringType)
+    assert(Snapshots.readManifest(root, v5) == m4,
+      "ADD COLUMN must not move data")
+    val v5df = Snapshots.readVersion(spark, root, v5)
+    assert(v5df.columns.contains("price_band"))
+    assert(v5df.filter(col("price_band").isNotNull).count() == 0)
+    assert(!Snapshots.readVersion(spark, root, v4)
+      .columns.contains("price_band"),
+      "time-travel read of the pre-evolution version keeps the old schema")
+  }
 }
