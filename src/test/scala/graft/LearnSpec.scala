@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the engine-side train steps (operators.Learn) —
+  * the DuckDB oracle pins cross-engine value equality; these pin that
+  * the math MEANS what it claims.
+  */
+class LearnSpec extends SparkSpec {
+
+  test("kmeans partitions all points and orders centroids by price") {
+    val rows = SparkEntry.queries("ml_kmeans_fixed_iters")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total, "every point assigned once")
+    // price is the dominant axis; Lloyd preserves the ordered init
+    val cys = rows.sortBy(_.getLong(0)).map(_.getDouble(3))
+    assert(cys.sliding(2).forall { case Array(a, b) => a < b },
+      s"centroid price order broken: ${cys.mkString(",")}")
+  }
+
+  test("logreg gradient descent reduces the quantized SSE") {
+    val r = SparkEntry.queries("ml_logreg_gd")(spark, sf).collect()(0)
+    val (sseInit, sseLast) = (r.getDouble(3), r.getDouble(4))
+    assert(sseLast <= sseInit,
+      s"descent failed: sse $sseInit -> $sseLast")
+    // near-zero-signal label → the weight stays small, the bias moves
+    // toward the class prior
+    assert(math.abs(r.getDouble(1)) < 1.0)
+  }
+
+  test("two-feature OLS satisfies the normal equations") {
+    val r = SparkEntry.queries("ml_linreg_two_features")(spark, sf)
+      .collect()(0)
+    val (b0, b1, b2, r2) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+    // residuals orthogonal to each regressor (X'(y − Xb) = 0): the
+    // defining property of the OLS solution, checked to float slack
+    val g = Tables.load(spark, sf, "orders")
+      .selectExpr(
+        "CAST(o_orderkey % 500 AS BIGINT) AS x1",
+        "CAST(o_custkey % 300 AS BIGINT) AS x2",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
+      .select(
+        (col("y") - lit(b0) - lit(b1) * col("x1") - lit(b2) * col("x2"))
+          .as("res"),
+        col("x1"), col("x2"))
+      .agg(avg("res").as("m0"), avg(col("res") * col("x1")).as("m1"),
+        avg(col("res") * col("x2")).as("m2"))
+      .collect()(0)
+    // residual means scale with y (~2.5e7 cents); 6-decimal coefficient
+    // rounding leaves per-row slack ~ |x|·5e-7 → generous 1.0 bound
+    for (i <- 0 until 3)
+      assert(math.abs(g.getDouble(i)) < 1.0,
+        s"normal-equation moment $i = ${g.getDouble(i)}")
+  }
+
+  test("standardized feature has mean ~0, stddev ~1, minmax in [0,1]") {
+    val df = SparkEntry.queries("ml_standardize_features")(spark, sf)
+    val st = df.agg(
+      avg("z_price").as("mz"), stddev("z_price").as("sz"),
+      min("mm_price").as("lo"), max("mm_price").as("hi")).collect()(0)
+    assert(math.abs(st.getDouble(0)) < 1e-3)
+    assert(math.abs(st.getDouble(1) - 1.0) < 1e-3)
+    assert(st.getDouble(2) == 0.0 && st.getDouble(3) == 1.0)
+  }
+}

@@ -223,7 +223,11 @@ class PlanShapeSpec extends SparkSpec {
       "join_range_price_bands", // BETWEEN theta vs constant bands dim
       "sim_bruteforce_topk", // broadcast bounded query set (the baseline)
       "sim_ivf_probe", // 16-centroid quantizer broadcast
-      "retrieval_hybrid_rrf") // broadcast single query embedding
+      "retrieval_hybrid_rrf", // broadcast single query embedding
+      "ml_kmeans_fixed_iters", // broadcast 1-row (k=3 wide) centroid table
+      "ml_logreg_gd", // broadcast 1-row weight state per GD step
+      "ml_linreg_two_features", // single-row sums joined to nothing (agg only)
+      "ml_standardize_features") // broadcast 1-row global stats
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
