@@ -444,5 +444,102 @@ object Curation extends QueryModule {
           .filter(substring(md5(concat(col("doc_id").cast("string"),
             lit(":seed42"))), 1, 2) < "33")
           .select(col("doc_id"), col("lang"))
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // ---- Repetition filter (Gopher-style quality rules, Rae et al.
+    // 2021 §A1.1): flag documents whose content is internally repetitive
+    // — here the duplicate-word fraction and the top-bigram fraction
+    // (the published rules use duplicate lines/paragraphs and top-2..4-
+    // gram fractions; same signals, thresholds recalibrated for the
+    // ~31-word synthetic vocab where baseline repetition is far above
+    // natural text). Scale: everything is per-document — explode, two
+    // doc-keyed aggregations, no corpus-wide state, embarrassingly
+    // parallel at any scale. ----
+    Q(
+      "curate_repetition_filter",
+      Some("""
+        WITH base AS (
+          SELECT doc_id, ts, len(ts) AS n FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents) WHERE len(ts) >= 2),
+        wstats AS (
+          SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS nd
+          FROM (SELECT doc_id, unnest(ts) AS w FROM base) GROUP BY doc_id),
+        bgtop AS (
+          SELECT doc_id, max(c) AS topc, sum(c) AS nbg FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+              FROM base, unnest(range(1, len(ts))) AS t(i))
+            GROUP BY 1, 2) GROUP BY doc_id)
+        SELECT b.doc_id, CAST(w.nw AS BIGINT) AS n_tokens,
+               round(1.0 - CAST(w.nd AS DOUBLE) / w.nw, 6) AS dup_word_frac,
+               round(CAST(t.topc AS DOUBLE) / t.nbg, 6) AS top_bigram_frac,
+               (1.0 - CAST(w.nd AS DOUBLE) / w.nw) > 0.5
+                 OR CAST(t.topc AS DOUBLE) / t.nbg > 0.1 AS flagged
+        FROM base b
+        JOIN wstats w USING (doc_id) JOIN bgtop t USING (doc_id)
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .withColumn("n", size(col("ts")))
+          .filter(col("n") >= 2)
+        val wstats = base
+          .select(col("doc_id"), explode(col("ts")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nw"), countDistinct("w").as("nd"))
+        val bgtop = base
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), col("n") - 2), i =>
+              concat(element_at(col("ts"), i + 1), lit(" "),
+                element_at(col("ts"), i + 2)))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max("c").as("topc"), sum("c").as("nbg"))
+        val dupFrac = lit(1.0) - col("nd").cast("double") / col("nw")
+        val topFrac = col("topc").cast("double") / col("nbg")
+        base.select("doc_id")
+          .join(wstats, "doc_id").join(bgtop, "doc_id")
+          .select(col("doc_id"), col("nw").as("n_tokens"),
+            round(dupFrac, 6).as("dup_word_frac"),
+            round(topFrac, 6).as("top_bigram_frac"),
+            (dupFrac > 0.5 || topFrac > 0.1).as("flagged"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Sliding-window chunking with overlap (window 32 tokens,
+    // stride 24 → 8-token overlap): the RAG/context-window prep step —
+    // unlike curate_pack_sequences (which concatenates docs up to a
+    // budget) this SPLITS long documents into overlapping pieces so no
+    // retrieval boundary loses context. Scale: chunk starts are computed
+    // per row from the token count (explode of an arithmetic sequence)
+    // — no shuffle at all until a downstream op asks for one. ----
+    Q(
+      "curate_chunk_overlap",
+      Some("""
+        WITH base AS (
+          SELECT doc_id, ts, len(ts) AS n FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents) WHERE len(ts) > 0)
+        SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_id,
+               CAST(least(32, n - i) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(ts[i+1:i+32], ' ') AS chunk_text
+        FROM base, unnest(range(0, n, 24)) AS t(i)
+        ORDER BY doc_id, chunk_id"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .withColumn("n", size(col("ts")))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("ts"), col("n"),
+            explode(sequence(lit(0), col("n") - 1, lit(24))).as("i"))
+          .select(col("doc_id"),
+            (col("i") / 24).cast("long").as("chunk_id"),
+            least(lit(32), col("n") - col("i")).cast("long")
+              .as("n_chunk_tokens"),
+            array_join(slice(col("ts"), col("i") + 1, lit(32)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")))
 }

@@ -576,6 +576,77 @@ object Dedup extends QueryModule {
           .agg(bitAggs.head, bitAggs.tail: _*)
           .select(col("doc_id"), sim.as("simhash"))
           .orderBy("doc_id")
+      }),
+
+    // ---- Incremental corpus dedup: the production shape — a NEW batch
+    // (odd doc_ids stand in for today's crawl) deduped against the
+    // EXISTING corpus (even doc_ids), never corpus×corpus. Exact layer:
+    // md5 digest semi-join. Near layer: the same inverted-index trigram
+    // join as dedup_ngram_jaccard, but the posting sides are disjoint
+    // (incoming × existing), so the candidate volume is |batch| -bounded.
+    // At 100 TB the existing side's postings are a persisted, bucketed
+    // index the daily batch streams against — the joins here are exactly
+    // that access pattern. Verdict per incoming doc: exact dup, near dup
+    // (of whom), or novel. ----
+    Q(
+      "dedup_incremental_corpus",
+      Some(s"""
+        WITH alldocs AS ($docShinglesSql),
+        ex AS (SELECT doc_id, unnest(sh) AS bg, len(sh) AS sz FROM alldocs),
+        dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        exact AS (
+          SELECT DISTINCT i.doc_id FROM dig i
+          JOIN dig e ON i.dg = e.dg AND e.doc_id % 2 = 0
+          WHERE i.doc_id % 2 = 1),
+        rawpairs AS (
+          SELECT a.doc_id AS inc_id, b.doc_id AS ex_id,
+                 CAST(count(*) AS BIGINT) AS inter,
+                 max(a.sz) AS sa, max(b.sz) AS sb
+          FROM ex a JOIN ex b ON a.bg = b.bg
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          GROUP BY 1, 2),
+        near AS (
+          SELECT inc_id, min(ex_id) AS near_dup_of FROM rawpairs
+          WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.2
+          GROUP BY inc_id)
+        SELECT d.doc_id, ex.doc_id IS NOT NULL AS is_exact_dup,
+               CAST(n.near_dup_of AS BIGINT) AS near_dup_of,
+               ex.doc_id IS NULL AND n.near_dup_of IS NULL AS is_novel
+        FROM documents d
+        LEFT JOIN exact ex ON ex.doc_id = d.doc_id
+        LEFT JOIN near n ON n.inc_id = d.doc_id
+        WHERE d.doc_id % 2 = 1
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val docsAll = docShingles(s, dir)
+        val posts = docsAll.select(col("doc_id"),
+          explode(col("sh")).as("bg"), size(col("sh")).as("sz"))
+        val dig = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("dg"))
+        val exact = dig.filter(col("doc_id") % 2 === 1)
+          .join(dig.filter(col("doc_id") % 2 === 0).select("dg").distinct(),
+            Seq("dg"), "left_semi")
+          .select(col("doc_id").as("exact_id"))
+        val near = posts.filter(col("doc_id") % 2 === 1).as("a")
+          .join(posts.filter(col("doc_id") % 2 === 0).as("b"),
+            col("a.bg") === col("b.bg"))
+          .groupBy(col("a.doc_id").as("inc_id"), col("b.doc_id").as("ex_id"))
+          .agg(count(lit(1)).as("inter"),
+            max(col("a.sz")).as("sa"), max(col("b.sz")).as("sb"))
+          .filter(col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")) >= 0.2)
+          .groupBy("inc_id").agg(min("ex_id").as("near_dup_of"))
+        t(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 1)
+          .select("doc_id")
+          .join(exact, col("doc_id") === col("exact_id"), "left")
+          .join(near, col("doc_id") === col("inc_id"), "left")
+          .select(col("doc_id"),
+            col("exact_id").isNotNull.as("is_exact_dup"),
+            col("near_dup_of"),
+            (col("exact_id").isNull && col("near_dup_of").isNull)
+              .as("is_novel"))
+          .orderBy("doc_id")
       })
   )
 }

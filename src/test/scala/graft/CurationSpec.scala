@@ -142,4 +142,43 @@ class CurationSpec extends SparkSpec {
     val rate = a.length.toDouble / total
     assert(rate > 0.05 && rate < 0.40, s"sample rate $rate implausible")
   }
+
+  test("repetition filter: fractions in range and both verdict classes present") {
+    val rows = run("curate_repetition_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dup, top) = (r.getDouble(2), r.getDouble(3))
+      assert(dup >= 0.0 && dup < 1.0, s"dup_word_frac $dup out of range")
+      assert(top > 0.0 && top <= 1.0, s"top_bigram_frac $top out of range")
+    }
+    val flagged = rows.count(_.getBoolean(4))
+    assert(flagged > 0 && flagged < rows.length,
+      s"threshold degenerate: $flagged/${rows.length} flagged")
+  }
+
+  test("chunking: stride-24 starts, full coverage, last chunk ends at n") {
+    val chunks = run("curate_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nTokens = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= lit("")))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val expected = (n - 1) / 24 + 1
+      assert(cs.length == expected, s"doc $doc: ${cs.length} != $expected")
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(0L until expected),
+        s"doc $doc chunk ids not contiguous")
+      // last chunk must reach the final token (full coverage)
+      val (_, lastId, lastN) = sorted.last
+      assert(lastId * 24 + lastN == n, s"doc $doc last chunk short of $n")
+      // every non-last chunk is the full 32-token window or reaches n
+      sorted.init.foreach { case (_, id, len) =>
+        assert(len == 32 || id * 24 + len == n)
+      }
+    }
+  }
 }

@@ -138,4 +138,22 @@ class DedupSpec extends SparkSpec {
       s"near-dup distance $near not below unrelated distance $far")
     assert(near <= 8, s"1-token edit flipped $near of 32 bits")
   }
+
+  test("incremental dedup: verdicts consistent, batch side complete, no cartesian") {
+    val df = SparkEntry.queries("dedup_incremental_corpus")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    val batchSize = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(rows.length == batchSize, "one verdict per incoming doc")
+    rows.foreach { r =>
+      val exact = r.getBoolean(1)
+      val near = !r.isNullAt(2)
+      val novel = r.getBoolean(3)
+      assert(novel == (!exact && !near), s"inconsistent verdict: $r")
+      if (near)
+        assert(r.getLong(2) % 2 == 0, "near-dup partner must be existing side")
+    }
+  }
 }
