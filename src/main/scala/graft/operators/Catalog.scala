@@ -142,6 +142,105 @@ object Catalog extends QueryModule {
           .filter(col("col_name") =!= "" && !col("col_name").startsWith("#"))
           .select("col_name", "data_type")
           .orderBy("col_name")
+      }),
+
+    // ---- CTAS + persistent VIEW: the BI pattern where a curated gold
+    // table is materialized once (CTAS) and consumers query a named VIEW
+    // whose definition lives in the catalog. The view's aggregate runs
+    // at read time — a stale/doubled CTAS or a view resolving to the
+    // wrong table breaks the hash ----
+    Q(
+      "catalog_ctas_view",
+      Some("""
+        SELECT o_orderstatus,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        dropWithLocation(s, "graft_cat_orders_gold")
+        s.sql("DROP VIEW IF EXISTS graft_cat_v_revenue")
+        t(s, dir, "orders").createOrReplaceTempView("graft_src_orders")
+        s.sql("""CREATE TABLE graft_cat_orders_gold USING parquet AS
+                 SELECT o_orderstatus,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM graft_src_orders""")
+        s.sql("""CREATE VIEW graft_cat_v_revenue AS
+                 SELECT o_orderstatus,
+                        CAST(sum(cents) AS BIGINT) AS total_cents,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM graft_cat_orders_gold GROUP BY o_orderstatus""")
+        s.table("graft_cat_v_revenue").orderBy("o_orderstatus")
+      }),
+
+    // ---- ALTER TABLE ADD COLUMNS — catalog-level schema evolution (the
+    // storage-level counterpart is merge_schema_evolution): rows written
+    // before the ALTER come back with NULL in the new column, rows after
+    // carry values; both generations are read through ONE catalog schema ----
+    Q(
+      "catalog_alter_add_column",
+      Some("""
+        SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+               CASE WHEN n_nationkey >= 10 THEN CAST(n_regionkey AS BIGINT)
+               END AS region_key
+        FROM nation ORDER BY id"""),
+      (s, dir) => {
+        dropWithLocation(s, "graft_cat_evolve")
+        t(s, dir, "nation").createOrReplaceTempView("graft_src_nation")
+        s.sql("""CREATE TABLE graft_cat_evolve
+                 (id BIGINT, name STRING) USING parquet""")
+        s.sql("""INSERT INTO graft_cat_evolve
+                 SELECT CAST(n_nationkey AS BIGINT), n_name
+                 FROM graft_src_nation WHERE n_nationkey < 10""")
+        s.sql("ALTER TABLE graft_cat_evolve ADD COLUMNS (region_key BIGINT)")
+        s.sql("""INSERT INTO graft_cat_evolve
+                 SELECT CAST(n_nationkey AS BIGINT), n_name,
+                        CAST(n_regionkey AS BIGINT)
+                 FROM graft_src_nation WHERE n_nationkey >= 10""")
+        s.table("graft_cat_evolve").orderBy("id")
+      }),
+
+    // ---- partitioned catalog table + SHOW PARTITIONS: the metastore
+    // partition registry BI tools and engines prune by. The INSERT uses
+    // dynamic partitioning (partition value from the data); the listing
+    // is the metadata-only operation that must NOT scan data at scale ----
+    Q(
+      "catalog_show_partitions",
+      Some("""
+        SELECT DISTINCT 'status=' || o_orderstatus AS "partition"
+        FROM orders ORDER BY 1"""),
+      (s, dir) => {
+        dropWithLocation(s, "graft_cat_part")
+        t(s, dir, "orders").createOrReplaceTempView("graft_src_orders")
+        s.sql("""CREATE TABLE graft_cat_part
+                 (o_orderkey BIGINT, cents BIGINT)
+                 USING parquet PARTITIONED BY (status STRING)""")
+        s.sql("""INSERT INTO graft_cat_part
+                 SELECT CAST(o_orderkey AS BIGINT),
+                        CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderstatus AS status
+                 FROM graft_src_orders""")
+        s.sql("SHOW PARTITIONS graft_cat_part").orderBy("partition")
+      }),
+
+    // ---- ANALYZE TABLE + stats introspection: the CBO contract — the
+    // computed rowCount comes back through the catalog (DESCRIBE
+    // EXTENDED), compared against the true count. CboSpec separately
+    // pins that these stats actually reach the optimizer's plan ----
+    Q(
+      "catalog_analyze_stats",
+      Some("""
+        SELECT 'graft_cat_nation' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM nation"""),
+      (s, dir) => {
+        rebuildCatalogDims(s, dir)
+        s.sql("ANALYZE TABLE graft_cat_nation COMPUTE STATISTICS")
+        s.sql("DESCRIBE TABLE EXTENDED graft_cat_nation")
+          .filter(col("col_name") === "Statistics")
+          .select(lit("graft_cat_nation").as("table_name"),
+            regexp_extract(col("data_type"), "(\\d+) rows", 1)
+              .cast("long").as("n_rows"))
       })
   )
 }

@@ -46,4 +46,41 @@ class CatalogSpec extends SparkSpec {
     assert(types == Map("n_nationkey" -> "bigint", "n_name" -> "string",
       "n_regionkey" -> "bigint"))
   }
+
+  test("view is catalogued as VIEW and re-resolves after base-table change") {
+    SparkEntry.queries("catalog_ctas_view")(spark, sf).collect()
+    val v = spark.catalog.listTables().collect()
+      .filter(_.name == "graft_cat_v_revenue")
+    assert(v.length == 1 && v(0).tableType == "VIEW",
+      s"expected a catalogued VIEW, got ${v.toSeq}")
+    // views are definitions, not snapshots: emptying the base table must
+    // flow through at next read
+    spark.sql("INSERT OVERWRITE graft_cat_orders_gold " +
+      "SELECT o_orderstatus, CAST(0 AS BIGINT) FROM graft_src_orders LIMIT 1")
+    assert(spark.table("graft_cat_v_revenue").count() == 1)
+  }
+
+  test("ALTER TABLE ADD COLUMNS: one catalog schema spans both row generations") {
+    val rows = SparkEntry.queries("catalog_alter_add_column")(spark, sf)
+      .collect()
+    assert(spark.table("graft_cat_evolve").schema.fieldNames.toSeq ==
+      Seq("id", "name", "region_key"))
+    val (pre, post) = rows.partition(_.getLong(0) < 10)
+    assert(pre.nonEmpty && pre.forall(_.isNullAt(2)),
+      "pre-ALTER rows must read NULL in the added column")
+    assert(post.nonEmpty && post.forall(!_.isNullAt(2)),
+      "post-ALTER rows must carry the added column")
+  }
+
+  test("SHOW PARTITIONS lists the dynamic-partition registry") {
+    val parts = SparkEntry.queries("catalog_show_partitions")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("status=F", "status=O", "status=P"))
+    // partition pruning works against the catalog table
+    val pruned = spark.table("graft_cat_part").filter(col("status") === "F")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }.head
+    assert(scan.metadata.getOrElse("PartitionFilters", "").contains("status"))
+  }
 }
