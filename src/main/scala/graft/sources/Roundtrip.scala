@@ -620,6 +620,93 @@ object Roundtrip extends QueryModule {
             count(lit(1)).as("n_new"),
             min("o_orderkey").as("first_new"),
             max("o_orderkey").as("last_new"))
+      }),
+
+    // ---- SQL MERGE INTO over the snapshot format: one changeset carrying
+    // both UPDATE-matched rows (%40==13 keys, price+5000) and INSERT-new
+    // rows (three synthetic keys far above the domain) applied as ONE
+    // copy-on-write commit. Touched buckets derive from the SOURCE keys,
+    // so write amplification tracks the changeset's key spread — reading
+    // v2 and v3 together proves the merge applied and v2 stayed immutable ----
+    Q(
+      "snapshot_merge_into",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderstatus = 'F'),
+        v2 AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 40 = 0 THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice
+               FROM base),
+        src AS (
+          SELECT o_orderkey, o_totalprice + 5000 AS o_totalprice
+          FROM v2 WHERE o_orderkey % 40 = 13
+          UNION ALL
+          SELECT * FROM (VALUES (CAST(1000000001 AS BIGINT), 111.0),
+                                (CAST(1000000002 AS BIGINT), 222.0),
+                                (CAST(1000000003 AS BIGINT), 333.0))
+            t(o_orderkey, o_totalprice)),
+        v3 AS (SELECT * FROM v2
+               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+               UNION ALL SELECT * FROM src)
+        SELECT * FROM (
+          SELECT CAST(2 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM v2
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          FROM v3)
+        ORDER BY version"""),
+      (s, dir) => {
+        val root = Snapshots.buildDemoTable(s, dir, "snap_merge")
+        val updates = Snapshots.readVersion(s, root, 2)
+          .filter(col("o_orderkey") % 40 === 13)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 5000).as("o_totalprice"))
+        val inserts = s.createDataFrame(Seq(
+          (1000000001L, 111.0), (1000000002L, 222.0), (1000000003L, 333.0)))
+          .toDF("o_orderkey", "o_totalprice")
+        Snapshots.commitMerge(s, root, 2, updates.unionByName(inserts))
+        def snap(v: Int) = Snapshots.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .select(lit(v.toLong).as("version"), col("n"), col("cents"))
+        snap(2).unionByName(snap(3)).orderBy("version")
+      }),
+
+    // ---- VACUUM with retention: after a DELETE commit (v3), expire
+    // versions 1-2 — data files referenced only by expired manifests are
+    // physically removed, files SHARED with v3 survive, and the retained
+    // snapshot reads back byte-identical. The oracle pins the post-vacuum
+    // read; RoundtripSpec pins the file-level reachability semantics ----
+    Q(
+      "snapshot_vacuum_retention",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderstatus = 'F'),
+        v2 AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 40 = 0 THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice
+               FROM base),
+        v3 AS (SELECT * FROM v2 WHERE o_orderkey % 40 <> 0)
+        SELECT CAST(3 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               TRUE AS expired_unreadable
+        FROM v3"""),
+      (s, dir) => {
+        val root = Snapshots.buildDemoTable(s, dir, "snap_vacuum")
+        Snapshots.commitDelete(s, root, 2, col("o_orderkey") % 40 === 0)
+        Snapshots.vacuum(root, keepFrom = 3)
+        val expiredGone =
+          !java.nio.file.Files.exists(Snapshots.manifestPath(root, 1)) &&
+            !java.nio.file.Files.exists(Snapshots.manifestPath(root, 2))
+        Snapshots.readVersion(s, root, 3)
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .select(lit(3L).as("version"), col("n"), col("cents"),
+            lit(expiredGone).as("expired_unreadable"))
       })
   )
 }

@@ -178,6 +178,40 @@ object Snapshots {
     toV
   }
 
+  /** Highest committed version = highest manifest on disk (the manifest
+    * write is the commit point, so this is the serializable read edge). */
+  def latestVersion(root: String): Int =
+    new File(root).listFiles()
+      .map(_.getName)
+      .collect { case s if s.startsWith("manifest_v") =>
+        s.stripPrefix("manifest_v").stripSuffix(".txt").toInt }
+      .max
+
+  /** `VACUUM RETAIN version >= keepFrom`: physically delete every data
+    * file referenced ONLY by manifests older than `keepFrom`, and the
+    * expired manifests/schemas themselves, so expired time travel fails
+    * LOUDLY (missing manifest) instead of reading half-vacuumed data.
+    * Files shared with any retained version survive — reachability is
+    * computed over the union of retained manifests, exactly Delta/
+    * Iceberg VACUUM semantics. Returns the number of data files removed.
+    * Metadata-scale work: set difference over file lists, no data read. */
+  def vacuum(root: String, keepFrom: Int): Int = {
+    val latest = latestVersion(root)
+    require(keepFrom <= latest, s"keepFrom $keepFrom beyond latest $latest")
+    val live = (keepFrom to latest)
+      .flatMap(v => readManifest(root, v)).toSet
+    val expired = (1 until keepFrom)
+      .flatMap(v => readManifest(root, v))
+      .distinct.filterNot(live)
+    expired.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    (1 until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestPath(root, v))
+      Files.deleteIfExists(schemaPath(root, v))
+      ()
+    }
+    expired.size
+  }
+
   /** Build the demo table: v1 = orders(status F) bucketed 8 ways by key;
     * v2 = copy-on-write commit doubling o_totalprice for keys % 40 == 0.
     * All such keys live in bucket 0 (40 is a multiple of 8), so the

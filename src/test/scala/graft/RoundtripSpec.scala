@@ -144,4 +144,30 @@ class RoundtripSpec extends SparkSpec {
       .columns.contains("price_band"),
       "time-travel read of the pre-evolution version keeps the old schema")
   }
+
+  test("vacuum deletes only unreachable files; retained snapshot intact;" +
+      " expired time travel fails loudly") {
+    val root = graft.sources.Snapshots.buildDemoTable(spark, sf, "spec_vacuum")
+    graft.sources.Snapshots.commitDelete(spark, root, 2, col("o_orderkey") % 40 === 0)
+    val m3 = graft.sources.Snapshots.readManifest(root, 3)
+    val preCents = graft.sources.Snapshots.readVersion(spark, root, 3)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    // reachability: files only in m1/m2 die, files shared with m3 survive
+    val doomed = (graft.sources.Snapshots.readManifest(root, 1) ++
+      graft.sources.Snapshots.readManifest(root, 2)).distinct.filterNot(m3.toSet)
+    assert(doomed.nonEmpty, "test needs some unreachable files")
+    val removed = graft.sources.Snapshots.vacuum(root, keepFrom = 3)
+    assert(removed == doomed.size, s"removed $removed != ${doomed.size}")
+    doomed.foreach(f =>
+      assert(!new java.io.File(f).exists(), s"unreachable file survived: $f"))
+    m3.foreach(f =>
+      assert(new java.io.File(f).exists(), s"reachable file vacuumed: $f"))
+    // retained snapshot reads identically after the vacuum
+    val postCents = graft.sources.Snapshots.readVersion(spark, root, 3)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    assert(postCents == preCents)
+    // expired versions are gone as a unit: manifest removed → loud failure
+    intercept[Exception] { graft.sources.Snapshots.readVersion(spark, root, 1).count() }
+    assert(graft.sources.Snapshots.latestVersion(root) == 3)
+  }
 }
