@@ -397,6 +397,141 @@ object Relational extends QueryModule {
           .orderBy("event_type", "hour")
       }),
 
+    // ---- time-series LINEAR interpolation: the gap-fill upgrade over
+    // forward fill — each hole takes the time-weighted blend of its
+    // bracketing known points. Both brackets come from ignoreNulls
+    // window endpoints (running last / upcoming first), so one sort per
+    // key serves all four carried values; the blend fraction is a ratio
+    // of exact integer epoch-seconds → bit-identical across engines.
+    // Grid edges are known points by construction, so interior holes
+    // always have both brackets. ----
+    Q(
+      "ts_linear_interpolate",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        grid AS (
+          SELECT b.event_type,
+                 unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS h
+          FROM bounds b),
+        j AS (SELECT g.event_type, g.h, hr.cents,
+                     CASE WHEN hr.cents IS NOT NULL THEN g.h END AS kh
+              FROM grid g LEFT JOIN hourly hr USING (event_type, h)),
+        br AS (
+          SELECT event_type, h, cents,
+                 CAST(last_value(cents IGNORE NULLS) OVER pre AS DOUBLE) AS pc,
+                 CAST(epoch(last_value(kh IGNORE NULLS) OVER pre) AS BIGINT) AS ph,
+                 CAST(first_value(cents IGNORE NULLS) OVER post AS DOUBLE) AS nc,
+                 CAST(epoch(first_value(kh IGNORE NULLS) OVER post) AS BIGINT) AS nh
+          FROM j
+          WINDOW
+            pre AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            post AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+               round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                     ELSE pc + (nc - pc) * (CAST(epoch(h) AS BIGINT) - ph)
+                            / (nh - ph) END, 4) AS cents_lin
+        FROM br ORDER BY 1, 2"""),
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val grid = hourly
+          .groupBy("event_type")
+          .agg(min("h").as("lo"), max("h").as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+              .as("h"))
+        val pre = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val post = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .withColumn("kh",
+            when(col("cents").isNotNull, col("h")))
+          .select(col("event_type"), col("h"), col("cents"),
+            last(col("cents"), ignoreNulls = true).over(pre)
+              .cast("double").as("pc"),
+            unix_timestamp(last(col("kh"), ignoreNulls = true).over(pre))
+              .as("ph"),
+            first(col("cents"), ignoreNulls = true).over(post)
+              .cast("double").as("nc"),
+            unix_timestamp(first(col("kh"), ignoreNulls = true).over(post))
+              .as("nh"))
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+            round(
+              when(col("cents").isNotNull, col("cents").cast("double"))
+                .otherwise(col("pc") + (col("nc") - col("pc")) *
+                  (unix_timestamp(col("h")) - col("ph")) /
+                  (col("nh") - col("ph"))), 4).as("cents_lin"))
+          .orderBy("event_type", "hour")
+      }),
+
+    // ---- rolling z-score outlier flag: each event scored against the
+    // PRIOR 100 events of its type (trailing frame excludes the current
+    // row — no self-contamination, and the frame is streamable state at
+    // scale: O(frame) per key, no global pass). Mean/var derive from
+    // exact BIGINT window sums cast to double identically on both
+    // engines; warm-up rows (<20 of history) emit NULL rather than a
+    // noisy score. ----
+    Q(
+      "ts_zscore_outliers",
+      Some("""
+        WITH e AS (
+          SELECT event_id, event_type, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        w AS (
+          SELECT event_id, cents,
+                 CAST(count(cents) OVER tw AS DOUBLE) AS cnt,
+                 CAST(sum(cents) OVER tw AS DOUBLE) AS s,
+                 CAST(sum(cents * cents) OVER tw AS DOUBLE) AS ss
+          FROM e
+          WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        SELECT event_id,
+               round(z, 4) AS zscore,
+               CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 3.0 END
+                 AS is_outlier
+        FROM (
+          SELECT event_id,
+                 CASE WHEN cnt >= 20 THEN
+                   (cents - s / cnt)
+                     / sqrt((cnt * ss - s * s) / (cnt * (cnt - 1.0)))
+                 END AS z
+          FROM w)
+        ORDER BY event_id"""),
+      (s, dir) => {
+        val tw = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-100, -1)
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .select(col("event_id"), col("cents"),
+            count(col("cents")).over(tw).cast("double").as("cnt"),
+            sum(col("cents")).over(tw).cast("double").as("s"),
+            sum(col("cents") * col("cents")).over(tw).cast("double")
+              .as("ss"))
+          .withColumn("z",
+            when(col("cnt") >= 20,
+              (col("cents") - col("s") / col("cnt")) /
+                sqrt((col("cnt") * col("ss") - col("s") * col("s")) /
+                  (col("cnt") * (col("cnt") - 1.0)))))
+          .select(col("event_id"), round(col("z"), 4).as("zscore"),
+            when(col("z").isNull, lit(null).cast("boolean"))
+              .otherwise(abs(col("z")) > 3.0).as("is_outlier"))
+          .orderBy("event_id")
+      }),
+
     // ---- binned interval join: point-in-interval matching at scale.
     // OSS Spark plans a non-equi BETWEEN join as a nested loop — fine
     // for a constant band table (join_range_price_bands), fatal when the
