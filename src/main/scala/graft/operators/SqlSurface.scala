@@ -97,6 +97,31 @@ object SqlSurface extends QueryModule {
              AS cents
     FROM orders GROUP BY ALL ORDER BY ALL"""
 
+  private val intersectAllCounts = """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_custkey % 2 = 0
+      INTERSECT ALL
+      SELECT c_nationkey FROM customer WHERE c_custkey % 3 = 0)
+    GROUP BY 1 ORDER BY 1"""
+
+  private val exceptAllCounts = """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_custkey % 2 = 0
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer WHERE c_custkey % 3 = 0)
+    GROUP BY 1 ORDER BY 1"""
+
+  private val valuesInlineDim = """
+    SELECT tier, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                 ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                 ('5-LOW', 'cold')) AS tiers(prio, tier)
+      ON o_orderpriority = prio
+    GROUP BY tier ORDER BY tier"""
+
   val all: Seq[Q] = Seq(
     Q("sql_not_in_null_semantics", Some(notInNulls), sql(notInNulls)),
     Q("sql_cte_window_topk", Some(topSpenders), sql(topSpenders)),
@@ -177,6 +202,19 @@ object SqlSurface extends QueryModule {
           SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(order_cents(o_totalprice)) AS BIGINT) AS cents
           FROM orders GROUP BY 1 ORDER BY 1""")
-      })
+      }),
+
+    // bag-semantics set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (min / difference of per-row counts), which the
+    // DISTINCT-semantics setop_* family can't observe; nationkey repeats
+    // across customers, so multiplicity is load-bearing here. The final
+    // group-count makes the multiset itself the compared value.
+    Q("setop_intersect_all", Some(intersectAllCounts),
+      sql(intersectAllCounts)),
+    Q("setop_except_all", Some(exceptAllCounts), sql(exceptAllCounts)),
+
+    // inline VALUES relation joined to data — the literal-dim pattern
+    // (tier mapping shipped in the query text, no table required)
+    Q("sql_values_inline_dim", Some(valuesInlineDim), sql(valuesInlineDim))
   )
 }
