@@ -224,6 +224,7 @@ class PlanShapeSpec extends SparkSpec {
       "sim_bruteforce_topk", // broadcast bounded query set (the baseline)
       "sim_ivf_probe", // 16-centroid quantizer broadcast
       "retrieval_hybrid_rrf", // broadcast single query embedding
+      "sim_pq_adc", // broadcast 128-row codebook + 1280-row query LUT
       "ml_kmeans_fixed_iters", // broadcast 1-row (k=3 wide) centroid table
       "ml_logreg_gd", // broadcast 1-row weight state per GD step
       "ml_linreg_two_features", // single-row sums joined to nothing (agg only)
