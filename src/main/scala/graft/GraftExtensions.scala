@@ -46,6 +46,27 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_assert_exact",
       exprs => graft.functions.ThetaAssertExact(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg", bloomAgg, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", bloomProbe, "scala_udf")
+    registerStrategies(spark)
+  }
+
+  /** Spark ships BloomFilterAggregate / BloomFilterMightContain as
+    * internal expressions (the machinery behind InjectRuntimeFilter) but
+    * does NOT expose them in the public function registry — surfacing
+    * them here gives SQL/DSL users the manual bloom-prefilter join
+    * (operators/Scale.scala) with the engine's own codegen'd sketch. */
+  private val bloomAgg: Seq[Expression] => Expression = exprs =>
+    new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+  private val bloomProbe: Seq[Expression] => Expression = exprs =>
+    org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(exprs(0), exprs(1))
+
+  private def registerStrategies(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
@@ -99,7 +120,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => graft.functions.ThetaAnotBEst(exprs(0), exprs(1))),
       ("theta_assert_exact",
         "theta_assert_exact(sk) - sketch unchanged; error if estimate-mode",
-        exprs => graft.functions.ThetaAssertExact(exprs.head)))
+        exprs => graft.functions.ThetaAssertExact(exprs.head)),
+      ("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(x), items, bits) - bloom sketch of hashed keys",
+        GraftExtensions.bloomAgg),
+      ("might_contain",
+        "might_contain(bloom, xxhash64(x)) - bloom membership probe",
+        GraftExtensions.bloomProbe))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner

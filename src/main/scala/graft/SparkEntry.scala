@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Typed,
     operators.Analytics,
     operators.Catalog,
+    operators.Scale,
     operators.Learn,
     sources.Roundtrip,
     streaming.Streams)

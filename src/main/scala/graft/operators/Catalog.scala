@@ -120,7 +120,10 @@ object Catalog extends QueryModule {
         ORDER BY 1"""),
       (s, dir) => {
         rebuildCatalogDims(s, dir)
-        s.sql("SHOW TABLES LIKE 'graft_cat_*'")
+        // pattern pinned to the two dims this query creates — a bare
+        // 'graft_cat_*' would also list tables left by OTHER catalog
+        // queries in the shared session (order-dependent row count)
+        s.sql("SHOW TABLES LIKE 'graft_cat_nation|graft_cat_region'")
           .select(col("tableName").as("table_name"),
             col("isTemporary").as("is_temporary"))
           .orderBy("table_name")

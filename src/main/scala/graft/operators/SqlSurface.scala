@@ -122,6 +122,16 @@ object SqlSurface extends QueryModule {
       ON o_orderpriority = prio
     GROUP BY tier ORDER BY tier"""
 
+  private val hintedJoin = """
+    SELECT /*+ BROADCAST(nation), MERGE(orders) */ n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1"""
+
   val all: Seq[Q] = Seq(
     Q("sql_not_in_null_semantics", Some(notInNulls), sql(notInNulls)),
     Q("sql_cte_window_topk", Some(topSpenders), sql(topSpenders)),
@@ -215,6 +225,16 @@ object SqlSurface extends QueryModule {
 
     // inline VALUES relation joined to data — the literal-dim pattern
     // (tier mapping shipped in the query text, no table required)
-    Q("sql_values_inline_dim", Some(valuesInlineDim), sql(valuesInlineDim))
+    Q("sql_values_inline_dim", Some(valuesInlineDim), sql(valuesInlineDim)),
+
+    // join-strategy hints — the operator-level knob a 100 TB user turns
+    // when the planner's estimate is wrong: BROADCAST pins the bounded
+    // dim to a broadcast-hash join (no shuffle of the big side), MERGE
+    // pins the fact⋈fact join to sort-merge (skew/memory-safe).
+    // Dialect-shared by construction: a /*+ ... */ hint is a plain block
+    // comment to DuckDB, so the SAME text runs as the oracle.
+    // PlansSpec pins that both hints actually took effect in the
+    // physical plan.
+    Q("sql_join_hints", Some(hintedJoin), sql(hintedJoin))
   )
 }
