@@ -70,6 +70,35 @@ object Roundtrip extends QueryModule {
     }
   }
 
+  // (session, sfDir) → DPP scratch tables already written (same
+  // write-once discipline as the bucketed tables: the bench row should
+  // time the dynamically-pruned join, not the partitioned write).
+  private val dppReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write the DPP demo pair once per scale dir: a fact partitioned by
+    * ship_month (12 hive dirs) and a tiny month→quarter dim as plain
+    * parquet (parquet, not an in-memory literal frame, so the dim filter
+    * is NOT constant-foldable and pruning must happen at runtime). */
+  private def ensureDppTables(s: SparkSession, dir: String): String = {
+    val root = scratch("dpp_" + new java.io.File(dir).getName)
+    if (dppReady.get(root) != dir) dppReady.synchronized {
+      if (dppReady.get(root) != dir) {
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            month(col("l_shipdate")).as("ship_month"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("ship_month").parquet(s"$root/fact")
+        s.range(1, 13)
+          .select(col("id").cast("int").as("m"),
+            expr("CAST((id - 1) DIV 3 AS INT) + 1").as("quarter"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/dim")
+        dppReady.put(root, dir)
+      }
+    }
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- S5+S7: JSON sink then JSON scan (schema inference), aggregate ----
@@ -707,6 +736,123 @@ object Roundtrip extends QueryModule {
             sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
           .select(lit(3L).as("version"), col("n"), col("cents"),
             lit(expiredGone).as("expired_unreadable"))
+      }),
+
+    // ---- change-data-feed read between snapshot versions (Delta CDF
+    // shape): v1 → v2 COW update (bucket 0), v2 → v3 DELETE (bucket 5),
+    // v3 → v4 MERGE inserting new keys (bucket 5). The feed derives from
+    // the MANIFEST DIFF — only the file groups present in exactly one of
+    // the two manifests are read (here buckets 0 and 5; the other six
+    // never leave disk), so a changelog over a 100 TB table costs
+    // O(changed buckets), not a table diff. The oracle replays all three
+    // commits from the base table; RoundtripSpec pins the file-level
+    // bound (diff touches exactly the two buckets) and feed ≡ full diff ----
+    Q(
+      "snapshot_change_feed",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderstatus = 'F'),
+        ch AS (
+          SELECT 'update_preimage' AS change_type, o_totalprice
+          FROM base WHERE o_orderkey % 40 = 0
+          UNION ALL
+          SELECT 'update_postimage', o_totalprice * 2
+          FROM base WHERE o_orderkey % 40 = 0
+          UNION ALL
+          SELECT 'delete', o_totalprice
+          FROM base WHERE o_orderkey % 40 = 13
+          UNION ALL
+          SELECT 'insert', o_totalprice
+          FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 40 = 21)
+        SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM ch GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val root = Snapshots.buildDemoTable(s, dir, "snap_cdf")
+        // v3: DELETE keys ≡13 (mod 40) — all in bucket 5 (13 % 8)
+        Snapshots.commitDelete(s, root, 2, col("o_orderkey") % 40 === 13)
+        // v4: MERGE inserting O-status keys ≡21 (mod 40) — disjoint from
+        // the F-status table (one status per orderkey), also bucket 5
+        val src = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "O" &&
+            col("o_orderkey") % 40 === 21)
+          .select("o_orderkey", "o_totalprice")
+        Snapshots.commitMerge(s, root, 3, src)
+        Snapshots.changeFeed(s, root, 1, 4)
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .orderBy("change_type")
+      }),
+
+    // ---- dynamic partition pruning: the fact side is a hive-partitioned
+    // parquet table; the month filter exists only as `quarter = 2` on the
+    // dim side, so static pruning can't help — at runtime Spark turns the
+    // broadcast dim into a partition filter on the fact scan
+    // (dynamicpruningexpression in PartitionFilters; PlanShapeSpec pins
+    // it) and reads 3 of 12 partition directories. At 100 TB this is THE
+    // mechanism that keeps star-schema queries from scanning the whole
+    // fact table when the predicate lives on a dimension. Both scratch
+    // tables are written once per scale dir (the timed body measures the
+    // pruned join, not parquet writes — same discipline as the bucketed
+    // join). ----
+    Q(
+      "join_dpp_partition_prune",
+      Some("""
+        SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem
+        WHERE month(l_shipdate) BETWEEN 4 AND 6
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val root = ensureDppTables(s, dir)
+        val fact = s.read.parquet(s"$root/fact")
+        val dim = s.read.parquet(s"$root/dim")
+          .filter(col("quarter") === 2)
+        fact.join(dim, fact("ship_month") === dim("m"))
+          .groupBy(col("ship_month").cast("long").as("ship_month"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("cents"))
+          .orderBy("ship_month")
+      }),
+
+    // ---- INSERT OVERWRITE with dynamic partition overwrite: the daily
+    // partition-refresh pattern (recompute one day/partition, replace it
+    // in place, leave every other partition untouched). Static overwrite
+    // mode would truncate the whole table; `partitionOverwriteMode=
+    // dynamic` (a per-write option, not a session flip) replaces ONLY the
+    // partitions present in the incoming data — here the `click`
+    // partition is rewritten with doubled values while the other four
+    // event types keep their original files. At 100 TB the refresh cost
+    // is O(recomputed partition), never O(table). ----
+    Q(
+      "insert_overwrite_dynamic",
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round((CASE WHEN event_type = 'click'
+                                         THEN value * 2 ELSE value END) * 100)
+                        AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val root = scratch("dyn_overwrite")
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        ev.write.mode(SaveMode.Overwrite)
+          .partitionBy("event_type").parquet(root)
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_type").parquet(root)
+        s.read.parquet(root)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy("event_type")
       })
   )
 }

@@ -178,6 +178,73 @@ object Snapshots {
     toV
   }
 
+  /** Change-data-feed read between two committed versions (Delta CDF /
+    * Iceberg changelog-scan semantics, rebuilt from the manifests): emit
+    * one row per changed key, tagged `insert` / `delete` /
+    * `update_preimage` / `update_postimage`.
+    *
+    * The scale property is that NO full-table diff runs: the two
+    * manifests are compared as file lists (driver-side metadata), and
+    * only the file groups present in exactly one manifest are read —
+    * every file carried by reference between the versions is untouched
+    * data and provably contributes no change. A COW commit touching 1 of
+    * 8 buckets makes the CDF read 2/8 of the table's files (old + new
+    * image of that bucket) regardless of table size; at 100 TB that is
+    * the difference between a changelog and a re-scan. Rows that a
+    * bucket rewrite carried unchanged join equal on both sides and are
+    * dropped (`nochange` filter) — the exact compare is confined to the
+    * changed buckets. */
+  def changeFeed(s: SparkSession, root: String, fromV: Int, toV: Int,
+      key: String = "o_orderkey"): DataFrame = {
+    val fromFiles = readManifest(root, fromV)
+    val toFiles = readManifest(root, toV)
+    val removed = fromFiles.filterNot(toFiles.toSet)
+    val added = toFiles.filterNot(fromFiles.toSet)
+    def side(files: Seq[String], v: Int): DataFrame = {
+      val schema = readSchema(root, v)
+      if (files.isEmpty) // metadata-only delta (e.g. ADD COLUMN): no rows
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.getOrElse(readVersion(s, root, v).schema))
+      else schema match {
+        case Some(sch) => s.read.schema(sch).parquet(files: _*)
+        case None      => s.read.parquet(files: _*)
+      }
+    }
+    val oldDf = side(removed, fromV)
+    val newDf = side(added, toV)
+    // compare on the columns both versions share — an evolved column
+    // existing only in `toV` can't distinguish update from carry for
+    // pre-evolution rows, so it rides along in the images but doesn't
+    // drive classification
+    val valueCols = oldDf.columns.filter(_ != key)
+      .intersect(newDf.columns.filter(_ != key)).toSeq
+    val o = oldDf.select(col(key).as("__ko"),
+      struct(valueCols.map(col): _*).as("__vo"))
+    val n = newDf.select(col(key).as("__kn"),
+      struct(valueCols.map(col): _*).as("__vn"))
+    def entry(ct: String, k: Column, v: Column): Column =
+      struct((lit(ct).as("change_type") +: k.as(key) +:
+        valueCols.map(c => v.getField(c).as(c))): _*)
+    // one equi-join over the changed buckets; updates expand to a
+    // pre/post image pair via a typed array + explode (codegen-friendly,
+    // no second pass). The `nochange` sentinel keeps every when-branch
+    // the same array type; carried-unchanged rows are filtered out.
+    o.join(n, col("__ko") === col("__kn"), "full_outer")
+      .select(explode(
+        when(col("__ko").isNull,
+          array(entry("insert", col("__kn"), col("__vn"))))
+        .when(col("__kn").isNull,
+          array(entry("delete", col("__ko"), col("__vo"))))
+        .when(!(col("__vo") <=> col("__vn")),
+          array(entry("update_preimage", col("__ko"), col("__vo")),
+                entry("update_postimage", col("__kn"), col("__vn"))))
+        .otherwise(array(entry("nochange", col("__ko"), col("__vo")))))
+        .as("__c"))
+      .select("__c.*")
+      .filter(col("change_type") =!= "nochange")
+  }
+
   /** Highest committed version = highest manifest on disk (the manifest
     * write is the commit point, so this is the serializable read edge). */
   def latestVersion(root: String): Int =

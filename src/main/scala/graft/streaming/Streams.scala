@@ -258,6 +258,53 @@ object Streams extends QueryModule {
           .orderBy("view_id", "purchase_id")
       }),
 
+    // ---- stream-stream LEFT OUTER join: same attribution shape, but
+    // views with no purchase in-window ARE emitted (purchase_id NULL).
+    // Unlike the inner join, null-extended rows are withheld until the
+    // watermark proves no matching purchase can still arrive (watermark >
+    // v_ts + 30min), so on a bounded run the trailing views never leave
+    // the state store: the final watermark stops 1h short of max event
+    // time. Both engines therefore evaluate the join only for views at
+    // least 1 DAY older than the newest event — a cutoff safely beyond
+    // the 1.5h eviction frontier (at this event rate the younger side's
+    // own max is within hours of the global max), making the bounded
+    // streaming result exactly the batch left join. State stays O(rate ×
+    // window) per side at any scale — same bound as the inner form. ----
+    Q(
+      "stream_join_left_outer",
+      Some("""
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        FROM events v LEFT JOIN events p
+          ON v.user_id = p.user_id AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+        WHERE v.event_type = 'view'
+          AND v.ts <= (SELECT max(ts) FROM events) - INTERVAL '1 day'
+        ORDER BY 1, 2"""),
+      (s, dir) => {
+        // bounded input → the cutoff is a one-row agg, not stream state
+        val cutoff = Tables.load(s, dir, "events")
+          .agg(max(col("ts"))).first().getTimestamp(0)
+        val views = eventStream(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("interval 30 minutes"),
+          "left_outer")
+        materialize(s, joined, "stream_join_left_outer", "append")
+          .filter(col("v_ts") <= lit(cutoff) - expr("interval 1 day"))
+          .select(col("view_id"), col("purchase_id"))
+          .orderBy("view_id", "purchase_id")
+      }),
+
     // ---- stream-static join: the enrichment pattern — a streaming fact
     // joined to a bounded static dimension (broadcast per micro-batch,
     // no stream state) before aggregating ----

@@ -213,6 +213,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(jMem == jSpill, "join results changed under forced spill")
   }
 
+  test("dpp join gets a runtime dynamic-pruning filter on the fact scan") {
+    // the month predicate exists only as quarter=2 on the dim side; the
+    // fact scan must carry a dynamicpruning expression in its partition
+    // filters (static pruning is impossible by construction)
+    val p = plan("join_dpp_partition_prune").toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${p.take(3000)}")
+    assert(p.contains("ship_month"),
+      "partition filter does not reference the partition column")
+  }
+
   test("global plan audit: no cartesian anywhere; NL joins only on bounded sides") {
     // nested-loop joins are legal ONLY where one side is bounded by
     // construction (a constant dim, a broadcast query set, a fixed

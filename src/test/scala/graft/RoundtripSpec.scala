@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
 /** Sink-side layout properties: the range-clustered write must produce
@@ -169,5 +170,79 @@ class RoundtripSpec extends SparkSpec {
     // expired versions are gone as a unit: manifest removed → loud failure
     intercept[Exception] { graft.sources.Snapshots.readVersion(spark, root, 1).count() }
     assert(graft.sources.Snapshots.latestVersion(root) == 3)
+  }
+
+  test("change feed reads only the changed buckets and equals the full" +
+      " table diff") {
+    import graft.sources.Snapshots
+    val root = Snapshots.buildDemoTable(spark, sf, "snap_cdf_spec")
+    Snapshots.commitDelete(spark, root, 2, col("o_orderkey") % 40 === 13)
+    val src = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 40 === 21)
+      .select("o_orderkey", "o_totalprice")
+    Snapshots.commitMerge(spark, root, 3, src)
+
+    // the scale bound: the v1→v4 manifest diff is confined to the two
+    // buckets the commits touched (0: update, 5: delete+merge) — the CDF
+    // read never opens the other six file groups
+    val m1 = Snapshots.readManifest(root, 1)
+    val m4 = Snapshots.readManifest(root, 4)
+    val removed = m1.filterNot(m4.toSet)
+    val added = m4.filterNot(m1.toSet)
+    assert(removed.nonEmpty && added.nonEmpty)
+    assert((removed ++ added).forall(f =>
+      f.contains("bkt=0") || f.contains("bkt=5")),
+      s"diff leaked outside changed buckets: ${(removed ++ added).mkString("\n")}")
+
+    // semantic pin: the manifest-diff feed equals the brute-force full
+    // diff of the two complete versions
+    val feed = Snapshots.changeFeed(spark, root, 1, 4).cache()
+    val v1 = Snapshots.readVersion(spark, root, 1)
+    val v4 = Snapshots.readVersion(spark, root, 4)
+    def rows(ct: String) =
+      feed.filter(col("change_type") === ct)
+        .select("o_orderkey", "o_totalprice")
+    val inserts = v4.join(v1, Seq("o_orderkey"), "left_anti")
+    val deletes = v1.join(v4, Seq("o_orderkey"), "left_anti")
+    val updPost = v1.select(col("o_orderkey"), col("o_totalprice").as("pre"))
+      .join(v4, "o_orderkey")
+      .filter(col("pre") =!= col("o_totalprice"))
+      .select("o_orderkey", "o_totalprice")
+    assert(rows("insert").exceptAll(inserts).isEmpty &&
+      inserts.exceptAll(rows("insert")).isEmpty, "insert set mismatch")
+    assert(rows("delete").exceptAll(deletes).isEmpty &&
+      deletes.exceptAll(rows("delete")).isEmpty, "delete set mismatch")
+    assert(rows("update_postimage").exceptAll(updPost).isEmpty &&
+      updPost.exceptAll(rows("update_postimage")).isEmpty,
+      "update postimage set mismatch")
+    assert(feed.filter(col("change_type") === "update_preimage").count() ==
+      updPost.count(), "pre/post image counts differ")
+    feed.unpersist()
+    ()
+  }
+
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    val root = s"${Tables.scratchRoot}/dyn_overwrite_spec"
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(root)
+    def files(part: String): Set[String] = {
+      val d = new java.io.File(s"$root/event_type=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    }
+    val viewBefore = files("view")
+    val clickBefore = files("click")
+    ev.filter(col("event_type") === "click")
+      .withColumn("value", col("value") * 2)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(root)
+    // untouched partition: same files, same mtimes — zero data movement
+    assert(files("view") == viewBefore,
+      "dynamic overwrite rewrote an untouched partition")
+    // targeted partition: physically replaced
+    assert(files("click") != clickBefore,
+      "dynamic overwrite did not replace the incoming partition")
   }
 }
