@@ -434,6 +434,130 @@ object Analytics extends QueryModule {
             expr("IF(n_f + n_o - n_both = n_either, n_either, " +
               "raise_error('theta union left exact mode'))").as("n_either"),
             col("n_f_only"))
-      })
+      }),
+
+    // ---- funnel analysis: users progressing view → click (≤1 day after
+    // first view) → purchase (≤1 day after that click). The sequential
+    // dependency (each step's deadline derives from the previous step's
+    // time) is expressed as three whole-partition window mins over the
+    // SAME (user_id) partitioning — one exchange + one sort, the second
+    // and third passes reuse them — then a single global distinct-count
+    // roll-up. At 100 TB this is a per-user sorted scan: no self-joins,
+    // no event×event blowup, state O(1) per user. ----
+    Q(
+      "analytics_funnel_steps",
+      Some("""
+        WITH a AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+          FROM events),
+        b AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                             AND ts <= t1 + INTERVAL '1 day' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+          FROM a),
+        c AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                             AND ts <= t2 + INTERVAL '1 day' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+          FROM b)
+        SELECT
+          CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_viewed,
+          CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_clicked,
+          CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+            AS BIGINT) AS n_purchased
+        FROM c"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        Tables.load(s, dir, "events")
+          .select("user_id", "event_type", "ts")
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("ts") > col("t1") &&
+              col("ts") <= col("t1") + expr("interval 1 day"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") > col("t2") &&
+              col("ts") <= col("t2") + expr("interval 1 day"),
+              col("ts"))).over(w))
+          .agg(
+            countDistinct(when(col("t1").isNotNull, col("user_id")))
+              .as("n_viewed"),
+            countDistinct(when(col("t2").isNotNull, col("user_id")))
+              .as("n_clicked"),
+            countDistinct(when(col("t3").isNotNull, col("user_id")))
+              .as("n_purchased"))
+      }),
+
+    // ---- cohort retention: cohort = week of a user's first high-value
+    // purchase (value > 90 keeps the activity sparse enough to decay);
+    // each (cohort, offset) cell counts users still purchasing that many
+    // weeks later. Two key-partitioned aggregations + one equi-join on
+    // user_id — the (user, week) distinct pre-shrinks the fact before
+    // anything joins, so the join input is bounded by users × weeks, not
+    // by raw events. The classic growth-accounting query a BI user of
+    // the reference's Thrift surface would run. ----
+    Q(
+      "analytics_cohort_retention",
+      Some("""
+        WITH weeks AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+          FROM events WHERE event_type = 'purchase' AND value > 90),
+        firsts AS (SELECT user_id, min(wk) AS cohort_wk
+                   FROM weeks GROUP BY 1)
+        SELECT CAST(f.cohort_wk AS VARCHAR) AS cohort_week,
+               CAST((w.wk - f.cohort_wk) // 7 AS BIGINT) AS offset_weeks,
+               CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+        FROM weeks w JOIN firsts f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val weeks = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("value") > 90)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val firsts = weeks.groupBy("user_id")
+          .agg(min(col("wk")).as("cohort_wk"))
+        weeks.join(firsts, "user_id")
+          .groupBy(col("cohort_wk").cast("string").as("cohort_week"),
+            expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)")
+              .as("offset_weeks"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_week", "offset_weeks")
+      }),
+
+    // ---- fixed-width histogram (binned distribution in one pass):
+    // bucket index is pure per-row arithmetic, so the whole histogram is
+    // ONE map-side-combinable aggregation over ≤11 groups — the shape
+    // that costs a single exchange of k rows per partition at any scale.
+    // Engine-portable bucketing (floor + least, no width_bucket dialect
+    // differences); integer-cents extremes avoid float summation ties. ----
+    Q(
+      "analytics_value_histogram",
+      Some("""
+        SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT)
+                 AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS min_cents,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(least(floor(col("o_totalprice") / 50000), lit(9))
+            .cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(round(col("o_totalprice") * 100).cast("long"))
+              .as("min_cents"),
+            max(round(col("o_totalprice") * 100).cast("long"))
+              .as("max_cents"))
+          .orderBy("bucket"))
   )
 }

@@ -853,6 +853,42 @@ object Roundtrip extends QueryModule {
           .agg(count(lit(1)).as("n"),
             sum(round(col("value") * 100).cast("long")).as("cents"))
           .orderBy("event_type")
+      }),
+
+    // ---- parquet column bloom filters: file-level skipping for POINT
+    // lookups on a column the layout is NOT sorted or partitioned by —
+    // the case min/max row-group stats can't help (a random key's range
+    // spans every file). The writer embeds a per-row-group bloom filter
+    // for l_partkey; a reader probing `l_partkey = k` skips any row
+    // group whose filter rules k out. At 100 TB this turns needle
+    // queries on secondary keys from full scans into a handful of row
+    // groups at a few-KB-per-group storage cost. RoundtripSpec pins the
+    // footer metadata (filter present for l_partkey, absent for the
+    // not-enabled column); the oracle pins the lookup result. ----
+    Q(
+      "parquet_bloom_point_lookup",
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem WHERE l_partkey = 101"""),
+      (s, dir) => {
+        val root = scratch("bloom_pt")
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_extendedprice")
+          .write.mode(SaveMode.Overwrite)
+          .option("parquet.bloom.filter.enabled#l_partkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_partkey", "25000")
+          // dictionary-encoded chunks drop their bloom filter (the
+          // dictionary is already an exact membership test) — force the
+          // plain-encoded path a genuinely high-NDV key would take
+          .option("parquet.enable.dictionary#l_partkey", "false")
+          .parquet(root)
+        s.read.parquet(root)
+          .filter(col("l_partkey") === 101)
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("cents"))
       })
   )
 }

@@ -221,6 +221,44 @@ class RoundtripSpec extends SparkSpec {
     ()
   }
 
+  test("parquet writer embeds a bloom filter for the enabled column only") {
+    import scala.jdk.CollectionConverters._
+    val root = s"${Tables.scratchRoot}/bloom_spec"
+    Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#l_partkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_partkey", "25000")
+      // parquet-mr drops the bloom filter when the chunk stays fully
+      // dictionary-encoded (the dictionary already gives exact
+      // membership); disable dictionary for the key column so the test
+      // data takes the same plain-encoded path a high-NDV 100 TB key
+      // column would
+      .option("parquet.enable.dictionary#l_partkey", "false")
+      .parquet(root)
+    val file = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val cols = reader.getRowGroups.get(0).getColumns.asScala
+      def chunk(name: String) =
+        cols.find(_.getPath.toDotString == name).get
+      // enabled column: filter physically present and readable
+      assert(chunk("l_partkey").getBloomFilterOffset > 0,
+        "no bloom filter offset for the enabled column")
+      val bf = reader.getBloomFilterDataReader(reader.getRowGroups.get(0))
+        .readBloomFilter(chunk("l_partkey"))
+      assert(bf != null, "bloom filter unreadable for the enabled column")
+      // not-enabled column: no filter → no storage overhead paid there
+      assert(chunk("l_orderkey").getBloomFilterOffset < 0,
+        "bloom filter present on a column that did not enable it")
+    } finally reader.close()
+  }
+
   test("dynamic partition overwrite replaces only the incoming partitions") {
     val root = s"${Tables.scratchRoot}/dyn_overwrite_spec"
     val ev = Tables.load(spark, sf, "events")
