@@ -53,12 +53,20 @@ object Dedup extends QueryModule {
     * eval per row) — identical semantics to `shingles(tokens(text))`
     * (asserted in DedupSpec) but without per-element interpreted-lambda
     * dispatch, which dominated the Jaccard-family queries' runtime. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+  /** `requireNonEmpty = false` skips the size(sh) > 0 guard: consumers
+    * that immediately explode(sh) drop empty arrays for free, and the
+    * explicit filter is worse than useless there — Catalyst pushes it
+    * into the scan as a predicate, re-evaluating the whole
+    * trigram_shingles chain a second time per row (measured ~20% of the
+    * jaccard scan stage). Keep the guard only where an empty array would
+    * reach an aggregate (minhash signatures). */
+  private def docShingles(s: SparkSession, dir: String,
+      requireNonEmpty: Boolean = true): DataFrame = {
     graft.GraftExtensions.register(s)
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"),
         call_function("trigram_shingles", split(col("text"), " ")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    if (requireNonEmpty) base.filter(size(col("sh")) > 0) else base
   }
 
   /** DuckDB fragment converting the first `n` hex chars of md5 expression
@@ -92,7 +100,7 @@ object Dedup extends QueryModule {
     // all afterwards (a per-doc dim is unbounded at scale; broadcasting
     // it would be a 100 TB bug, and re-shuffling the pair stream for a
     // sort-merge join is a wasted exchange)
-    val docs = docShingles(s, dir)
+    val docs = docShingles(s, dir, requireNonEmpty = false)
     val ex = docs.select(col("doc_id"),
       explode(transform(col("sh"), xxhash64(_))).as("bg"),
       size(col("sh")).as("sz"))
