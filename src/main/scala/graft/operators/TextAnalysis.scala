@@ -444,6 +444,36 @@ object TextAnalysis extends QueryModule {
             size(regexp_extract_all(col("text"),
               lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
               .cast("long").as("n_bpe_tokens"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ---- positional token explode (posexplode: generator WITH
+    // ordinality) — the tokenize-with-offsets shape every span-level
+    // NLP/labeling pipeline needs (token index → char/feature
+    // alignment). Pure row-local generation: output rows ∝ input
+    // tokens, zero shuffles before the final presentation sort. The
+    // doc_id sample keeps the driver artifact bounded; the oracle zips
+    // DuckDB's unnest with generate_subscripts for the same 0-based
+    // ordinality. ----
+    Q(
+      "text_posexplode_offsets",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS toks
+                   FROM documents WHERE doc_id % 100 = 7)
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+               unnest(toks) AS token
+        FROM t ORDER BY doc_id, pos"""),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks"))
+          .select(col("doc_id"),
+            posexplode(col("toks")).as(Seq("pos", "token")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("token"))
+          .orderBy("doc_id", "pos"))
   )
 }
