@@ -626,7 +626,9 @@ object Dedup extends QueryModule {
         WHERE d.doc_id % 2 = 1
         ORDER BY d.doc_id"""),
       (s, dir) => {
-        val docsAll = docShingles(s, dir)
+        // requireNonEmpty=false: posts is the only consumer and explode
+        // drops empty arrays itself (see docShingles scaladoc)
+        val docsAll = docShingles(s, dir, requireNonEmpty = false)
         val posts = docsAll.select(col("doc_id"),
           explode(col("sh")).as("bg"), size(col("sh")).as("sz"))
         val dig = t(s, dir, "documents")

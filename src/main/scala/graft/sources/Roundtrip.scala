@@ -889,6 +889,63 @@ object Roundtrip extends QueryModule {
           .agg(count(lit(1)).as("n"),
             sum(round(col("l_extendedprice") * 100).cast("long"))
               .as("cents"))
+      }),
+
+    // ---- incremental materialized-view maintenance off the change feed:
+    // the downstream consumer the CDF exists FOR. The per-group (count,
+    // integer-cents sum) view is maintained by applying SIGNED deltas
+    // from changeFeed(v1→v4) — insert/update_postimage add, delete/
+    // update_preimage subtract — onto the v1 aggregate; additive
+    // aggregates make the merge a full-outer coalesce-sum. Work is
+    // O(changed buckets) + O(|view|), never a fact re-scan: at 100 TB
+    // this is the difference between refreshing a dashboard from a
+    // commit's changelog and re-aggregating the table. The oracle
+    // RECOMPUTES the view from the replayed v4 state from scratch, so a
+    // green row IS the incremental ≡ recompute proof. ----
+    Q(
+      "snapshot_incremental_mv",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderstatus = 'F'),
+        v2 AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 40 = 0 THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice
+               FROM base),
+        v3 AS (SELECT * FROM v2 WHERE o_orderkey % 40 <> 13),
+        v4 AS (SELECT * FROM v3
+               UNION ALL
+               SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderstatus = 'O' AND o_orderkey % 40 = 21)
+        SELECT o_orderkey % 8 AS grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM v4 GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val root = Snapshots.buildDemoTable(s, dir, "snap_imv")
+        Snapshots.commitDelete(s, root, 2, col("o_orderkey") % 40 === 13)
+        val src = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "O" &&
+            col("o_orderkey") % 40 === 21)
+          .select("o_orderkey", "o_totalprice")
+        Snapshots.commitMerge(s, root, 3, src)
+        val grp = pmod(col("o_orderkey"), lit(8)).as("grp")
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val base = Snapshots.readVersion(s, root, 1)
+          .groupBy(grp).agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+        val delta = Snapshots.changeFeed(s, root, 1, 4)
+          .withColumn("sign",
+            when(col("change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
+          .groupBy(grp)
+          .agg(sum(col("sign")).as("dn"),
+            sum(col("sign") * cents).as("dcents"))
+        base.join(delta, Seq("grp"), "full_outer")
+          .select(col("grp"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("cents"), lit(0L)) +
+              coalesce(col("dcents"), lit(0L))).as("cents"))
+          .orderBy("grp")
       })
   )
 }
