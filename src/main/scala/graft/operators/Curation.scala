@@ -25,6 +25,37 @@ object Curation extends QueryModule {
   private def tokens(c: Column): Column =
     filter(split(c, " "), x => x =!= lit(""))
 
+  /** Scalable global row_number() OVER (ORDER BY keys): range-partition
+    * on the sort keys (ordered partitions are the RangePartitioner
+    * contract), sort within each partition, then add exclusive
+    * prefix-sum offsets of the per-partition counts. Numbering is
+    * identical to the single-partition global window for any TOTAL key
+    * order, but no stage ever collapses to one task — the TeraSort
+    * shape. The offset frame is ≤ `parts` rows (metadata, not data), so
+    * its own single-partition window is bounded by the partition count,
+    * and it broadcasts back to the sorted data. `ranged` is persisted
+    * because both the counts and the final join consume it — without
+    * the persist the range-sample + shuffle + sort would run twice
+    * (callers release it via clearCache). */
+  private def globalRowNumber(df: DataFrame, keys: Seq[Column],
+      outCol: String, parts: Int = 16): DataFrame = {
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val offsets = ranged.groupBy("__pid").count()
+      .withColumn("__off",
+        coalesce(sum(col("count")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(outCol,
+        (col("__off") + row_number().over(
+          Window.partitionBy("__pid").orderBy(keys: _*))).cast("long"))
+      .drop("__pid", "__off")
+  }
+
   /** Word trigrams (space-joined) per document, DISTINCT within a doc —
     * the native TrigramShingles expression (one eval per row; the HOF
     * spelling dispatches interpreted lambdas per element). n=3 on this
@@ -190,13 +221,18 @@ object Curation extends QueryModule {
                  AS pos_epoch2
         FROM documents ORDER BY doc_id"""),
       (s, dir) => {
-        def pos(seed: String): Column =
-          row_number().over(Window.orderBy(
-            md5(concat(col("doc_id").cast("string"), lit(seed))),
-            col("doc_id"))).cast("long")
-        docs(s, dir).select(col("doc_id"),
-          pos(":e1").as("pos_epoch1"), pos(":e2").as("pos_epoch2"))
-          .orderBy("doc_id")
+        // each epoch's numbering runs through the range-partitioned
+        // globalRowNumber (TeraSort shape) — identical output to a
+        // global window, no single-partition stage
+        def keys(seed: String) = Seq(
+          md5(concat(col("doc_id").cast("string"), lit(seed))),
+          col("doc_id"))
+        val base = docs(s, dir).select(col("doc_id"))
+        val e1 = globalRowNumber(base, keys(":e1"), "pos_epoch1")
+          .select("doc_id", "pos_epoch1")
+        val e2 = globalRowNumber(base, keys(":e2"), "pos_epoch2")
+          .select("doc_id", "pos_epoch2")
+        e1.join(e2, "doc_id").orderBy("doc_id")
       }),
 
     // ---- PII redaction: inject synthetic identifiers (the corpus has
@@ -541,5 +577,29 @@ object Curation extends QueryModule {
               .as("n_chunk_tokens"),
             array_join(slice(col("ts"), col("i") + 1, lit(32)), " ")
               .as("chunk_text"))
-          .orderBy("doc_id", "chunk_id")))
+          .orderBy("doc_id", "chunk_id")),
+
+    // ---- stable global sample-ID assignment: every training example
+    // gets a dense 1..N id, deterministic across runs (seeded md5 order,
+    // doc_id tiebreak). The naive row_number() OVER (ORDER BY ...) is a
+    // single-partition sort — the one shape guaranteed to die at 100 TB;
+    // this runs through globalRowNumber's range-partition + offset
+    // two-pass, which numbers identically (total order) with every stage
+    // parallel. The same helper now powers curate_epoch_shuffle. ----
+    Q(
+      "curate_assign_sample_ids",
+      Some("""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY
+                 md5(doc_id::VARCHAR || ':ids'), doc_id) AS BIGINT)
+                 AS sample_id
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        globalRowNumber(
+          docs(s, dir).select(col("doc_id")),
+          Seq(md5(concat(col("doc_id").cast("string"), lit(":ids"))),
+            col("doc_id")),
+          "sample_id")
+          .select("doc_id", "sample_id")
+          .orderBy("doc_id")))
 }
