@@ -294,23 +294,27 @@ object Similarity extends QueryModule {
         FROM lex FULL OUTER JOIN vec USING (doc_id)
         ORDER BY rrf_score DESC, doc_id LIMIT 20"""),
       (s, dir) => {
-        val wl = Window.orderBy(col("lex_tf").desc, col("doc_id"))
-        val lex = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .filter(col("term").isin("spark", "window", "slow"))
-          .groupBy("doc_id").agg(count(lit(1)).as("lex_tf"))
-          .withColumn("lr", row_number().over(wl))
-          .filter(col("lr") <= 100).select("doc_id", "lr")
+        // per-leg cap via distributed top-k (TakeOrderedAndProject),
+        // then ranks over the bounded 100-row frame — no full-leg
+        // single-partition sort (Ranking.topKRanked scaladoc)
+        val lex = Ranking.topKRanked(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(split(col("text"), " ")).as("term"))
+            .filter(col("term").isin("spark", "window", "slow"))
+            .groupBy("doc_id").agg(count(lit(1)).as("lex_tf")),
+          100, "lr", col("lex_tf").desc, col("doc_id"))
+          .select("doc_id", "lr")
         val e = emb(s, dir)
         val q = e.filter(col("vec_id") === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"))
-        val wv = Window.orderBy(col("cos").desc, col("doc_id"))
-        val vec = e.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), col("q_id") =!= col("vec_id"))
-          .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("vec")))
-          .select(col("vec_id").as("doc_id"), col("cos"))
-          .withColumn("vr", row_number().over(wv))
-          .filter(col("vr") <= 100).select("doc_id", "vr")
+        val vec = Ranking.topKRanked(
+          e.filter(col("vec_id") =!= 0)
+            .join(broadcast(q), col("q_id") =!= col("vec_id"))
+            .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("vec")))
+            .select(col("vec_id").as("doc_id"), col("cos")),
+          100, "vr", col("cos").desc, col("doc_id"))
+          .select("doc_id", "vr")
         lex.join(vec, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             (coalesce(expr("1000000000 div (60 + lr)"), lit(0L)) +

@@ -277,13 +277,13 @@ object TextAnalysis extends QueryModule {
             / (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl"))
                  / lit(avgdl)))
             * 1000000.0).cast("long")
-        tf.join(broadcast(df), "term").join(dl, "doc_id")
-          .select(col("doc_id"), tm.as("tm"))
-          .groupBy("doc_id").agg(sum("tm").as("score_micro"))
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
-          .filter(col("rank") <= 20)
+        // top-20 via distributed top-k + bounded-frame ranks — no
+        // single-partition sort of the scored corpus (Ranking scaladoc)
+        Ranking.topKRanked(
+          tf.join(broadcast(df), "term").join(dl, "doc_id")
+            .select(col("doc_id"), tm.as("tm"))
+            .groupBy("doc_id").agg(sum("tm").as("score_micro")),
+          20, "rank", col("score_micro").desc, col("doc_id"))
           .orderBy("rank")
       }),
 
