@@ -164,4 +164,31 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"),
       "MERGE(orders) hint did not pin sort-merge for the fact join")
   }
+
+  test("top-k ranking plans as TakeOrderedAndProject, not a full-input" +
+      " window sort") {
+    val plan = SparkEntry.queries("text_bm25_retrieval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 cap is not a distributed top-k:\n${plan.take(2000)}")
+  }
+
+  test("global sample-id numbering range-partitions the data path") {
+    // the data-path exchange must be rangepartitioning (ordered parallel
+    // partitions); the only single-partition frame is the ≤16-row
+    // per-partition count table that produces the offsets
+    val plan = SparkEntry.queries("curate_assign_sample_ids")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"no range partitioning on the id-assignment path:\n${plan.take(2000)}")
+    // and the result matches the single-partition window formulation
+    val viaWindow = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"))
+      .withColumn("sample_id", expr(
+        "row_number() OVER (ORDER BY md5(CAST(doc_id AS STRING) || ':ids'), doc_id)").cast("long"))
+    val got = SparkEntry.queries("curate_assign_sample_ids")(spark, sf)
+    assert(got.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(got).isEmpty,
+      "two-pass numbering diverged from the global-window formulation")
+  }
 }
