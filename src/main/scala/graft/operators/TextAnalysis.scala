@@ -19,6 +19,16 @@ object TextAnalysis extends QueryModule {
   private def tokens(c: Column): Column =
     filter(split(c, " "), x => x =!= lit(""))
 
+  /** DuckDB fragment: first 12 hex chars of md5 of lambda variable `g` →
+    * BIGINT via positional digit arithmetic (no baseN conv in DuckDB) —
+    * the engine-neutral hash primitive, Spark side
+    * `conv(substring(md5(g), 1, 12), 16, 10)`. */
+  private val duckMd5Hex12: String =
+    (1 to 12).map { k =>
+      val coef = math.pow(16, (12 - k).toDouble).toLong
+      s"(strpos('0123456789abcdef', substr(md5(g), $k, 1)) - 1) * $coef"
+    }.mkString(" + ")
+
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
     * heuristic (a real pipeline ships real lists; the MECHANISM — score
     * per language, argmax with deterministic tiebreak — is what scales).
@@ -474,6 +484,68 @@ object TextAnalysis extends QueryModule {
             posexplode(col("toks")).as(Seq("pos", "token")))
           .select(col("doc_id"), col("pos").cast("long").as("pos"),
             col("token"))
-          .orderBy("doc_id", "pos"))
+          .orderBy("doc_id", "pos")),
+
+    // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    // the guarantee-bearing local fingerprinting scheme — any shared
+    // substring of ≥ w+k-1 tokens between two documents is certain to
+    // share at least one selected fingerprint (each window of w
+    // consecutive k-gram hashes contributes its minimum). The per-doc
+    // density is ~2/(w+1) of the grams, so the posting index that
+    // near-dup joins build on is a fixed fraction of corpus size with a
+    // DETECTION GUARANTEE, unlike MinHash's probabilistic recall. Pure
+    // per-row HOF pipeline (k=3, w=4): zero shuffles before the
+    // presentation sort; hashes are md5-derived, so the whole selection
+    // replays bit-exactly in DuckDB. ----
+    Q(
+      "text_winnowing_fingerprints",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS ts
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                       AS grams
+              FROM t WHERE len(ts) >= 6),
+        h AS (SELECT doc_id,
+                     list_transform(grams, g -> ($duckMd5Hex12) % 1000003)
+                       AS hs
+              FROM g),
+        f AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(hs) - 2),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM h)
+        SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+        FROM f ORDER BY doc_id, fp"""),
+      (s, dir) =>
+        winnowFingerprints(Tables.load(s, dir, "documents"))
+          .orderBy("doc_id", "fp"))
   )
+
+  /** The winnowing pipeline on a (doc_id, text) frame → (doc_id, fp)
+    * rows; k=3-gram hashes, window w=4, md5-derived values. Exposed for
+    * the DedupSpec guarantee test (planted shared substrings must share
+    * a fingerprint). */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val ts = filter(split(col("text"), " "), t => t =!= "")
+    docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 6) // ≥ one window of w=4 3-gram hashes
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("ts")) - 2), i =>
+          concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2))).as("grams"))
+      .select(col("doc_id"),
+        transform(col("grams"), g =>
+          conv(substring(md5(g), 1, 12), 16, 10).cast("long") % 1000003L)
+          .as("hs"))
+      .select(col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - 3), j =>
+            array_min(slice(col("hs"), j, lit(4))))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
 }

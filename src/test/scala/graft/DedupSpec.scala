@@ -156,4 +156,32 @@ class DedupSpec extends SparkSpec {
         assert(r.getLong(2) % 2 == 0, "near-dup partner must be existing side")
     }
   }
+
+  test("winnowing guarantee: docs sharing a w+k-1-token run share a" +
+      " fingerprint; density stays a fraction of the gram count") {
+    import spark.implicits._
+    // two documents with disjoint vocabularies except a planted 6-token
+    // (= w+k-1) run in the middle — the Schleimer guarantee says at
+    // least one selected fingerprint must coincide; a third document
+    // with no overlap must share nothing
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"red green blue $shared cyan magenta yellow black white"),
+      (2L, s"one two three four $shared five six seven eight nine ten"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "planted shared 6-token run produced no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint documents share a fingerprint (hash collision at n=3?)")
+    // density: winnowing selects ~2/(w+1) of grams; allow a wide bracket
+    // but pin that it is a strict subset, not all grams
+    val doc1Grams = docs.filter($"doc_id" === 1L)
+      .select(size(split($"text", " "))).head.getInt(0) - 2
+    assert(fps(1L).size < doc1Grams,
+      "winnowing selected every gram — no compression")
+  }
 }
