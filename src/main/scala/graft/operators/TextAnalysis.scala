@@ -521,7 +521,56 @@ object TextAnalysis extends QueryModule {
         FROM f ORDER BY doc_id, fp"""),
       (s, dir) =>
         winnowFingerprints(Tables.load(s, dir, "documents"))
-          .orderBy("doc_id", "fp"))
+          .orderBy("doc_id", "fp")),
+
+    // ---- winnowing-index dedup join: doc pairs sharing ≥3 selected
+    // fingerprints — substring-level contamination detection with the
+    // winnowing GUARANTEE (any shared ≥6-token run necessarily meets in
+    // the index; 3 shared minima ⟹ substantial overlap). Same
+    // inverted-index equi-join shape as the n-gram jaccard but over the
+    // ~2/(w+1)-density fingerprint index, so the candidate stream is a
+    // fraction of the gram-join's. Posting lists here are thin (max df
+    // 6 at sf0.01); at 100 TB a stop-fingerprint df cap (drop
+    // fingerprints in more than X docs, replayed identically in any
+    // engine) bounds the hottest lists — same discipline as stopword
+    // removal in BM25. ----
+    Q(
+      "dedup_winnowing_join",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS ts
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                       AS grams
+              FROM t WHERE len(ts) >= 6),
+        h AS (SELECT doc_id,
+                     list_transform(grams, g -> ($duckMd5Hex12) % 1000003)
+                       AS hs
+              FROM g),
+        f AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(hs) - 2),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM h),
+        post AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY 1, 2"""),
+      (s, dir) => {
+        val post = winnowFingerprints(Tables.load(s, dir, "documents"))
+        post.as("a")
+          .join(post.as("b"),
+            col("a.fp") === col("b.fp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("id_a", "id_b")
+      })
   )
 
   /** The winnowing pipeline on a (doc_id, text) frame → (doc_id, fp)
