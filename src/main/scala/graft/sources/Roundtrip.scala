@@ -373,6 +373,31 @@ object Roundtrip extends QueryModule {
           .orderBy("l_returnflag")
       }),
 
+    // ---- bucketed shuffle-free aggregation: grouping on the bucket key
+    // needs NO exchange — the scan's bucket layout already satisfies the
+    // aggregate's distribution requirement, so the plan is scan →
+    // final HashAggregate with zero data movement. The companion to the
+    // exchange-free bucketed join: at 100 TB a table bucketed on its
+    // hot group/join key amortizes ONE write-time shuffle across every
+    // subsequent agg and join on that key. BucketingSpec pins the
+    // no-hash-exchange plan. ----
+    Q(
+      "agg_bucketed_no_shuffle",
+      Some("""
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        ensureBucketedTables(s, dir)
+        // group on the RAW bucket column (already BIGINT) — a cast or
+        // expression here would stop the bucket distribution from
+        // satisfying the aggregate and reintroduce the exchange
+        s.table("graft_li_bucketed")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"))
+          .orderBy("l_orderkey")
+      }),
+
     // ---- file-provenance metadata (_metadata struct): at 100 TB,
     // per-file lineage (which object produced which rows) comes from the
     // hidden metadata column, not from parsing paths in user code ----

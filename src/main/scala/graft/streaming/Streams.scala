@@ -305,6 +305,33 @@ object Streams extends QueryModule {
           .orderBy("view_id", "purchase_id")
       }),
 
+    // ---- multi-source union: two independently-filtered streams (the
+    // two-topic ingestion merge — in production, different Kafka topics
+    // or file feeds) unioned into one aggregation. Each source keeps its
+    // own offset tracking in the shared checkpoint; the union itself is
+    // stateless, so the combined stream costs the sum of its sources,
+    // no extra state. ----
+    Q(
+      "stream_union_sources",
+      Some("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val views = eventStream(s, dir)
+          .filter(col("event_type") === "view")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+        val agg = views.unionByName(purchases)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        materialize(s, agg, "stream_union_sources", "complete")
+          .orderBy("event_type")
+      }),
+
     // ---- stream-static join: the enrichment pattern — a streaming fact
     // joined to a bounded static dimension (broadcast per micro-batch,
     // no stream state) before aggregating ----

@@ -31,4 +31,21 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
+
+  test("grouping on the bucket key aggregates without a hash exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("agg_bucketed_no_shuffle")(spark, sf)
+      // the only exchange allowed is the presentation sort's range
+      // partitioning; the aggregate itself must consume the bucket
+      // layout directly
+      val hashExchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(hashExchanges.isEmpty,
+        s"bucket-key aggregation still hash-shuffles:\n${df.queryExecution.executedPlan.toString.take(3000)}")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
