@@ -576,25 +576,38 @@ object TextAnalysis extends QueryModule {
   /** The winnowing pipeline on a (doc_id, text) frame → (doc_id, fp)
     * rows; k=3-gram hashes, window w=4, md5-derived values. Exposed for
     * the DedupSpec guarantee test (planted shared substrings must share
-    * a fingerprint). */
+    * a fingerprint).
+    *
+    * Deliberately row-based (posexplode + lead/min windows), NOT nested
+    * array HOFs: CollapseProject inlines a projected array column into
+    * every lambda that references it, so the "obvious"
+    * transform(sequence(...), j -> array_min(slice(hs, j, 4))) spelling
+    * re-evaluates the hash array per window, the gram array per hash,
+    * and the tokenizer per gram — multiplicatively ~400k full-text
+    * splits per 54-token document (measured: one bench task pinned a
+    * core for minutes at sf0.1). The window form evaluates every stage
+    * exactly once per row, shares one (doc_id, pos) exchange+sort
+    * across lead and the w-frame min, and streams arbitrarily long
+    * documents instead of materializing per-doc arrays. */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ts = filter(split(col("text"), " "), t => t =!= "")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
-      .select(col("doc_id"), ts.as("ts"))
-      .filter(size(col("ts")) >= 6) // ≥ one window of w=4 3-gram hashes
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("ts")) - 2), i =>
-          concat_ws(" ", element_at(col("ts"), i),
-            element_at(col("ts"), i + 1),
-            element_at(col("ts"), i + 2))).as("grams"))
-      .select(col("doc_id"),
-        transform(col("grams"), g =>
-          conv(substring(md5(g), 1, 12), 16, 10).cast("long") % 1000003L)
-          .as("hs"))
-      .select(col("doc_id"),
-        array_distinct(
-          transform(sequence(lit(1), size(col("hs")) - 3), j =>
-            array_min(slice(col("hs"), j, lit(4))))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), posexplode(ts).as(Seq("pos", "tok")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      // ≥ one window of w=4 3-gram hashes; pos is 0-based → grams live
+      // at pos 0..n-3
+      .filter(col("n") >= 6 && col("pos") <= col("n") - 3)
+      .select(col("doc_id"), col("pos"), (col("n") - 2).as("g"),
+        (conv(substring(md5(
+          concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 12),
+          16, 10).cast("long") % 1000003L).as("h"))
+      .withColumn("fp", min(col("h")).over(w.rowsBetween(0, 3)))
+      // a full w-window exists only for gram positions 0..g-4
+      .filter(col("pos") <= col("g") - 4)
+      .select(col("doc_id"), col("fp")).distinct()
   }
 }
