@@ -525,11 +525,16 @@ object Curation extends QueryModule {
           .select(col("doc_id"), explode(col("ts")).as("w"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("nw"), countDistinct("w").as("nd"))
+        // zip_with, not transform-over-indices: an index lambda's
+        // element_at(ts, i) re-evaluates the inlined tokenizer per
+        // element (quadratic in doc length after CollapseProject);
+        // zip_with evaluates both slice arguments once per ROW
         val bgtop = base
           .select(col("doc_id"),
-            explode(transform(sequence(lit(0), col("n") - 2), i =>
-              concat(element_at(col("ts"), i + 1), lit(" "),
-                element_at(col("ts"), i + 2)))).as("g"))
+            explode(zip_with(
+              slice(col("ts"), lit(1), col("n") - 1),
+              slice(col("ts"), lit(2), col("n") - 1),
+              (a, b) => concat(a, lit(" "), b))).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(max("c").as("topc"), sum("c").as("nbg"))
