@@ -21,6 +21,15 @@ import graft.{Q, QueryModule, Tables}
   */
 object Relational extends QueryModule {
 
+  /** Slice count for range-sliced window rewrites: scale with the
+    * session's shuffle parallelism, but never slice thinner than
+    * `minRows` rows per slice (the boundary-carry frames below need a
+    * minimum slice depth). The count is a parquet metadata read. */
+  private def sliceParts(s: SparkSession, n: Long, minRows: Int): Int = {
+    val shuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(shuffle, (n / minRows).toInt))
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -248,9 +257,18 @@ object Relational extends QueryModule {
     // ---- as-of join: each event matched to the latest hourly "quote"
     // (per-type hourly average) at or before its timestamp. Spark-first
     // shape: union quotes into the event stream and take
-    // last(quote, ignoreNulls) over a (type, time)-ordered window — one
-    // shuffle, no row explosion, no non-equi join. Oracle: DuckDB's
-    // native ASOF JOIN. ----
+    // last(quote, ignoreNulls) over a (type, time)-ordered window — no
+    // row explosion, no non-equi join. Oracle: DuckDB's native ASOF JOIN.
+    //
+    // Scale shape: windowing on event_type alone caps parallelism at the
+    // type cardinality (5 here). Instead the merged stream is
+    // range-sliced on (event_type, ts, is_quote) and each slice gets the
+    // last quote of every earlier slice injected as a synthetic leading
+    // row. The carried quote is exact — it forward-fills across slices on
+    // a (slice × type) metadata frame (≤ parts×|types| rows), so even a
+    // dense slice spanning less than one quote interval (no quote of its
+    // own) inherits the right predecessor. Parallelism scales with the
+    // slice count; no minimum-slice-depth precondition. ----
     Q(
       "join_asof_event_quotes",
       Some("""
@@ -278,10 +296,36 @@ object Relational extends QueryModule {
         val qRows = quotes.select(col("event_type"), col("qts").as("ts"),
           lit(null).cast("long").as("event_id"), lit(0).as("is_quote"),
           col("quote_cents"))
-        val w = Window.partitionBy("event_type")
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val keys = Seq(col("event_type"), col("ts"), col("is_quote"))
+        val ranged = events.unionByName(qRows)
+          .repartitionByRange(parts, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .withColumn("__pid", spark_partition_id())
+          .persist()
+        // last quote per (slice, type), forward-filled across slices on
+        // the metadata frame so slice d inherits the latest quote of any
+        // slice < d (its own quotes, if any, take over inside the window)
+        val lastQ = ranged.filter(col("is_quote") === 0)
+          .groupBy("__pid", "event_type")
+          .agg(max(col("ts")).as("q_ts"),
+            max_by(col("quote_cents"), col("ts")).as("q_cents"))
+        val ffill = Window.partitionBy("event_type").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carried = ranged.select("__pid", "event_type").distinct()
+          .join(lastQ, Seq("__pid", "event_type"), "left")
+          .withColumn("c_ts",
+            last(col("q_ts"), ignoreNulls = true).over(ffill))
+          .withColumn("c_cents",
+            last(col("q_cents"), ignoreNulls = true).over(ffill))
+          .filter(col("c_cents").isNotNull)
+          .select(col("event_type"), col("c_ts").as("ts"),
+            lit(null).cast("long").as("event_id"), lit(0).as("is_quote"),
+            col("c_cents").as("quote_cents"), col("__pid"))
+        val w = Window.partitionBy("__pid", "event_type")
           .orderBy(col("ts"), col("is_quote"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        events.unionByName(qRows)
+        ranged.unionByName(carried)
           .withColumn("asof_quote",
             last(col("quote_cents"), ignoreNulls = true).over(w))
           .filter(col("event_id").isNotNull)
@@ -477,11 +521,21 @@ object Relational extends QueryModule {
 
     // ---- rolling z-score outlier flag: each event scored against the
     // PRIOR 100 events of its type (trailing frame excludes the current
-    // row — no self-contamination, and the frame is streamable state at
-    // scale: O(frame) per key, no global pass). Mean/var derive from
-    // exact BIGINT window sums cast to double identically on both
-    // engines; warm-up rows (<20 of history) emit NULL rather than a
-    // noisy score. ----
+    // row — no self-contamination). Mean/var derive from exact BIGINT
+    // window sums cast to double identically on both engines; warm-up
+    // rows (<20 of history) emit NULL rather than a noisy score.
+    //
+    // Scale shape: PARTITION BY event_type alone pins parallelism at the
+    // type cardinality (5 in testdata) — each sort partition holds ~1/5
+    // of the table no matter how big the cluster. Instead: range-slice on
+    // (event_type, ts, event_id) — the TeraSort discipline
+    // globalRowNumber uses — carry the trailing 100 rows of each
+    // (slice, type) into the next slice, and window within (slice, type),
+    // so parallelism scales with the slice count. Range slices are
+    // contiguous in key order, so any slice a type both enters and
+    // leaves contains only that type's rows; the carry is therefore
+    // complete whenever every slice holds ≥ 100 rows, which is asserted
+    // loudly on the slice-count metadata frame (≤ `parts` rows). ----
     Q(
       "ts_zscore_outliers",
       Some("""
@@ -510,17 +564,40 @@ object Relational extends QueryModule {
           FROM w)
         ORDER BY event_id"""),
       (s, dir) => {
-        val tw = Window.partitionBy("event_type")
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(-100, -1)
-        t(s, dir, "events")
+        val base = t(s, dir, "events")
+        val parts = sliceParts(s, base.count(), minRows = 300)
+        val keys = Seq(col("event_type"), col("ts"), col("event_id"))
+        val ranged = base
           .select(col("event_id"), col("event_type"), col("ts"),
             round(col("value") * 100).cast("long").as("cents"))
-          .select(col("event_id"), col("cents"),
+          .repartitionByRange(parts, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .withColumn("__pid", spark_partition_id())
+          .persist()
+        // carry-completeness guard (see scale note): ≤ parts rows read
+        val sizes = ranged.groupBy("__pid").count().collect()
+        require(parts == 1 || sizes.forall(_.getLong(1) >= 100),
+          s"range slice thinner than the 100-row carry frame: " +
+            sizes.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(","))
+        val tail = Window.partitionBy("__pid", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val carry = ranged
+          .withColumn("__rn", row_number().over(tail))
+          .filter(col("__rn") <= 100 && col("__pid") < parts - 1)
+          .drop("__rn")
+          .withColumn("__pid", col("__pid") + 1)
+          .withColumn("__carry", lit(true))
+        val tw = Window.partitionBy("__pid", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-100, -1)
+        ranged.withColumn("__carry", lit(false))
+          .unionByName(carry)
+          .select(col("event_id"), col("cents"), col("__carry"),
             count(col("cents")).over(tw).cast("double").as("cnt"),
             sum(col("cents")).over(tw).cast("double").as("s"),
             sum(col("cents") * col("cents")).over(tw).cast("double")
               .as("ss"))
+          .filter(!col("__carry"))
           .withColumn("z",
             when(col("cnt") >= 20,
               (col("cents") - col("s") / col("cnt")) /

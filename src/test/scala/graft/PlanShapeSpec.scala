@@ -224,6 +224,27 @@ class PlanShapeSpec extends SparkSpec {
       "partition filter does not reference the partition column")
   }
 
+  test("raw-event windows range-slice instead of hashing the 5-value type key") {
+    // ts_zscore_outliers / join_asof_event_quotes window over the raw
+    // events table; PARTITION BY event_type alone would pin parallelism
+    // at |event_type| = 5 forever. The rewrite range-partitions on
+    // (event_type, ts, ...) and windows within (__pid, event_type) with a
+    // bounded boundary carry — parallelism scales with the slice count.
+    for (q <- Seq("ts_zscore_outliers", "join_asof_event_quotes")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$q: no RangePartitioning exchange feeding the sliced window:\n${p.take(2000)}")
+      assert(p.contains("windowspecdefinition(__pid"),
+        s"$q: window not partitioned by the slice id:\n${p.take(2000)}")
+    }
+    // the zscore plan must have NO window on the bare type key; the asof
+    // plan keeps one legitimate event_type window — the forward-fill over
+    // the (slice × type) metadata frame (≤ parts×|types| rows)
+    assert(!plan("ts_zscore_outliers")
+        .contains("windowspecdefinition(event_type"),
+      "ts_zscore_outliers: a window still partitions on event_type alone")
+  }
+
   test("global plan audit: no cartesian anywhere; NL joins only on bounded sides") {
     // nested-loop joins are legal ONLY where one side is bounded by
     // construction (a constant dim, a broadcast query set, a fixed
