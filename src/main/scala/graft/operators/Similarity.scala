@@ -64,11 +64,50 @@ object Similarity extends QueryModule {
           .orderBy("q_id", "rn")
       }),
 
-    // LSH-bucketed ANN — hash-seeded bucketing has no SQL oracle; recall
-    // vs the brute-force baseline is pinned in SimilaritySpec.
+    // LSH-bucketed ANN. The hyperplanes are deterministic (linear-
+    // congruential components, VectorOps.lshBucket), so the whole
+    // construction replays in DuckDB SQL: same planes, same sign bits,
+    // same bucket join, same exact re-rank — a bit-exact oracle, not just
+    // the recall pin (which SimilaritySpec still keeps).
     Q(
       "sim_ann_hyperplane",
-      None,
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        tb AS (SELECT t AS tbl, b AS bit
+               FROM (SELECT unnest(range(8)) AS t) _t,
+                    (SELECT unnest(range(4)) AS b) _b),
+        dots AS (
+          SELECT e.vec_id, tb.tbl, tb.bit,
+                 list_aggregate(list_transform(range(64), d ->
+                   v[d + 1] * ((((tb.tbl * 4 + tb.bit) * 2654435761
+                                 + d * 40503) % 1000003)
+                               / 1000003.0 - 0.5)), 'sum') AS dot
+          FROM e CROSS JOIN tb),
+        buckets AS (
+          SELECT vec_id, tbl,
+                 CAST(sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM dots GROUP BY 1, 2),
+        q AS (SELECT vec_id AS q_id, tbl, bucket
+              FROM buckets WHERE vec_id < 10),
+        cand AS (
+          SELECT DISTINCT q.q_id, c.vec_id AS cand_id
+          FROM buckets c JOIN q
+            ON c.tbl = q.tbl AND c.bucket = q.bucket
+           AND c.vec_id <> q.q_id),
+        sc AS (SELECT cand.q_id, cand.cand_id,
+                      list_cosine_similarity(qe.v, ce.v) AS cos
+               FROM cand
+               JOIN e qe ON qe.vec_id = cand.q_id
+               JOIN e ce ON ce.vec_id = cand.cand_id),
+        r AS (SELECT q_id, cand_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, cand_id) AS rn
+              FROM sc)
+        SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rn,
+               round(cos, 6) AS cos_sim
+        FROM r WHERE rn <= 5 ORDER BY q_id, rn"""),
       (s, dir) => {
         val e = emb(s, dir)
         // 8 tables × 4 sign bits: the testdata's true top-5 neighbors sit
@@ -110,11 +149,51 @@ object Similarity extends QueryModule {
     // wrong side of ONE hyperplane — land in a Hamming-1 bucket, so recall
     // rises steeply while the DATA side stays one bucket/table: candidate
     // cost grows on the bounded query side only (the standard trade from
-    // the multi-probe LSH literature). Hash-seeded → recall pinned in
-    // SimilaritySpec against brute force, strictly ≥ the single-probe run.
+    // the multi-probe LSH literature). Recall pinned in SimilaritySpec
+    // strictly ≥ the single-probe run; the deterministic planes also
+    // replay in DuckDB (same oracle as sim_ann_hyperplane plus the four
+    // single-bit-flip probes on the query side).
     Q(
       "sim_ann_multiprobe",
-      None,
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        tb AS (SELECT t AS tbl, b AS bit
+               FROM (SELECT unnest(range(8)) AS t) _t,
+                    (SELECT unnest(range(4)) AS b) _b),
+        dots AS (
+          SELECT e.vec_id, tb.tbl, tb.bit,
+                 list_aggregate(list_transform(range(64), d ->
+                   v[d + 1] * ((((tb.tbl * 4 + tb.bit) * 2654435761
+                                 + d * 40503) % 1000003)
+                               / 1000003.0 - 0.5)), 'sum') AS dot
+          FROM e CROSS JOIN tb),
+        buckets AS (
+          SELECT vec_id, tbl,
+                 CAST(sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM dots GROUP BY 1, 2),
+        q AS (SELECT q_id, tbl, unnest([bucket, xor(bucket, 1),
+                xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+              FROM (SELECT vec_id AS q_id, tbl, bucket
+                    FROM buckets WHERE vec_id < 10)),
+        cand AS (
+          SELECT DISTINCT q.q_id, c.vec_id AS cand_id
+          FROM buckets c JOIN q
+            ON c.tbl = q.tbl AND c.bucket = q.bucket
+           AND c.vec_id <> q.q_id),
+        sc AS (SELECT cand.q_id, cand.cand_id,
+                      list_cosine_similarity(qe.v, ce.v) AS cos
+               FROM cand
+               JOIN e qe ON qe.vec_id = cand.q_id
+               JOIN e ce ON ce.vec_id = cand.cand_id),
+        r AS (SELECT q_id, cand_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, cand_id) AS rn
+              FROM sc)
+        SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rn,
+               round(cos, 6) AS cos_sim
+        FROM r WHERE rn <= 5 ORDER BY q_id, rn"""),
       (s, dir) => {
         val e = emb(s, dir)
         val buckets = e.select(
@@ -154,11 +233,38 @@ object Similarity extends QueryModule {
     // every vector assigned to its nearest cell (inverted lists), queries
     // probe their 4 nearest cells, exact re-rank inside the probed cells.
     // At cluster scale the assignment is one broadcast-join pass and the
-    // probe reads only nprobe/k of the data. Hash-free but centroid-seeded
-    // → recall pinned in SimilaritySpec, no SQL oracle.
+    // probe reads only nprobe/k of the data. Centroid-seeded and fully
+    // deterministic → the cell assignment, probes, and re-rank replay in
+    // DuckDB; recall additionally pinned in SimilaritySpec.
     Q(
       "sim_ivf_probe",
-      None,
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        asg AS (
+          SELECT e.vec_id, cents.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, cents.cv) DESC,
+                            cents.cell) AS cell_rank
+          FROM e CROSS JOIN cents),
+        lists AS (SELECT vec_id, cell FROM asg WHERE cell_rank = 1),
+        probes AS (SELECT vec_id AS q_id, cell
+                   FROM asg WHERE vec_id < 10 AND cell_rank <= 4),
+        cand AS (
+          SELECT DISTINCT p.q_id, l.vec_id AS cand_id,
+                 list_cosine_similarity(qe.v, ce.v) AS cos
+          FROM lists l JOIN probes p USING (cell)
+          JOIN e qe ON qe.vec_id = p.q_id
+          JOIN e ce ON ce.vec_id = l.vec_id
+          WHERE l.vec_id <> p.q_id),
+        r AS (SELECT q_id, cand_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, cand_id) AS rn
+              FROM cand)
+        SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rn,
+               round(cos, 6) AS cos_sim
+        FROM r WHERE rn <= 5 ORDER BY q_id, rn"""),
       (s, dir) => {
         import graft.functions.VectorExprs
         val e = emb(s, dir)
