@@ -90,6 +90,29 @@ object Dedup extends QueryModule {
             FROM documents))
     WHERE len(tgs) > 0"""
 
+  /** Posting-list document-frequency cap shared by the inverted-index
+    * pair joins (trigram jaccard here, winnowing in TextAnalysis). */
+  private[graft] val DfCap = 64
+
+  /** Stop-key df cap for inverted-index pair joins: drop posting rows
+    * whose key occurs in more than `cap` documents. One viral key (a
+    * boilerplate header shared by millions of docs) otherwise makes the
+    * posting self-join quadratic in its list length — and a key that
+    * common carries no discriminative signal anyway, the same discipline
+    * as stopword removal in BM25. df comes from a map-side-combined
+    * aggregate (the hot key never concentrates raw posting rows on one
+    * task), the hot set is ≤ |postings|/cap keys → broadcast anti-join,
+    * so the posting stream itself is never reshuffled. Every oracle
+    * replays the identical predicate (NOT IN … HAVING count(*) > cap).
+    * DedupSpec plants a viral key across many docs and pins that the
+    * candidate pair stream stays linear. */
+  private[graft] def dfCapped(post: DataFrame, key: String,
+      cap: Int): DataFrame = {
+    val hot = post.groupBy(key).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(key)
+    post.join(broadcast(hot), Seq(key), "left_anti")
+  }
+
   /** Exact trigram-Jaccard near-dup pairs at `threshold` via the
     * inverted-index equi-join (shared by the pair query and the
     * cluster-resolution query). */
@@ -101,9 +124,13 @@ object Dedup extends QueryModule {
     // it would be a 100 TB bug, and re-shuffling the pair stream for a
     // sort-merge join is a wasted exchange)
     val docs = docShingles(s, dir, requireNonEmpty = false)
-    val ex = docs.select(col("doc_id"),
-      explode(transform(col("sh"), xxhash64(_))).as("bg"),
-      size(col("sh")).as("sz"))
+    // the df cap trims the INDEX only; set sizes stay full, so a pair
+    // sharing viral grams scores a (deliberate) jaccard underestimate
+    val ex = dfCapped(
+      docs.select(col("doc_id"),
+        explode(transform(col("sh"), xxhash64(_))).as("bg"),
+        size(col("sh")).as("sz")),
+      "bg", DfCap)
     val pairs = ex.as("a")
       .join(ex.as("b"),
         col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
@@ -181,7 +208,9 @@ object Dedup extends QueryModule {
 
   /** DuckDB fragment for the same pairs (expects `docs` CTE in scope). */
   private def jaccardPairsSql(threshold: Double) = s"""
-    ex AS (SELECT doc_id, unnest(sh) AS bg FROM docs),
+    ex0 AS (SELECT doc_id, unnest(sh) AS bg FROM docs),
+    ex AS (SELECT * FROM ex0 WHERE bg NOT IN
+             (SELECT bg FROM ex0 GROUP BY bg HAVING count(*) > $DfCap)),
     rawpairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(count(*) AS BIGINT) AS inter

@@ -529,11 +529,12 @@ object TextAnalysis extends QueryModule {
     // the index; 3 shared minima ⟹ substantial overlap). Same
     // inverted-index equi-join shape as the n-gram jaccard but over the
     // ~2/(w+1)-density fingerprint index, so the candidate stream is a
-    // fraction of the gram-join's. Posting lists here are thin (max df
-    // 6 at sf0.01); at 100 TB a stop-fingerprint df cap (drop
-    // fingerprints in more than X docs, replayed identically in any
-    // engine) bounds the hottest lists — same discipline as stopword
-    // removal in BM25. ----
+    // fraction of the gram-join's. The stop-fingerprint df cap
+    // (Dedup.dfCapped, cap 64, replayed in the oracle) bounds the
+    // hottest posting lists: one viral boilerplate fingerprint would
+    // otherwise make this self-join quadratic in its list length. At
+    // sf0.01 max df is 6, so the cap is inert on the testdata — the
+    // viral case is pinned synthetically in DedupSpec. ----
     Q(
       "dedup_winnowing_join",
       Some(s"""
@@ -554,14 +555,19 @@ object TextAnalysis extends QueryModule {
                      list_distinct(list_transform(range(1, len(hs) - 2),
                        j -> list_min(hs[j:j+3]))) AS fps
               FROM h),
-        post AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        cap AS (SELECT * FROM post WHERE fp NOT IN
+                  (SELECT fp FROM post GROUP BY fp
+                   HAVING count(*) > ${Dedup.DfCap}))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(count(*) AS BIGINT) AS n_shared
-        FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3
         ORDER BY 1, 2"""),
       (s, dir) => {
-        val post = winnowFingerprints(Tables.load(s, dir, "documents"))
+        val post = Dedup.dfCapped(
+          winnowFingerprints(Tables.load(s, dir, "documents")),
+          "fp", Dedup.DfCap)
         post.as("a")
           .join(post.as("b"),
             col("a.fp") === col("b.fp") &&

@@ -184,4 +184,28 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L).size < doc1Grams,
       "winnowing selected every gram — no compression")
   }
+
+  test("df cap keeps a viral posting key from exploding the pair join") {
+    import spark.implicits._
+    // 200 docs all sharing one viral key (boilerplate fingerprint) plus
+    // one private key each: uncapped, the self-join would emit
+    // 200·199/2 ≈ 20k candidate rows from the viral key alone —
+    // quadratic in df. With the cap the viral key is dropped from the
+    // index and the candidate stream stays linear.
+    val viral = (1L to 200L).map(i => (i, 777L)) ++
+      (1L to 200L).map(i => (i, 1000L + i))
+    val post = viral.toDF("doc_id", "fp")
+    val capped = Dedup.dfCapped(post, "fp", cap = 64)
+    assert(capped.filter($"fp" === 777L).count() == 0,
+      "viral key (df=200 > cap) survived the cap")
+    assert(capped.count() == 200, "private keys (df=1) must all survive")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+    assert(pairs.count() == 0,
+      "capped index still produced quadratic candidates")
+    // a key at exactly the cap is kept — the cap is strict-greater
+    val atCap = (1L to 64L).map(i => (i, 5L)).toDF("doc_id", "fp")
+    assert(Dedup.dfCapped(atCap, "fp", cap = 64).count() == 64)
+  }
 }
