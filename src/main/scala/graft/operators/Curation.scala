@@ -36,10 +36,18 @@ object Curation extends QueryModule {
     * and it broadcasts back to the sorted data. `ranged` is persisted
     * because both the counts and the final join consume it — without
     * the persist the range-sample + shuffle + sort would run twice
-    * (callers release it via clearCache). */
+    * (callers release it via clearCache).
+    *
+    * Partition count follows spark.sql.shuffle.partitions (like every
+    * other shuffle in the job) rather than a fixed constant, so the
+    * per-task sort stays ~constant-size as the cluster and data scale
+    * together; callers can still pin it for tests. */
   private def globalRowNumber(df: DataFrame, keys: Seq[Column],
-      outCol: String, parts: Int = 16): DataFrame = {
-    val ranged = df.repartitionByRange(parts, keys: _*)
+      outCol: String, parts: Int = 0): DataFrame = {
+    val nParts =
+      if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()

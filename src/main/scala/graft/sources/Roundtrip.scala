@@ -99,6 +99,29 @@ object Roundtrip extends QueryModule {
     root
   }
 
+  private val dynOverwriteReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write the full event_type-partitioned base table once per scale dir
+    * (same write-once discipline as ensureDppTables), so the timed
+    * insert_overwrite_dynamic body measures only the O(one partition)
+    * dynamic overwrite — the mechanism under test — not a full-table
+    * setup write. The overwrite itself recomputes the click partition
+    * from the SOURCE table, so repeated timed runs are idempotent. */
+  private def ensureDynOverwriteBase(s: SparkSession, dir: String): String = {
+    val root = scratch("dyn_overwrite_" + new java.io.File(dir).getName)
+    if (dynOverwriteReady.get(root) != dir) dynOverwriteReady.synchronized {
+      if (dynOverwriteReady.get(root) != dir) {
+        t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("event_type").parquet(root)
+        dynOverwriteReady.put(root, dir)
+      }
+    }
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- S5+S7: JSON sink then JSON scan (schema inference), aggregate ----
@@ -863,12 +886,10 @@ object Roundtrip extends QueryModule {
                         AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        val root = scratch("dyn_overwrite")
-        val ev = t(s, dir, "events")
+        val root = ensureDynOverwriteBase(s, dir)
+        t(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value")
-        ev.write.mode(SaveMode.Overwrite)
-          .partitionBy("event_type").parquet(root)
-        ev.filter(col("event_type") === "click")
+          .filter(col("event_type") === "click")
           .withColumn("value", col("value") * 2)
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

@@ -193,7 +193,15 @@ object Snapshots {
     * the difference between a changelog and a re-scan. Rows that a
     * bucket rewrite carried unchanged join equal on both sides and are
     * dropped (`nochange` filter) — the exact compare is confined to the
-    * changed buckets. */
+    * changed buckets.
+    *
+    * PRECONDITION: `key` must be unique within each version of the
+    * changed buckets (true for any primary-keyed table; commitMerge
+    * enforces it by anti-joining before union). A duplicate key would
+    * fan out the full-outer join and fabricate spurious pre/post pairs,
+    * so each side carries a raise_error guard — a window count over the
+    * same key partitioning the join already requires, no extra shuffle
+    * beyond the changed-bucket reads. */
   def changeFeed(s: SparkSession, root: String, fromV: Int, toV: Int,
       key: String = "o_orderkey"): DataFrame = {
     val fromFiles = readManifest(root, fromV)
@@ -219,10 +227,23 @@ object Snapshots {
     // drive classification
     val valueCols = oldDf.columns.filter(_ != key)
       .intersect(newDf.columns.filter(_ != key)).toSeq
-    val o = oldDf.select(col(key).as("__ko"),
-      struct(valueCols.map(col): _*).as("__vo"))
-    val n = newDf.select(col(key).as("__kn"),
-      struct(valueCols.map(col): _*).as("__vn"))
+    // duplicate-key guard: count over the key's own hash partitioning
+    // (the distribution the join needs anyway); fires lazily inside the
+    // same scan, failing the read instead of mis-classifying changes
+    def uniqueKeyed(df: DataFrame, kAlias: String, vAlias: String,
+        sideName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      df.select(col(key), struct(valueCols.map(col): _*).as(vAlias))
+        .withColumn("__n", count(lit(1)).over(w))
+        .select(
+          when(col("__n") > 1, raise_error(concat(
+            lit(s"changeFeed: duplicate key in $sideName changed buckets: "),
+            col(key).cast("string"))))
+            .otherwise(col(key)).as(kAlias),
+          col(vAlias))
+    }
+    val o = uniqueKeyed(oldDf, "__ko", "__vo", s"v$fromV")
+    val n = uniqueKeyed(newDf, "__kn", "__vn", s"v$toV")
     def entry(ct: String, k: Column, v: Column): Column =
       struct((lit(ct).as("change_type") +: k.as(key) +:
         valueCols.map(c => v.getField(c).as(c))): _*)
