@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, QueryModule, Tables}
 
 /** The ML train step closed ENGINE-side — the reference fits its model
@@ -156,6 +157,180 @@ object Learn extends QueryModule {
     // SSE = Σy² − b·X'y ; SST = Σy² − (Σy)²/n ; r² = 1 − SSE/SST
     "round(1.0 - (syy - (det0/det)*sy - (det1/det)*s1y - (det2/det)*s2y)" +
       " / (syy - sy*sy/n), 6) AS r2")
+
+  // ---- depth-2 histogram decision tree (regression) ----------------
+  // The reference's literal model family is a tree ensemble
+  // (airflow/dags/realestate_pipeline.py:224-234: sklearn
+  // RandomForestRegressor + r² on a toPandas'd frame). Engine-side, a
+  // histogram tree is the LightGBM/XGBoost-hist shape: bin the features
+  // once, then each LEVEL of the tree is ONE scan producing the
+  // (node, feature, bin) → (count, Σy) sufficient statistics — a few-KB
+  // frame — from which every node's best variance-reduction split is
+  // picked with window sums over bins. No per-split scan, no driver-side
+  // data: the model state that crosses levels is the broadcastable
+  // best-split row, exactly like the centroid/weight rows above.
+  //
+  // Determinism: bins and the target are exact integers, so the
+  // histogram sums are exact BIGINTs; the split score
+  // Σl²/nl + Σr²/nr (maximizing it ≡ minimizing SSE, since Σy² is
+  // constant) is computed in doubles via expression TEXT shared with
+  // the oracle, and argmax ties break by (feat, bin) under a total
+  // ORDER BY — both engines learn the bit-identical tree. (Per-cell Σy
+  // here is < 2^63; at larger scale the sums move to DECIMAL(38,0)
+  // accumulation like the OLS pass.)
+
+  private val TreeBins = 16
+
+  private def treeFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").selectExpr(
+      s"CAST(o_orderkey % 500 AS BIGINT) * $TreeBins DIV 500 AS b1",
+      s"CAST(o_custkey % 300 AS BIGINT) * $TreeBins DIV 300 AS b2",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
+
+  private val treeFeaturesSql = s"""
+    SELECT (o_orderkey % 500) * $TreeBins // 500 AS b1,
+           (o_custkey % 300) * $TreeBins // 300 AS b2,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS y
+    FROM orders"""
+
+  /** One histogram pass: ONE scan of the feature frame, features
+    * unpivoted in-flight (explode of a 2-struct array — rows double in
+    * the map stage, then combine to ≤ |nodes|·2·TreeBins groups), one
+    * map-side-combined aggregation. This is the per-level cost of the
+    * whole tree at any depth; visible to LearnSpec for the plan pin. */
+  private[graft] def histPass(f: DataFrame, nodeCols: Seq[String])
+      : DataFrame =
+    f.select(nodeCols.map(col) ++ Seq(
+        explode(array(
+          struct(lit(1L).as("feat"), col("b1").as("bin")),
+          struct(lit(2L).as("feat"), col("b2").as("bin")))).as("e"),
+        col("y")): _*)
+      .select(nodeCols.map(col) ++ Seq(col("e.feat").as("feat"),
+        col("e.bin").as("bin"), col("y")): _*)
+      .groupBy((nodeCols ++ Seq("feat", "bin")).map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+
+  // variance-reduction split score over doubles CAST from exact integer
+  // sums — identical text on both engines (the OLS/Cramer discipline)
+  private val treeScoreText =
+    "CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE) + " +
+      "CAST(syr AS DOUBLE) * CAST(syr AS DOUBLE) / CAST(nr AS DOUBLE)"
+
+  /** Candidate splits from a histogram: cumulative (left-side) sums per
+    * partition via window over the few-KB histogram frame — never over
+    * the data. `x <= thr` goes left; thresholds with an empty side are
+    * dropped. */
+  private def treeSplits(h: DataFrame, part: Seq[String]): DataFrame = {
+    val cum = Window.partitionBy(part.map(col): _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(part.map(col): _*)
+    h.withColumn("nl", sum("n").over(cum))
+      .withColumn("syl", sum("sy").over(cum))
+      .withColumn("nr", sum("n").over(tot) - col("nl"))
+      .withColumn("syr", sum("sy").over(tot) - col("syl"))
+      .filter(col("nl") > 0 && col("nr") > 0)
+      .withColumn("score", expr(treeScoreText))
+  }
+
+  private def treeSplitsSql(h: String, part: String): String = s"""
+    SELECT *, $treeScoreText AS score
+    FROM (
+      SELECT *, nt - nl AS nr, syt - syl AS syr
+      FROM (
+        SELECT *,
+          sum(n) OVER (PARTITION BY $part ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+          sum(sy) OVER (PARTITION BY $part ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS syl,
+          sum(n) OVER (PARTITION BY $part) AS nt,
+          sum(sy) OVER (PARTITION BY $part) AS syt
+        FROM $h))
+    WHERE nl > 0 AND nr > 0"""
+
+  /** Learn the depth-2 tree: (root split, level-1 histogram, per-node
+    * child splits). The tiny frames are persisted because two consumers
+    * each would otherwise re-run the big scan behind them (Verify/Bench
+    * clearCache between queries). Big-table scans: one per level. */
+  private def treeLevels(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val f = treeFeatures(s, dir)
+    val best0 = treeSplits(histPass(f, Nil), Seq("feat"))
+      .orderBy(desc("score"), col("feat"), col("bin")).limit(1)
+      .select(col("feat").as("root_feat"), col("bin").as("root_thr"))
+      .persist()
+    val assigned = f.crossJoin(broadcast(best0))
+      .withColumn("node", expr(
+        "CAST(CASE WHEN (root_feat = 1 AND b1 <= root_thr) " +
+          "OR (root_feat = 2 AND b2 <= root_thr) " +
+          "THEN 0 ELSE 1 END AS BIGINT)"))
+    val h1 = histPass(assigned, Seq("node")).persist()
+    val best1 = treeSplits(h1, Seq("node", "feat"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("node")
+          .orderBy(desc("score"), col("feat"), col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("feat").as("split_feat"),
+        col("bin").as("split_thr"))
+      .persist()
+    (best0, h1, best1)
+  }
+
+  /** Leaf sufficient statistics WITHOUT a third scan: a leaf is (node ×
+    * side of the node's chosen split), so its (n, Σy) is a partial sum
+    * of the level-1 histogram rows on that node's split feature. */
+  private def treeLeaves(best0: DataFrame, h1: DataFrame,
+      best1: DataFrame): DataFrame =
+    h1.join(broadcast(best1), Seq("node"))
+      .filter(col("feat") === col("split_feat"))
+      .withColumn("leaf", col("node") * 2 +
+        when(col("bin") <= col("split_thr"), lit(0L)).otherwise(lit(1L)))
+      .groupBy("leaf", "split_feat", "split_thr")
+      .agg(sum("n").as("n"), sum("sy").as("sy"))
+      .crossJoin(broadcast(best0))
+
+  // shared oracle CTE chain for both tree queries
+  private val treeOracleCtes = s"""
+    f AS ($treeFeaturesSql),
+    h0 AS (
+      SELECT feat, bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM (SELECT 1 AS feat, b1 AS bin, y FROM f
+            UNION ALL SELECT 2 AS feat, b2 AS bin, y FROM f)
+      GROUP BY 1, 2),
+    s0 AS (${treeSplitsSql("h0", "feat")}),
+    best0 AS (SELECT feat AS root_feat, bin AS root_thr FROM s0
+              ORDER BY score DESC, feat, bin LIMIT 1),
+    fa AS (
+      SELECT f.*, CASE WHEN (root_feat = 1 AND b1 <= root_thr)
+                        OR (root_feat = 2 AND b2 <= root_thr)
+                  THEN 0 ELSE 1 END AS node
+      FROM f CROSS JOIN best0),
+    h1 AS (
+      SELECT node, feat, bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM (SELECT node, 1 AS feat, b1 AS bin, y FROM fa
+            UNION ALL SELECT node, 2 AS feat, b2 AS bin, y FROM fa)
+      GROUP BY 1, 2, 3),
+    s1 AS (${treeSplitsSql("h1", "node, feat")}),
+    best1 AS (
+      SELECT node, feat AS split_feat, bin AS split_thr FROM (
+        SELECT *, row_number() OVER (PARTITION BY node
+          ORDER BY score DESC, feat, bin) AS rn FROM s1)
+      WHERE rn = 1),
+    leaves AS (
+      SELECT h.node * 2 + CASE WHEN h.bin <= b.split_thr
+                               THEN 0 ELSE 1 END AS leaf,
+             b.split_feat, b.split_thr,
+             CAST(sum(h.n) AS BIGINT) AS n, CAST(sum(h.sy) AS BIGINT) AS sy
+      FROM h1 h JOIN best1 b
+        ON h.node = b.node AND h.feat = b.split_feat
+      GROUP BY 1, 2, 3)"""
+
+  // r² from exact integer sums, final arithmetic in shared double text
+  private val treeR2Text =
+    "round(1.0 - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)" +
+      " AS r2"
 
   val all: Seq[Q] = Seq(
 
@@ -325,6 +500,84 @@ object Learn extends QueryModule {
               " AS z_price",
             "round((y - ymin) / (ymax - ymin), 6) AS mm_price")
           .orderBy("o_orderkey")
+      }),
+
+    // ---- depth-2 histogram decision tree TRAIN: the output row set IS
+    // the learned model — each leaf with the full split path that
+    // defines it plus its (n, mean-cents prediction) — so the green
+    // hash row proves both engines learned the identical tree, not just
+    // similar aggregates. Scale shape (see block scaladoc): one scan
+    // per level; split selection runs over the few-KB histogram, never
+    // the data. ----
+    Q(
+      "ml_tree_hist_depth2",
+      Some(s"""
+        WITH $treeOracleCtes
+        SELECT CAST(leaf AS BIGINT) AS leaf,
+               CAST(root_feat AS BIGINT) AS root_feat,
+               CAST(root_thr AS BIGINT) AS root_thr,
+               CAST(split_feat AS BIGINT) AS split_feat,
+               CAST(split_thr AS BIGINT) AS split_thr,
+               n,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS pred
+        FROM leaves CROSS JOIN best0
+        ORDER BY leaf"""),
+      (s, dir) => {
+        val (best0, h1, best1) = treeLevels(s, dir)
+        treeLeaves(best0, h1, best1)
+          .selectExpr("leaf", "root_feat", "root_thr",
+            "split_feat", "split_thr", "n",
+            "round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS pred")
+          .orderBy("leaf")
+      }),
+
+    // ---- tree EVAL: apply the learned tree and compute r² engine-side
+    // (the reference's metric, realestate_pipeline.py:234) in ONE more
+    // scan. Leaf predictions are floored to integer cents (sy DIV n) so
+    // the residuals — and therefore the SSE — are exact integers under
+    // DECIMAL(38,0)/HUGEINT accumulation: associative, order-free,
+    // bit-identical across engines; only the final r² division runs in
+    // doubles, via shared text. ----
+    Q(
+      "ml_tree_r2",
+      Some(s"""
+        WITH $treeOracleCtes,
+        preds AS (SELECT leaf, sy // n AS p FROM leaves),
+        scored AS (
+          SELECT fa.y, fa.node * 2 +
+                 CASE WHEN (b.split_feat = 1 AND fa.b1 <= b.split_thr)
+                       OR (b.split_feat = 2 AND fa.b2 <= b.split_thr)
+                 THEN 0 ELSE 1 END AS leaf
+          FROM fa JOIN best1 b ON fa.node = b.node),
+        ev AS (
+          SELECT count(*) AS n,
+                 sum(CAST(e * e AS HUGEINT)) AS sse,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM (SELECT s.y, s.y - p.p AS e
+                FROM scored s JOIN preds p USING (leaf)))
+        SELECT CAST(n AS BIGINT) AS n, $treeR2Text FROM ev"""),
+      (s, dir) => {
+        val (best0, h1, best1) = treeLevels(s, dir)
+        val preds = treeLeaves(best0, h1, best1)
+          .selectExpr("leaf", "sy DIV n AS p")
+        treeFeatures(s, dir).crossJoin(broadcast(best0))
+          .withColumn("node", expr(
+            "CAST(CASE WHEN (root_feat = 1 AND b1 <= root_thr) " +
+              "OR (root_feat = 2 AND b2 <= root_thr) " +
+              "THEN 0 ELSE 1 END AS BIGINT)"))
+          .join(broadcast(best1), Seq("node"))
+          .withColumn("leaf", col("node") * 2 + expr(
+            "CAST(CASE WHEN (split_feat = 1 AND b1 <= split_thr) " +
+              "OR (split_feat = 2 AND b2 <= split_thr) " +
+              "THEN 0 ELSE 1 END AS BIGINT)"))
+          .join(broadcast(preds), Seq("leaf"))
+          .withColumn("e", col("y") - col("p"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
+            expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+            expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
+          .selectExpr("CAST(n AS BIGINT) AS n", treeR2Text)
       })
   )
 }

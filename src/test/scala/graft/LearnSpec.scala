@@ -66,4 +66,56 @@ class LearnSpec extends SparkSpec {
     assert(math.abs(st.getDouble(1) - 1.0) < 1e-3)
     assert(st.getDouble(2) == 0.0 && st.getDouble(3) == 1.0)
   }
+
+  test("tree histogram pass is ONE scan + one aggregation of the data") {
+    // the per-level cost claim: a histogram pass reads the fact table
+    // exactly once (features unpivot in-flight, no self-union) and
+    // reduces it with a single hash aggregation — at any tree depth
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val f = Tables.load(spark, sf, "orders").selectExpr(
+        "CAST(o_orderkey % 500 AS BIGINT) * 16 DIV 500 AS b1",
+        "CAST(o_custkey % 300 AS BIGINT) * 16 DIV 300 AS b2",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
+      val plan = operators.Learn.histPass(f, Nil)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.length == 1,
+        s"histogram pass should scan the table once, saw ${scans.length}")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      // partial + final pair of ONE logical aggregation, nothing more
+      assert(aggs.length == 2,
+        s"expected one partial+final aggregation, saw ${aggs.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("depth-2 tree partitions all rows into 4 leaves and reduces SSE") {
+    val leaves = SparkEntry.queries("ml_tree_hist_depth2")(spark, sf)
+      .collect()
+    assert(leaves.length == 4, s"expected 4 leaves, got ${leaves.length}")
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(leaves.map(_.getLong(5)).sum == total,
+      "leaves must partition the training set")
+    // a real split: not all leaf predictions identical
+    assert(leaves.map(_.getDouble(6)).distinct.length > 1,
+      "degenerate tree: all leaves predict the same value")
+    // each leaf's split path is internally consistent: features in
+    // {1,2}, thresholds inside the bin range
+    for (r <- leaves) {
+      assert(Set(1L, 2L).contains(r.getLong(1)) &&
+        Set(1L, 2L).contains(r.getLong(3)))
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
+      assert(r.getLong(4) >= 0 && r.getLong(4) < 16)
+    }
+    // train-set r² of exact leaf means is ≥ 0 by construction; integer
+    // flooring of predictions costs < 1 cent/row against an SST in
+    // cents² — the bound survives
+    val r2 = SparkEntry.queries("ml_tree_r2")(spark, sf)
+      .collect()(0).getDouble(1)
+    assert(r2 >= -1e-6 && r2 <= 1.0, s"r2 out of range: $r2")
+  }
 }
