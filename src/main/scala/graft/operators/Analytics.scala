@@ -326,12 +326,17 @@ object Analytics extends QueryModule {
 
     // ---- triangle counting (graph motif matching) on the co-supplier
     // graph: suppliers are adjacent iff they supply a common part. The
-    // canonical distributed shape: orient every edge low→high, then one
-    // self-join finds wedges and a second (with an edge-existence
-    // semi-join) closes them — each triangle counted exactly once, no
-    // cartesian. At 100 TB the standard refinement is degree-ordering
-    // instead of id-ordering (bounds wedge fan-out by max degree); the
-    // plan shape — two keyed equi-joins — is unchanged. ----
+    // canonical distributed shape: orient every edge along a TOTAL
+    // vertex order, then one self-join finds wedges and a second (with
+    // an edge-existence semi-join) closes them — each triangle counted
+    // exactly once, no cartesian. The order used is (degree, id) — the
+    // standard 100 TB refinement over raw ids: out-degrees under degree
+    // orientation are bounded by O(√m) (arboricity), so wedge fan-out
+    // is bounded by the graph's structure instead of by which hub got a
+    // low id. Cost: one degree aggregation + two edge-list joins (edge-
+    // sized, not wedge-sized); the wedge/closure plan — two keyed
+    // equi-joins — is unchanged, and so is the count (orientation-
+    // invariant), so the oracle needs no replay of the ordering. ----
     Q(
       "graph_triangle_count",
       Some("""
@@ -360,11 +365,26 @@ object Analytics extends QueryModule {
             col("l_shipdate") < lit("1997-01-01"))
           .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
           .distinct()
-        val e = ps.as("a")
+        val und = ps.as("a")
           .join(ps.as("b"),
             col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
-          .select(col("a.sup").as("lo"), col("b.sup").as("hi"))
+          .select(col("a.sup").as("u"), col("b.sup").as("v"))
           .distinct()
+          .truncated // reused: degree count (both endpoints) + reorient
+        // (degree, id) rank per vertex, then re-orient each undirected
+        // edge from lower to higher rank — two equi-joins on the edge
+        // list against the |V|-row degree table
+        val deg = und.select(col("u").as("vid"))
+          .unionByName(und.select(col("v").as("vid")))
+          .groupBy("vid").agg(count(lit(1)).as("d"))
+        val uFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val e = und
+          .join(deg.select(col("vid").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("vid").as("v"), col("d").as("dv")), "v")
+          .select(
+            when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+            when(uFirst, col("v")).otherwise(col("u")).as("hi"))
           .truncated // reused 3×: wedge build (2 sides) + closure
         val wedges = e.as("e1")
           .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
