@@ -73,6 +73,35 @@ object Snapshots {
     else None
   }
 
+  /** Per-file footer ↔ snapshot-schema compatibility, checked at
+    * manifest read: a column the snapshot schema doesn't know, or a
+    * column whose parquet type drifted, fails HERE with the file and
+    * column named — not as an inscrutable cast error halfway through a
+    * scan (a deleted-underneath file already fails loudly via the
+    * manifest). Footer fields may be a SUBSET of the snapshot schema:
+    * that's the legitimate ADD-COLUMN null-fill case. The footer reads
+    * are O(files) driver-side metadata I/O — the same scale class as
+    * reading the manifest; at real scale the commit protocol records
+    * each file's schema fingerprint in the manifest (Delta's add-file
+    * entry), turning this into a pure metadata compare. */
+  private def assertFooterSchemas(s: SparkSession, files: Seq[String],
+      expected: StructType, version: Int): Unit = {
+    val want = expected.fields.map(f => f.name -> f.dataType).toMap
+    for (f <- files; fld <- s.read.parquet(f).schema.fields)
+      want.get(fld.name) match {
+        case None => throw new IllegalStateException(
+          s"snapshot v$version: schema drift — file $f carries column " +
+            s"'${fld.name}' absent from the snapshot schema (file " +
+            "modified outside the commit protocol?)")
+        case Some(dt) if dt != fld.dataType =>
+          throw new IllegalStateException(
+            s"snapshot v$version: schema drift — file $f column " +
+              s"'${fld.name}' is ${fld.dataType.simpleString} but the " +
+              s"snapshot schema says ${dt.simpleString}")
+        case _ => ()
+      }
+  }
+
   /** Read the table as of a committed version: manifest N's files, no
     * directory listing, no partition inference — the file list is the
     * source of truth (so concurrently-written newer files are invisible).
@@ -80,13 +109,23 @@ object Snapshots {
     * an ADD-COLUMN commit), the read applies it explicitly: data files
     * that predate the new column simply yield NULL for it — the same
     * read-time fill Delta/Iceberg perform from their log schema, so
-    * schema evolution never rewrites untouched files. */
-  def readVersion(s: SparkSession, root: String, version: Int): DataFrame =
-    readSchema(root, version) match {
-      case Some(schema) =>
-        s.read.schema(schema).parquet(readManifest(root, version): _*)
-      case None => s.read.parquet(readManifest(root, version): _*)
+    * schema evolution never rewrites untouched files. Every file's
+    * footer is validated against the snapshot schema up front
+    * (assertFooterSchemas) so tampered/drifted files fail loudly. */
+  def readVersion(s: SparkSession, root: String, version: Int): DataFrame = {
+    val files = readManifest(root, version)
+    val declared = readSchema(root, version)
+    if (files.nonEmpty) {
+      // with no declared schema the first file's footer is the contract
+      // the rest must match (what the unguarded read silently assumed)
+      val expected = declared.getOrElse(s.read.parquet(files.head).schema)
+      assertFooterSchemas(s, files, expected, version)
     }
+    declared match {
+      case Some(schema) => s.read.schema(schema).parquet(files: _*)
+      case None         => s.read.parquet(files: _*)
+    }
+  }
 
   /** The demo table's bucketing rule — recomputed from the key on read
     * because partitionBy strips `bkt` from the data files and an explicit

@@ -283,4 +283,35 @@ class RoundtripSpec extends SparkSpec {
     assert(files("click") != clickBefore,
       "dynamic overwrite did not replace the incoming partition")
   }
+
+  test("schema-drifted carried file fails loudly at manifest read") {
+    import graft.sources.Snapshots
+    val root = Snapshots.buildDemoTable(spark, sf, "spec_drift")
+    // sabotage a CARRIED file (bkt=3 is referenced by v2 from v1's data
+    // dir): replace it in place with a parquet whose o_totalprice
+    // drifted to STRING — the failure mode the manifest alone can't see
+    val victim = Snapshots.readManifest(root, 2)
+      .find(_.contains("bkt=3")).get
+    val tmp = s"${Tables.scratchRoot}/spec_drift_tmp"
+    spark.range(5)
+      .selectExpr("id AS o_orderkey", "CAST('oops' AS STRING) AS o_totalprice")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val drifted = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(drifted.toPath,
+      java.nio.file.Paths.get(victim),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar, else the CRC mismatch fires
+    // before the footer is parsed (a DIFFERENT loud failure; here we
+    // want the pure schema-drift path a remote object store would take)
+    val vf = new java.io.File(victim)
+    new java.io.File(vf.getParentFile, "." + vf.getName + ".crc").delete()
+    val ex = intercept[IllegalStateException] {
+      Snapshots.readVersion(spark, root, 2).collect()
+    }
+    assert(ex.getMessage.contains("schema drift") &&
+      ex.getMessage.contains("o_totalprice") &&
+      ex.getMessage.contains("bkt=3"),
+      s"drift error should name the column and file: ${ex.getMessage}")
+  }
 }
