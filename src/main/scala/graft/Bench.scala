@@ -11,6 +11,26 @@ object Bench {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional scale-smoke knobs (unset in the driver's contract run):
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the query list;
+    // spill counters are always collected (cheap listener) and reported
+    // per query so a memory-constrained run shows WHERE pressure lands.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+            ()
+          }
+        }
+      })
     // untimed warmup: first-touch costs (whole-stage codegen JIT, parquet
     // reader init, streaming engine + state store bootstrap) land on
     // whichever query runs first and would misattribute ~10s; three cheap
@@ -30,7 +50,11 @@ object Bench {
     // errors map, so a broken query degrades the report instead of
     // silently improving the total.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
+      val (m0, d0) = (spillMem.get(), spillDisk.get())
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         val r =
@@ -47,6 +71,10 @@ object Bench {
         spark.catalog.clearCache()
         r
       }
+      // listener events are async — the tail of a query's tasks may
+      // land on the next row; fine for a pressure map, not accounting
+      val mb = (spillMem.get() - m0 + spillDisk.get() - d0) / 1e6
+      if (mb > 0) spillMb(name) = math.round(mb * 10) / 10.0
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -54,8 +82,10 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val spillJson = spillMb.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"spill_mb":$spillJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
