@@ -183,12 +183,14 @@ object Learn extends QueryModule {
 
   private def treeFeatures(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").selectExpr(
+      "CAST(o_orderkey AS BIGINT) AS k",
       s"CAST(o_orderkey % 500 AS BIGINT) * $TreeBins DIV 500 AS b1",
       s"CAST(o_custkey % 300 AS BIGINT) * $TreeBins DIV 300 AS b2",
       "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
 
   private val treeFeaturesSql = s"""
-    SELECT (o_orderkey % 500) * $TreeBins // 500 AS b1,
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           (o_orderkey % 500) * $TreeBins // 500 AS b1,
            (o_custkey % 300) * $TreeBins // 300 AS b2,
            CAST(round(o_totalprice * 100) AS BIGINT) AS y
     FROM orders"""
@@ -252,8 +254,11 @@ object Learn extends QueryModule {
     * each would otherwise re-run the big scan behind them (Verify/Bench
     * clearCache between queries). Big-table scans: one per level. */
   private def treeLevels(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    treeLevelsFrom(treeFeatures(s, dir))
+
+  private def treeLevelsFrom(f: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val f = treeFeatures(s, dir)
     val best0 = treeSplits(histPass(f, Nil), Seq("feat"))
       .orderBy(desc("score"), col("feat"), col("bin")).limit(1)
       .select(col("feat").as("root_feat"), col("bin").as("root_thr"))
@@ -275,6 +280,51 @@ object Learn extends QueryModule {
     (best0, h1, best1)
   }
 
+  /** Apply a learned tree to `f`, appending the integer-cents
+    * prediction as `out` and keeping f's columns: three broadcast
+    * layers (root split row, per-node child splits, 4-row leaf means)
+    * over whatever scan feeds `f` — chaining B trees stacks B
+    * broadcast-join layers on ONE pass of the data, which is how a
+    * forest scores at 100 TB (never one scan per tree). */
+  private def treeApply(f: DataFrame,
+      model: (DataFrame, DataFrame, DataFrame), out: String): DataFrame = {
+    val (best0, h1, best1) = model
+    val preds = treeLeaves(best0, h1, best1)
+      .selectExpr("leaf", s"sy DIV n AS $out")
+    val inCols = f.columns.map(col)
+    f.crossJoin(broadcast(best0))
+      .withColumn("node", expr(
+        "CAST(CASE WHEN (root_feat = 1 AND b1 <= root_thr) " +
+          "OR (root_feat = 2 AND b2 <= root_thr) " +
+          "THEN 0 ELSE 1 END AS BIGINT)"))
+      .join(broadcast(best1), Seq("node"))
+      .withColumn("leaf", col("node") * 2 + expr(
+        "CAST(CASE WHEN (split_feat = 1 AND b1 <= split_thr) " +
+          "OR (split_feat = 2 AND b2 <= split_thr) " +
+          "THEN 0 ELSE 1 END AS BIGINT)"))
+      .join(broadcast(preds), Seq("leaf"))
+      .select(inCols :+ col(out): _*)
+  }
+
+  /** Oracle counterpart of treeApply: score EVERY row of `f` with tree
+    * `p` (the train CTEs are bag-scoped; scoring is corpus-wide). */
+  private def treeScoreSql(p: String, out: String): String = s"""
+    ${p}sa AS (
+      SELECT f.*, CASE WHEN (root_feat = 1 AND b1 <= root_thr)
+                        OR (root_feat = 2 AND b2 <= root_thr)
+                  THEN 0 ELSE 1 END AS node
+      FROM f CROSS JOIN ${p}best0),
+    ${p}px AS (
+      SELECT s.k, s.y, pr.p AS $out
+      FROM (
+        SELECT a.k, a.y, a.node * 2 +
+               CASE WHEN (b.split_feat = 1 AND a.b1 <= b.split_thr)
+                     OR (b.split_feat = 2 AND a.b2 <= b.split_thr)
+               THEN 0 ELSE 1 END AS leaf
+        FROM ${p}sa a JOIN ${p}best1 b ON a.node = b.node) s
+      JOIN (SELECT leaf, sy // n AS p FROM ${p}leaves) pr
+        USING (leaf))"""
+
   /** Leaf sufficient statistics WITHOUT a third scan: a leaf is (node ×
     * side of the node's chosen split), so its (n, Σy) is a partial sum
     * of the level-1 histogram rows on that node's split feature. */
@@ -288,43 +338,50 @@ object Learn extends QueryModule {
       .agg(sum("n").as("n"), sum("sy").as("sy"))
       .crossJoin(broadcast(best0))
 
-  // shared oracle CTE chain for both tree queries
-  private val treeOracleCtes = s"""
-    f AS ($treeFeaturesSql),
-    h0 AS (
+  /** Oracle CTE chain learning one depth-2 tree from `$src`; every CTE
+    * name takes prefix `p` so several trees (the bagged forest) can
+    * coexist in one WITH. The un-prefixed instance serves the two
+    * single-tree queries. */
+  private def treeTrainCtes(src: String, p: String): String = s"""
+    ${p}h0 AS (
       SELECT feat, bin, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS sy
-      FROM (SELECT 1 AS feat, b1 AS bin, y FROM f
-            UNION ALL SELECT 2 AS feat, b2 AS bin, y FROM f)
+      FROM (SELECT 1 AS feat, b1 AS bin, y FROM $src
+            UNION ALL SELECT 2 AS feat, b2 AS bin, y FROM $src)
       GROUP BY 1, 2),
-    s0 AS (${treeSplitsSql("h0", "feat")}),
-    best0 AS (SELECT feat AS root_feat, bin AS root_thr FROM s0
+    ${p}s0 AS (${treeSplitsSql(s"${p}h0", "feat")}),
+    ${p}best0 AS (SELECT feat AS root_feat, bin AS root_thr FROM ${p}s0
               ORDER BY score DESC, feat, bin LIMIT 1),
-    fa AS (
-      SELECT f.*, CASE WHEN (root_feat = 1 AND b1 <= root_thr)
+    ${p}fa AS (
+      SELECT $src.*, CASE WHEN (root_feat = 1 AND b1 <= root_thr)
                         OR (root_feat = 2 AND b2 <= root_thr)
                   THEN 0 ELSE 1 END AS node
-      FROM f CROSS JOIN best0),
-    h1 AS (
+      FROM $src CROSS JOIN ${p}best0),
+    ${p}h1 AS (
       SELECT node, feat, bin, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS sy
-      FROM (SELECT node, 1 AS feat, b1 AS bin, y FROM fa
-            UNION ALL SELECT node, 2 AS feat, b2 AS bin, y FROM fa)
+      FROM (SELECT node, 1 AS feat, b1 AS bin, y FROM ${p}fa
+            UNION ALL SELECT node, 2 AS feat, b2 AS bin, y FROM ${p}fa)
       GROUP BY 1, 2, 3),
-    s1 AS (${treeSplitsSql("h1", "node, feat")}),
-    best1 AS (
+    ${p}s1 AS (${treeSplitsSql(s"${p}h1", "node, feat")}),
+    ${p}best1 AS (
       SELECT node, feat AS split_feat, bin AS split_thr FROM (
         SELECT *, row_number() OVER (PARTITION BY node
-          ORDER BY score DESC, feat, bin) AS rn FROM s1)
+          ORDER BY score DESC, feat, bin) AS rn FROM ${p}s1)
       WHERE rn = 1),
-    leaves AS (
+    ${p}leaves AS (
       SELECT h.node * 2 + CASE WHEN h.bin <= b.split_thr
                                THEN 0 ELSE 1 END AS leaf,
              b.split_feat, b.split_thr,
              CAST(sum(h.n) AS BIGINT) AS n, CAST(sum(h.sy) AS BIGINT) AS sy
-      FROM h1 h JOIN best1 b
+      FROM ${p}h1 h JOIN ${p}best1 b
         ON h.node = b.node AND h.feat = b.split_feat
       GROUP BY 1, 2, 3)"""
+
+  // shared oracle CTE chain for the two single-tree queries
+  private def treeOracleCtes = s"""
+    f AS ($treeFeaturesSql),
+    ${treeTrainCtes("f", "")}"""
 
   // r² from exact integer sums, final arithmetic in shared double text
   private val treeR2Text =
@@ -578,6 +635,72 @@ object Learn extends QueryModule {
             expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
             expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
           .selectExpr("CAST(n AS BIGINT) AS n", treeR2Text)
+      }),
+
+    // ---- bagged forest: the reference's LITERAL model family
+    // (RandomForestRegressor, realestate_pipeline.py:224-233) as three
+    // depth-2 histogram trees on disjoint deterministic bags
+    // (k % 3 — reproducible bootstrap stand-in), averaged by integer
+    // division. Train: 3 bags × 2 levels = 6 histogram passes, each a
+    // bag-sized scan + few-KB aggregate. Score: ONE pass over the data
+    // through three stacked broadcast layers (treeApply) — a forest
+    // never scans once per tree. Output pins the three root splits
+    // (structure diversity across bags) and the ensemble r²; every
+    // number integer-exact or shared-text, so the row hash proves both
+    // engines learned the identical forest. ----
+    Q(
+      "ml_forest_bagged",
+      Some(s"""
+        WITH f AS ($treeFeaturesSql),
+        f0 AS (SELECT * FROM f WHERE k % 3 = 0),
+        f1 AS (SELECT * FROM f WHERE k % 3 = 1),
+        f2 AS (SELECT * FROM f WHERE k % 3 = 2),
+        ${treeTrainCtes("f0", "t0")},
+        ${treeTrainCtes("f1", "t1")},
+        ${treeTrainCtes("f2", "t2")},
+        ${treeScoreSql("t0", "p0")},
+        ${treeScoreSql("t1", "p1")},
+        ${treeScoreSql("t2", "p2")},
+        ens AS (
+          SELECT a.y, a.y - (a.p0 + b.p1 + c.p2) // 3 AS e
+          FROM t0px a JOIN t1px b ON a.k = b.k JOIN t2px c ON a.k = c.k),
+        ev AS (
+          SELECT count(*) AS n,
+                 sum(CAST(e * e AS HUGEINT)) AS sse,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM ens)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(t0best0.root_feat AS BIGINT) AS rf0,
+               CAST(t0best0.root_thr AS BIGINT) AS rt0,
+               CAST(t1best0.root_feat AS BIGINT) AS rf1,
+               CAST(t1best0.root_thr AS BIGINT) AS rt1,
+               CAST(t2best0.root_feat AS BIGINT) AS rf2,
+               CAST(t2best0.root_thr AS BIGINT) AS rt2,
+               $treeR2Text
+        FROM ev CROSS JOIN t0best0 CROSS JOIN t1best0 CROSS JOIN t2best0"""),
+      (s, dir) => {
+        val f = treeFeatures(s, dir)
+        val models = (0 to 2).map(b => treeLevelsFrom(f.filter(col("k") % 3 === b)))
+        val scored = models.zipWithIndex.foldLeft(f) {
+          case (acc, (m, i)) => treeApply(acc, m, s"p$i")
+        }
+        val roots = models.zipWithIndex.map { case ((best0, _, _), i) =>
+          broadcast(best0.select(col("root_feat").as(s"rf$i"),
+            col("root_thr").as(s"rt$i")))
+        }
+        val ev = scored
+          .withColumn("e", col("y") - expr("(p0 + p1 + p2) DIV 3"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
+            expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+            expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
+        roots.foldLeft(ev)((acc, r) => acc.crossJoin(r))
+          .selectExpr(Seq("CAST(n AS BIGINT) AS n",
+            "CAST(rf0 AS BIGINT) AS rf0", "CAST(rt0 AS BIGINT) AS rt0",
+            "CAST(rf1 AS BIGINT) AS rf1", "CAST(rt1 AS BIGINT) AS rt1",
+            "CAST(rf2 AS BIGINT) AS rf2", "CAST(rt2 AS BIGINT) AS rt2",
+            treeR2Text): _*)
       })
   )
 }

@@ -118,4 +118,20 @@ class LearnSpec extends SparkSpec {
       .collect()(0).getDouble(1)
     assert(r2 >= -1e-6 && r2 <= 1.0, s"r2 out of range: $r2")
   }
+
+  test("bagged forest scores every row; root splits are well-formed") {
+    val r = SparkEntry.queries("ml_forest_bagged")(spark, sf).collect()(0)
+    // every order is scored exactly once by the ensemble (the three
+    // per-tree score passes compose, never filter)
+    assert(r.getLong(0) == Tables.load(spark, sf, "orders").count())
+    for (i <- Seq(1, 3, 5))
+      assert(Set(1L, 2L).contains(r.getLong(i)),
+        s"root feature out of domain at col $i: ${r.getLong(i)}")
+    for (i <- Seq(2, 4, 6))
+      assert(r.getLong(i) >= 0 && r.getLong(i) < 16)
+    val r2 = r.getDouble(7)
+    // averaging 3 bag-trained trees can dip slightly below the single
+    // tree on TRAIN data but must stay a sane fit score
+    assert(r2 >= -0.5 && r2 <= 1.0, s"forest r2 out of range: $r2")
+  }
 }
