@@ -389,6 +389,21 @@ object Learn extends QueryModule {
       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)" +
       " AS r2"
 
+  // shared expression text for the one-scan 3-fold CV (see the query's
+  // comment): slope/intercept from complement (train) sums, holdout SSE
+  // expanded algebraically from the fold's own sums
+  private def cvD(c: String) = s"CAST($c AS DOUBLE)"
+  private val cvSlope =
+    s"(${cvD("tn")}*${cvD("tsxy")} - ${cvD("tsx")}*${cvD("tsy")}) / " +
+      s"(${cvD("tn")}*${cvD("tsxx")} - ${cvD("tsx")}*${cvD("tsx")})"
+  private val cvIcept = s"(${cvD("tsy")} - slope * ${cvD("tsx")}) / ${cvD("tn")}"
+  private val cvSse =
+    s"${cvD("syy")} - 2*icept*${cvD("sy")} - 2*slope*${cvD("sxy")} + " +
+      s"2*icept*slope*${cvD("sx")} + icept*icept*${cvD("n")} + " +
+      s"slope*slope*${cvD("sxx")}"
+  private val cvR2 =
+    s"1.0 - (sse) / (${cvD("syy")} - ${cvD("sy")}*${cvD("sy")}/${cvD("n")})"
+
   val all: Seq[Q] = Seq(
 
     // ---- k-means, k=3, 2 fixed Lloyd iterations unrolled. Each
@@ -701,6 +716,80 @@ object Learn extends QueryModule {
             "CAST(rf1 AS BIGINT) AS rf1", "CAST(rt1 AS BIGINT) AS rt1",
             "CAST(rf2 AS BIGINT) AS rf2", "CAST(rt2 AS BIGINT) AS rt2",
             treeR2Text): _*)
+      }),
+
+    // ---- 3-fold cross-validation of a linear model from ONE scan: the
+    // model-selection loop every real pipeline runs, in the shape it
+    // must take at 100 TB. One aggregation pass collects per-fold exact
+    // sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²); each held-out
+    // fold's TRAIN model comes from complement sums (total − fold, via
+    // a window over the 3-row stats frame — metadata, not data), and
+    // its HOLDOUT SSE expands algebraically from the fold's own sums:
+    //   SSE = Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx²
+    // so k-fold CV costs one scan + O(k) arithmetic — never k re-reads
+    // and never a per-row prediction pass. Doubles go through
+    // expression text shared with the oracle (the Cramer discipline);
+    // everything upstream is DECIMAL(38,0)/HUGEINT-exact. ----
+    Q(
+      "ml_cv_3fold_linreg",
+      Some(s"""
+          WITH f AS (
+            SELECT o_custkey % 3 AS fold,
+                   CAST(o_orderkey % 500 AS BIGINT) AS x,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS y
+            FROM orders),
+          fs AS (
+            SELECT fold, CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM f GROUP BY 1),
+          compl AS (
+            SELECT *, sum(n) OVER () - n AS tn,
+                   sum(sx) OVER () - sx AS tsx,
+                   sum(sy) OVER () - sy AS tsy,
+                   sum(sxx) OVER () - sxx AS tsxx,
+                   sum(sxy) OVER () - sxy AS tsxy
+            FROM fs),
+          m AS (SELECT *, $cvSlope AS slope FROM compl),
+          m2 AS (SELECT *, $cvIcept AS icept FROM m),
+          m3 AS (SELECT *, $cvSse AS sse FROM m2)
+          SELECT CAST(fold AS BIGINT) AS fold, CAST(tn AS BIGINT) AS n_train,
+                 round(slope, 6) AS slope, round(icept, 6) AS icept,
+                 round($cvR2, 6) AS r2_holdout
+          FROM m3 ORDER BY fold"""),
+      (s, dir) => {
+        val f = t(s, dir, "orders").selectExpr(
+          "o_custkey % 3 AS fold",
+          "CAST(o_orderkey % 500 AS BIGINT) AS x",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
+        val fs = f.groupBy("fold").agg(
+          expr("CAST(count(*) AS DECIMAL(38,0))").as("n"),
+          expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+          expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(x AS DECIMAL(38,0)) * x)").as("sxx"),
+          expr("sum(CAST(x AS DECIMAL(38,0)) * y)").as("sxy"),
+          expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
+        // complement (train-side) sums via a window over the 3-row
+        // stats frame — the single-partition window is over metadata
+        val all3 = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val compl = Seq("n" -> "tn", "sx" -> "tsx", "sy" -> "tsy",
+          "sxx" -> "tsxx", "sxy" -> "tsxy")
+          .foldLeft(fs) { case (acc, (c, t)) =>
+            acc.withColumn(t, sum(col(c)).over(all3) - col(c))
+          }
+        compl
+          .withColumn("slope", expr(cvSlope))
+          .withColumn("icept", expr(cvIcept))
+          .withColumn("sse", expr(cvSse))
+          .selectExpr("CAST(fold AS BIGINT) AS fold",
+            "CAST(tn AS BIGINT) AS n_train",
+            "round(slope, 6) AS slope", "round(icept, 6) AS icept",
+            s"round($cvR2, 6) AS r2_holdout")
+          .orderBy("fold")
       })
   )
 }

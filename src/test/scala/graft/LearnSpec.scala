@@ -134,4 +134,31 @@ class LearnSpec extends SparkSpec {
     // tree on TRAIN data but must stay a sane fit score
     assert(r2 >= -0.5 && r2 <= 1.0, s"forest r2 out of range: $r2")
   }
+
+  test("one-scan CV models equal brute-force per-fold OLS") {
+    val rows = SparkEntry.queries("ml_cv_3fold_linreg")(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val f = Tables.load(spark, sf, "orders").selectExpr(
+      "o_custkey % 3 AS fold",
+      "CAST(o_orderkey % 500 AS DOUBLE) AS x",
+      "CAST(round(o_totalprice * 100) AS DOUBLE) AS y")
+    for (r <- rows) {
+      val fold = r.getLong(0)
+      // brute force: OLS fit on the two TRAIN folds directly
+      val t = f.filter(col("fold") =!= fold)
+        .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("(n*sxy - sx*sy) / (n*sxx - sx*sx) AS b",
+          "n", "sx", "sy", "sxy", "sxx")
+        .selectExpr("b", "(sy - b*sx)/n AS a").collect()(0)
+      assert(math.abs(r.getDouble(2) - t.getDouble(0)) < 1e-4,
+        s"fold $fold slope: complement-sum ${r.getDouble(2)} vs " +
+          s"direct ${t.getDouble(0)}")
+      assert(math.abs(r.getDouble(3) - t.getDouble(1)) < 1e-2,
+        s"fold $fold intercept mismatch")
+      assert(r.getDouble(4) <= 1.0, "holdout r2 above 1")
+    }
+  }
 }

@@ -260,7 +260,10 @@ class PlanShapeSpec extends SparkSpec {
       "ml_kmeans_fixed_iters", // broadcast 1-row (k=3 wide) centroid table
       "ml_logreg_gd", // broadcast 1-row weight state per GD step
       "ml_linreg_two_features", // single-row sums joined to nothing (agg only)
-      "ml_standardize_features") // broadcast 1-row global stats
+      "ml_standardize_features", // broadcast 1-row global stats
+      "ml_tree_hist_depth2", // broadcast 1-row best-split model state
+      "ml_tree_r2", // broadcast 1-row root split + 4-row leaf means
+      "ml_forest_bagged") // 3× broadcast tree state (1-row/2-row/4-row)
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
