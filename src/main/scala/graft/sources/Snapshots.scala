@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.parquet.schema.PrimitiveType
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -75,31 +76,80 @@ object Snapshots {
 
   /** Per-file footer ↔ snapshot-schema compatibility, checked at
     * manifest read: a column the snapshot schema doesn't know, or a
-    * column whose parquet type drifted, fails HERE with the file and
-    * column named — not as an inscrutable cast error halfway through a
-    * scan (a deleted-underneath file already fails loudly via the
-    * manifest). Footer fields may be a SUBSET of the snapshot schema:
-    * that's the legitimate ADD-COLUMN null-fill case. The footer reads
-    * are O(files) driver-side metadata I/O — the same scale class as
-    * reading the manifest; at real scale the commit protocol records
-    * each file's schema fingerprint in the manifest (Delta's add-file
-    * entry), turning this into a pure metadata compare. */
+    * column whose parquet physical type drifted, fails HERE with the
+    * file and column named — not as an inscrutable cast error halfway
+    * through a scan (a deleted-underneath file already fails loudly via
+    * the manifest). Footer fields may be a SUBSET of the snapshot
+    * schema: that's the legitimate ADD-COLUMN null-fill case.
+    *
+    * Cost discipline: footers are read DIRECTLY (parquet-mr, row groups
+    * skipped — a few ms) rather than through a DataFrameReader, and a
+    * validated (path, size, mtime, schema) identity is memoized
+    * process-wide — data files are immutable under the commit protocol,
+    * so re-validating an unchanged file on every read would buy nothing
+    * and cost O(files) per query. At real scale the commit protocol
+    * records each file's schema fingerprint in the manifest (Delta's
+    * add-file entry), making this a pure metadata compare. */
+  private val footerValidated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Spark type → acceptable parquet physical types (None = not checked,
+    * e.g. nested groups). Narrow on purpose: the check targets primitive
+    * drift (a DOUBLE column replaced by BINARY strings), not full
+    * logical-type equivalence. */
+  private def allowedPrimitives(dt: DataType)
+      : Option[Set[PrimitiveType.PrimitiveTypeName]] = {
+    import PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType                            => Some(Set(INT64))
+      case IntegerType | ShortType | ByteType  => Some(Set(INT32))
+      case DateType                            => Some(Set(INT32))
+      case DoubleType                          => Some(Set(DOUBLE))
+      case FloatType                           => Some(Set(FLOAT))
+      case StringType | BinaryType             => Some(Set(BINARY))
+      case BooleanType                         => Some(Set(BOOLEAN))
+      case TimestampType | TimestampNTZType    => Some(Set(INT64, INT96))
+      case _: DecimalType =>
+        Some(Set(INT32, INT64, BINARY, FIXED_LEN_BYTE_ARRAY))
+      case _ => None
+    }
+  }
+
   private def assertFooterSchemas(s: SparkSession, files: Seq[String],
       expected: StructType, version: Int): Unit = {
     val want = expected.fields.map(f => f.name -> f.dataType).toMap
-    for (f <- files; fld <- s.read.parquet(f).schema.fields)
-      want.get(fld.name) match {
-        case None => throw new IllegalStateException(
-          s"snapshot v$version: schema drift — file $f carries column " +
-            s"'${fld.name}' absent from the snapshot schema (file " +
-            "modified outside the commit protocol?)")
-        case Some(dt) if dt != fld.dataType =>
-          throw new IllegalStateException(
-            s"snapshot v$version: schema drift — file $f column " +
-              s"'${fld.name}' is ${fld.dataType.simpleString} but the " +
-              s"snapshot schema says ${dt.simpleString}")
-        case _ => ()
+    val conf = s.sessionState.newHadoopConf()
+    for (fp <- files) {
+      val jf = new File(fp)
+      val key = s"$fp|${jf.length}|${jf.lastModified}|${expected.json.hashCode}"
+      if (!footerValidated.contains(key)) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(fp), conf))
+        try {
+          val msg = reader.getFileMetaData.getSchema
+          msg.getFields.asScala.foreach { fld =>
+            want.get(fld.getName) match {
+              case None => throw new IllegalStateException(
+                s"snapshot v$version: schema drift — file $fp carries " +
+                  s"column '${fld.getName}' absent from the snapshot " +
+                  "schema (file modified outside the commit protocol?)")
+              case Some(dt) if fld.isPrimitive =>
+                val actual = fld.asPrimitiveType().getPrimitiveTypeName
+                allowedPrimitives(dt).foreach { ok =>
+                  if (!ok.contains(actual)) throw new IllegalStateException(
+                    s"snapshot v$version: schema drift — file $fp column " +
+                      s"'${fld.getName}' is parquet $actual but the " +
+                      s"snapshot schema says ${dt.simpleString}")
+                }
+              case _ => () // nested group vs complex type: not checked
+            }
+          }
+        } finally reader.close()
+        footerValidated.add(key); ()
       }
+    }
   }
 
   /** Read the table as of a committed version: manifest N's files, no
@@ -112,13 +162,22 @@ object Snapshots {
     * schema evolution never rewrites untouched files. Every file's
     * footer is validated against the snapshot schema up front
     * (assertFooterSchemas) so tampered/drifted files fail loudly. */
+  private val headSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def readVersion(s: SparkSession, root: String, version: Int): DataFrame = {
     val files = readManifest(root, version)
     val declared = readSchema(root, version)
     if (files.nonEmpty) {
       // with no declared schema the first file's footer is the contract
-      // the rest must match (what the unguarded read silently assumed)
-      val expected = declared.getOrElse(s.read.parquet(files.head).schema)
+      // the rest must match (what the unguarded read silently assumed);
+      // memoized on the file's identity — immutable under the protocol
+      val expected = declared.getOrElse {
+        val hf = new File(files.head)
+        headSchemaCache.computeIfAbsent(
+          s"${files.head}|${hf.length}|${hf.lastModified}",
+          _ => s.read.parquet(files.head).schema)
+      }
       assertFooterSchemas(s, files, expected, version)
     }
     declared match {
