@@ -325,6 +325,67 @@ object Learn extends QueryModule {
       JOIN (SELECT leaf, sy // n AS p FROM ${p}leaves) pr
         USING (leaf))"""
 
+  /** Depth-1 fit (a stump): root split + the two side means, both
+    * partial sums of the SAME level-0 histogram — one scan per stump.
+    * The value column is whatever `f.y` holds, which is how boosting
+    * reuses this: round k fits the integer residuals of round k-1. */
+  private def stumpFit(f: DataFrame): DataFrame = {
+    val h0 = histPass(f, Nil).persist()
+    val best0 = treeSplits(h0, Seq("feat"))
+      .orderBy(desc("score"), col("feat"), col("bin")).limit(1)
+      .select(col("feat").as("sfeat"), col("bin").as("sthr"))
+    h0.join(broadcast(best0), col("feat") === col("sfeat"))
+      .withColumn("side",
+        when(col("bin") <= col("sthr"), lit(0L)).otherwise(lit(1L)))
+      .groupBy("sfeat", "sthr", "side")
+      .agg(sum("n").as("n"), sum("sy").as("sy"))
+      // integer-cents side means, pivoted to ONE broadcastable row
+      .groupBy("sfeat", "sthr")
+      .agg(max(when(col("side") === 0, expr("sy DIV n"))).as("pl"),
+        max(when(col("side") === 1, expr("sy DIV n"))).as("pr"))
+      .persist()
+  }
+
+  /** Row-local stump prediction from the broadcast 1-row model. */
+  private def stumpApply(f: DataFrame, model: DataFrame,
+      out: String): DataFrame = {
+    val inCols = f.columns.map(col)
+    f.crossJoin(broadcast(model))
+      .withColumn(out, expr(
+        "CASE WHEN (sfeat = 1 AND b1 <= sthr) OR (sfeat = 2 AND b2 <= sthr) " +
+          "THEN pl ELSE pr END"))
+      .select(inCols :+ col(out): _*)
+  }
+
+  /** Oracle CTEs: fit one stump on `$src` (same h0/s0/best0 chain as the
+    * tree, then 2-row side sums) and score+update residuals over it. */
+  private def stumpCtes(src: String, p: String): String = s"""
+    ${p}h0 AS (
+      SELECT feat, bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM (SELECT 1 AS feat, b1 AS bin, y FROM $src
+            UNION ALL SELECT 2 AS feat, b2 AS bin, y FROM $src)
+      GROUP BY 1, 2),
+    ${p}s0 AS (${treeSplitsSql(s"${p}h0", "feat")}),
+    ${p}b AS (SELECT feat AS sfeat, bin AS sthr FROM ${p}s0
+              ORDER BY score DESC, feat, bin LIMIT 1),
+    ${p}m AS (
+      SELECT sfeat, sthr,
+             max(CASE WHEN side = 0 THEN p END) AS pl,
+             max(CASE WHEN side = 1 THEN p END) AS pr
+      FROM (
+        SELECT b.sfeat, b.sthr,
+               CASE WHEN h.bin <= b.sthr THEN 0 ELSE 1 END AS side,
+               CAST(sum(h.sy) AS BIGINT) // CAST(sum(h.n) AS BIGINT) AS p
+        FROM ${p}h0 h JOIN ${p}b b ON h.feat = b.sfeat
+        GROUP BY 1, 2, 3)
+      GROUP BY 1, 2),
+    ${p}r AS (
+      SELECT k, b1, b2, y0, y -
+             CASE WHEN (sfeat = 1 AND b1 <= sthr) OR (sfeat = 2 AND b2 <= sthr)
+             THEN pl ELSE pr END AS y
+      FROM $src CROSS JOIN ${p}m)"""
+
   /** Leaf sufficient statistics WITHOUT a third scan: a leaf is (node ×
     * side of the node's chosen split), so its (n, Σy) is a partial sum
     * of the level-1 histogram rows on that node's split feature. */
@@ -790,6 +851,66 @@ object Learn extends QueryModule {
             "round(slope, 6) AS slope", "round(icept, 6) AS icept",
             s"round($cvR2, 6) AS r2_holdout")
           .orderBy("fold")
+      }),
+
+    // ---- gradient-boosted stumps: the OTHER half of the tree-ensemble
+    // family (bagging above, boosting here). Squared loss → each round
+    // fits a depth-1 stump to the previous round's residuals; integer-
+    // cents leaf values keep every residual an exact integer, so the
+    // whole 3-round chain is deterministic and the final residual frame
+    // IS the model's training error (SSE = Σ residual²). Cost: one
+    // histogram scan per round + one eval scan, with the 1-row stump
+    // models broadcast between rounds — boosting at 100 TB is k scans,
+    // never k shuffles of the data. Output pins all three stumps (feat,
+    // thr, side values) + train r² in one hashed row. ----
+    Q(
+      "ml_gbt_stumps",
+      Some(s"""
+        WITH f AS (SELECT *, y AS y0 FROM ($treeFeaturesSql)),
+        ${stumpCtes("f", "g0")},
+        ${stumpCtes("g0r", "g1")},
+        ${stumpCtes("g1r", "g2")},
+        ev AS (
+          SELECT count(*) AS n,
+                 sum(CAST(y AS HUGEINT) * y) AS sse,
+                 sum(CAST(y0 AS HUGEINT)) AS sy,
+                 sum(CAST(y0 AS HUGEINT) * y0) AS syy
+          FROM g2r)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(g0m.sfeat AS BIGINT) AS sf0, CAST(g0m.sthr AS BIGINT) AS st0,
+               CAST(g0m.pl AS BIGINT) AS pl0, CAST(g0m.pr AS BIGINT) AS pr0,
+               CAST(g1m.sfeat AS BIGINT) AS sf1, CAST(g1m.sthr AS BIGINT) AS st1,
+               CAST(g1m.pl AS BIGINT) AS pl1, CAST(g1m.pr AS BIGINT) AS pr1,
+               CAST(g2m.sfeat AS BIGINT) AS sf2, CAST(g2m.sthr AS BIGINT) AS st2,
+               CAST(g2m.pl AS BIGINT) AS pl2, CAST(g2m.pr AS BIGINT) AS pr2,
+               $treeR2Text
+        FROM ev CROSS JOIN g0m CROSS JOIN g1m CROSS JOIN g2m"""),
+      (s, dir) => {
+        def resid(f: DataFrame, m: DataFrame): DataFrame =
+          stumpApply(f, m, "__p")
+            .withColumn("y", col("y") - col("__p")).drop("__p")
+        val f0 = treeFeatures(s, dir).withColumn("y0", col("y"))
+        val m0 = stumpFit(f0)
+        val f1 = resid(f0, m0)
+        val m1 = stumpFit(f1)
+        val f2 = resid(f1, m1)
+        val m2 = stumpFit(f2)
+        val f3 = resid(f2, m2)
+        val ev = f3.agg(count(lit(1)).as("n"),
+          expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("sse"),
+          expr("sum(CAST(y0 AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(y0 AS DECIMAL(38,0)) * y0)").as("syy"))
+        val models = Seq(m0, m1, m2).zipWithIndex.map { case (m, i) =>
+          broadcast(m.select(col("sfeat").as(s"sf$i"),
+            col("sthr").as(s"st$i"), col("pl").as(s"pl$i"),
+            col("pr").as(s"pr$i")))
+        }
+        models.foldLeft(ev)(_ crossJoin _)
+          .selectExpr(Seq("CAST(n AS BIGINT) AS n") ++
+            (0 to 2).flatMap(i => Seq(
+              s"CAST(sf$i AS BIGINT) AS sf$i", s"CAST(st$i AS BIGINT) AS st$i",
+              s"CAST(pl$i AS BIGINT) AS pl$i", s"CAST(pr$i AS BIGINT) AS pr$i"))
+            :+ treeR2Text: _*)
       })
   )
 }

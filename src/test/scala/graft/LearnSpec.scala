@@ -161,4 +161,23 @@ class LearnSpec extends SparkSpec {
       assert(r.getDouble(4) <= 1.0, "holdout r2 above 1")
     }
   }
+
+  test("boosted stumps never increase train SSE; models well-formed") {
+    val r = SparkEntry.queries("ml_gbt_stumps")(spark, sf).collect()(0)
+    assert(r.getLong(0) == Tables.load(spark, sf, "orders").count())
+    for (i <- Seq(1, 5, 9)) // sf0, sf1, sf2
+      assert(Set(1L, 2L).contains(r.getLong(i)),
+        s"stump feature out of domain at col $i")
+    // squared-loss boosting fits residual means: train SSE is
+    // non-increasing per round, so final train r² ≥ 0 up to the ≤1-cent
+    // integer flooring of each round's leaf values
+    val r2 = r.getDouble(13)
+    assert(r2 >= -1e-3 && r2 <= 1.0, s"boosted train r2 out of range: $r2")
+    // rounds 2+ fit residuals: their side values must straddle zero
+    // (a residual fit with both leaves the same sign would mean round 1
+    // left global signal on the table)
+    for (i <- Seq(7, 11))
+      assert(r.getLong(i) <= 0 || r.getLong(i + 1) <= 0,
+        s"residual stump $i has both side values positive")
+  }
 }

@@ -263,7 +263,8 @@ class PlanShapeSpec extends SparkSpec {
       "ml_standardize_features", // broadcast 1-row global stats
       "ml_tree_hist_depth2", // broadcast 1-row best-split model state
       "ml_tree_r2", // broadcast 1-row root split + 4-row leaf means
-      "ml_forest_bagged") // 3× broadcast tree state (1-row/2-row/4-row)
+      "ml_forest_bagged", // 3× broadcast tree state (1-row/2-row/4-row)
+      "ml_gbt_stumps") // broadcast 1-row stump model per boosting round
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
