@@ -281,20 +281,23 @@ object Streams extends QueryModule {
           AND v.ts <= (SELECT max(ts) FROM events) - INTERVAL '1 day'
         ORDER BY 1, 2"""),
       (s, dir) => {
-        // bounded input → the cutoff is a one-row agg, not stream state
-        val cutoff = Tables.load(s, dir, "events")
-          .agg(max(col("ts"))).first().getTimestamp(0)
+        // bounded input → the cutoff is a one-row agg, not stream state.
         // The 1-day cutoff equals batch semantics only if the final
         // watermark (min over both sides' max event time, minus the 1h
         // delay) clears cutoff + 30min — i.e. each side's own max must
         // be within 22.5h of the global max. That held for every data
         // distribution so far, but a sparse side would silently withhold
         // null-extended rows inside the cutoff, so assert it loudly
-        // instead of assuming (one two-row agg on the bounded input).
-        val sideMax = Tables.load(s, dir, "events")
-          .filter(col("event_type").isin("view", "purchase"))
-          .groupBy("event_type").agg(max(col("ts")).as("mx"))
-          .agg(min(col("mx"))).first().getTimestamp(0)
+        // instead of assuming. Global max and both side maxes come from
+        // the SAME single scan (conditional aggregates).
+        val bounds = Tables.load(s, dir, "events")
+          .agg(max(col("ts")).as("mx"),
+            least(
+              max(when(col("event_type") === "view", col("ts"))),
+              max(when(col("event_type") === "purchase", col("ts"))))
+              .as("side"))
+          .first()
+        val (cutoff, sideMax) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
         val lagMs = cutoff.getTime - sideMax.getTime
         require(lagMs <= 22L * 3600 * 1000 + 1800 * 1000,
           s"stream_join_left_outer: a join side's max event time lags the " +
