@@ -465,6 +465,60 @@ object Learn extends QueryModule {
   private val cvR2 =
     s"1.0 - (sse) / (${cvD("syy")} - ${cvD("sy")}*${cvD("sy")}/${cvD("n")})"
 
+  // ---- engine-side binary-classifier evaluation (AUC / confusion) ----
+  // Label: high order priority; score: the order's price in exact cents.
+  // The AUC is computed from the SCORE HISTOGRAM, not the row ranking:
+  // group rows by exact integer score (one hash shuffle on cents — its
+  // cardinality is bounded by the price DOMAIN, not the row count), then
+  // 2·U = Σ_groups pos_g · (2·cum_neg_below_g + neg_g), which counts
+  // each (pos, neg) pair once for a win and once-per-side for a tie —
+  // all exact integer arithmetic, so the rank-sum is order-independent.
+  private val aucScoredSql = """
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS pos
+    FROM orders"""
+
+  private def aucScored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").selectExpr(
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS sc",
+      "CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS pos")
+
+  /** Exclusive prefix sum of `valCol` over rows totally ordered by
+    * `key`, without a single-partition window: range-partition on the
+    * key, per-partition window, then add broadcast per-partition offset
+    * totals — the same TeraSort two-pass Curation.globalRowNumber uses
+    * (Curation.scala scaladoc). The offsets frame is ≤ one row per
+    * shuffle partition (metadata, not data). */
+  private def exclusivePrefixSum(df: DataFrame, key: String,
+      valCol: String, outCol: String): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, col(key))
+      .sortWithinPartitions(key)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum(col(valCol)).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(outCol,
+        col("__off") + coalesce(sum(col(valCol)).over(
+          Window.partitionBy("__pid").orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pid", "__off")
+  }
+
+  // final AUC arithmetic in expression text shared with the oracle —
+  // two double multiplies + one divide, IEEE-identical in any engine
+  private val aucText =
+    "round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * " +
+      "CAST(n_neg AS DOUBLE)), 6) AS auc"
+
   val all: Seq[Q] = Seq(
 
     // ---- k-means, k=3, 2 fixed Lloyd iterations unrolled. Each
@@ -911,6 +965,96 @@ object Learn extends QueryModule {
               s"CAST(sf$i AS BIGINT) AS sf$i", s"CAST(st$i AS BIGINT) AS st$i",
               s"CAST(pl$i AS BIGINT) AS pl$i", s"CAST(pr$i AS BIGINT) AS pr$i"))
             :+ treeR2Text: _*)
+      }),
+
+    // ---- exact AUC (Mann-Whitney rank-sum) of price-as-a-classifier
+    // for high order priority — the reference evaluates models
+    // driver-side (airflow/dags/realestate_pipeline.py:224-234); here
+    // the ranking metric itself is distributed. Shape: one hash
+    // aggregation on the exact integer score (cents — cardinality
+    // bounded by the price domain, not rows), a TeraSort two-pass
+    // prefix sum over the score groups (no single-partition window),
+    // and a final 1-row reduce. 2·U accumulates in DECIMAL(38,0) ≙
+    // DuckDB HUGEINT (≈n_pos·n_neg — quadratic in rows, far past
+    // BIGINT at scale); AUC is one shared-text double divide. ----
+    Q(
+      "ml_auc_rank",
+      Some(s"""
+        WITH scored AS ($aucScoredSql),
+        g AS (
+          SELECT sc, sum(pos) AS p, count(*) - sum(pos) AS ng
+          FROM scored GROUP BY sc),
+        w AS (
+          SELECT p, ng,
+                 coalesce(sum(ng) OVER (ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cnb
+          FROM g),
+        u AS (
+          SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                 CAST(sum(ng) AS BIGINT) AS n_neg,
+                 CAST(sum(CAST(p AS HUGEINT) * (2 * cnb + ng)) AS BIGINT)
+                   AS u2
+          FROM w)
+        SELECT n_pos, n_neg, u2, $aucText FROM u"""),
+      (s, dir) => {
+        val g = aucScored(s, dir).groupBy("sc")
+          .agg(sum("pos").as("p"),
+            (count(lit(1)) - sum("pos")).as("ng"))
+        val w = exclusivePrefixSum(g, "sc", "ng", "cnb")
+        w.agg(
+          sum("p").cast("long").as("n_pos"),
+          sum("ng").cast("long").as("n_neg"),
+          sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * cnb + ng)"))
+            .cast("long").as("u2"))
+          .selectExpr("n_pos", "n_neg", "u2", aucText)
+      }),
+
+    // ---- confusion matrix + precision/recall/F1 at a fixed score
+    // threshold: ONE scan, one map-side-combined aggregation to a
+    // single row of four exact integer cells; the derived ratios are
+    // shared-text double arithmetic over those integers. The 100 TB
+    // story is the contrast with the AUC query: threshold metrics need
+    // no ordering at all — they stay embarrassingly parallel. ----
+    Q(
+      "ml_confusion_threshold",
+      Some(s"""
+        WITH scored AS ($aucScoredSql),
+        m AS (
+          SELECT CAST(sum(CASE WHEN sc >= 15000000 AND pos = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN sc >= 15000000 AND pos = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN sc < 15000000 AND pos = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN sc < 15000000 AND pos = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM scored)
+        SELECT tp, fp, fn, tn,
+               round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) +
+                 CAST(fp AS DOUBLE)), 6) AS precision_,
+               round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) +
+                 CAST(fn AS DOUBLE)), 6) AS recall_,
+               round(2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) +
+                 CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) AS f1
+        FROM m"""),
+      (s, dir) => {
+        aucScored(s, dir).agg(
+          sum(expr("CASE WHEN sc >= 15000000 AND pos = 1 THEN 1 ELSE 0 END"))
+            .cast("long").as("tp"),
+          sum(expr("CASE WHEN sc >= 15000000 AND pos = 0 THEN 1 ELSE 0 END"))
+            .cast("long").as("fp"),
+          sum(expr("CASE WHEN sc < 15000000 AND pos = 1 THEN 1 ELSE 0 END"))
+            .cast("long").as("fn"),
+          sum(expr("CASE WHEN sc < 15000000 AND pos = 0 THEN 1 ELSE 0 END"))
+            .cast("long").as("tn"))
+          .selectExpr("tp", "fp", "fn", "tn",
+            "round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + " +
+              "CAST(fp AS DOUBLE)), 6) AS precision_",
+            "round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + " +
+              "CAST(fn AS DOUBLE)), 6) AS recall_",
+            "round(2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) + " +
+              "CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) AS f1")
       })
   )
 }

@@ -180,4 +180,37 @@ class LearnSpec extends SparkSpec {
       assert(r.getLong(i) <= 0 || r.getLong(i + 1) <= 0,
         s"residual stump $i has both side values positive")
   }
+
+  test("histogram AUC equals the brute-force pairwise U statistic") {
+    val r = SparkEntry.queries("ml_auc_rank")(spark, sf).collect()(0)
+    val (nPos, nNeg, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val scored = Tables.load(spark, sf, "orders").selectExpr(
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS sc",
+      "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END AS pos")
+    assert(nPos == scored.filter("pos = 1").count())
+    assert(nNeg == scored.filter("pos = 0").count())
+    // brute force: every (pos, neg) pair contributes 2 for a win, 1
+    // for a tie — O(n²) is exactly what the histogram form avoids
+    val p = scored.filter("pos = 1").select(col("sc").as("ps"))
+    val n = scored.filter("pos = 0").select(col("sc").as("ns"))
+    val u2Direct = p.crossJoin(n)
+      .selectExpr(
+        "sum(CASE WHEN ps > ns THEN 2 WHEN ps = ns THEN 1 ELSE 0 END) u")
+      .collect()(0).getLong(0)
+    assert(u2 == u2Direct, s"histogram 2U $u2 vs pairwise $u2Direct")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("confusion cells tile the table; F1 consistent with P and R") {
+    val r = SparkEntry.queries("ml_confusion_threshold")(spark, sf)
+      .collect()(0)
+    val cells = (0 to 3).map(r.getLong)
+    assert(cells.sum == Tables.load(spark, sf, "orders").count(),
+      "confusion cells must partition the rows")
+    assert(cells.forall(_ > 0), s"degenerate threshold: $cells")
+    val (prec, rec, f1) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(f1 - 2 * prec * rec / (prec + rec)) < 1e-5,
+      "F1 is not the harmonic mean of precision and recall")
+  }
 }
