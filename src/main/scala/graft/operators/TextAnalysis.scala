@@ -576,8 +576,146 @@ object TextAnalysis extends QueryModule {
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 3)
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- BPE tokenizer vocabulary TRAINING, engine-side (Sennrich et
+    // al. 2016 — the vocab-construction step every LLM data pipeline
+    // runs before token counting; text_regex_token_count applies a
+    // fixed tokenizer, this LEARNS one). Classic BPE trains on the
+    // word-frequency DICT, not the corpus: one corpus-sized shuffle
+    // builds (word, freq), and every merge round after that touches
+    // only the vocab-bounded dict — at 100 TB the corpus is read once
+    // while 50k merge rounds would iterate on a few-million-row frame.
+    // Each round = adjacent-pair counts (posexplode + per-word lead
+    // window — word partitions are symbol-sequence-sized), a
+    // TakeOrderedAndProject top-1 with total tie-break (cnt DESC, pair
+    // ASC), and a greedy left-to-right merge apply: one aggregate() HOF
+    // pass per word carrying a chr(31)-delimited accumulator — exact
+    // string algebra, bit-identical in any engine, replayed verbatim by
+    // the DuckDB list_reduce oracle. Rounds are fixed-count unrolled;
+    // each round's dict is persisted because two consumers (pair scan,
+    // next round) would re-run the lambda chain (Verify/Bench
+    // clearCache between queries). Output: the 3 learned merges with
+    // their selection-time pair counts + the top-10 post-merge vocab. ----
+    Q(
+      "text_bpe_merge_train",
+      Some(s"""
+        WITH words AS (
+          SELECT w, count(*) AS f
+          FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                  AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w),
+        d0 AS (SELECT w, f,
+                 list_filter(string_split(w, ''), y -> y <> '') AS syms
+               FROM words),
+        ${bpeRoundSql(1, "d0")},
+        ${bpeRoundSql(2, "d1")},
+        ${bpeRoundSql(3, "d2")},
+        vocab AS (
+          SELECT sym, cnt, row_number() OVER (ORDER BY cnt DESC, sym) AS rk
+          FROM (SELECT x AS sym, sum(f) AS cnt
+                FROM (SELECT f, unnest(syms) AS x FROM d3) GROUP BY x)
+          ORDER BY cnt DESC, sym LIMIT 10),
+        merges AS (
+          SELECT 'merge' AS kind, i AS rk, pa || pb AS sym, cnt
+          FROM (SELECT 1 AS i, * FROM b1 UNION ALL
+                SELECT 2, * FROM b2 UNION ALL
+                SELECT 3, * FROM b3))
+        SELECT kind, CAST(rk AS BIGINT) AS rk, sym,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM merges
+        UNION ALL
+        SELECT 'vocab', CAST(rk AS BIGINT), sym, CAST(cnt AS BIGINT)
+        FROM vocab
+        ORDER BY kind, rk"""),
+      (s, dir) => {
+        val d0 = t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .withColumn("syms",
+            filter(split(col("w"), ""), y => y =!= lit("")))
+          .persist()
+        val (d1, b1) = bpeRound(d0)
+        val (d2, b2) = bpeRound(d1)
+        val (d3, b3) = bpeRound(d2)
+        val voc = d3.select(col("f"), explode(col("syms")).as("sym"))
+          .groupBy("sym").agg(sum("f").as("cnt"))
+          .orderBy(desc("cnt"), col("sym")).limit(10)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(desc("cnt"), col("sym")))) // 10-row frame
+        val merges = Seq(1 -> b1, 2 -> b2, 3 -> b3).map { case (i, b) =>
+          b.select(lit("merge").as("kind"), lit(i.toLong).as("rk"),
+            concat(col("pa"), col("pb")).as("sym"), col("cnt"))
+        }.reduce(_ union _)
+        merges
+          .union(voc.select(lit("vocab").as("kind"), col("rk").cast("long"),
+            col("sym"), col("cnt")))
+          .selectExpr("kind", "CAST(rk AS BIGINT) AS rk", "sym",
+            "CAST(cnt AS BIGINT) AS cnt")
+          .orderBy("kind", "rk")
       })
   )
+
+  // ---- BPE merge-training internals (text_bpe_merge_train) ----
+
+  /** Greedy left-to-right application of ONE merge (pa, pb) to a symbol
+    * array, as a single fold: the accumulator is a chr(31)-delimited
+    * string whose tail symbol is inspected per step — when it equals pa
+    * and the incoming symbol is pb, the tail is rewritten to the merged
+    * symbol (so `l l l` → `ll l`, exactly BPE's scan order; the fresh
+    * merged tail cannot re-merge because it no longer equals pa). The
+    * delimiter guard (chr(31)||pa suffix) keeps multi-char symbols from
+    * false-matching on their own suffixes. Identical lambda semantics in
+    * Spark `aggregate` and DuckDB `list_reduce` (init aligned via
+    * list_prepend('')). */
+  private[graft] def bpeMergeLambda(endsWithFn: String): String = s"""(acc, x) -> CASE
+       WHEN x = pb AND (acc = pa OR $endsWithFn(acc, chr(31) || pa))
+       THEN CASE WHEN acc = pa THEN pa || pb
+            ELSE substr(acc, 1, length(acc) - length(pa)) || pa || pb END
+       WHEN acc = '' THEN x
+       ELSE acc || chr(31) || x END"""
+
+  /** One Spark-side BPE round on a persisted dict: (next dict, chosen
+    * 1-row merge). Pair counting is posexplode + lead over the per-word
+    * window (no self-join: the dict is consumed ONCE, so the round's
+    * lambda chain is never re-evaluated). */
+  private def bpeRound(d: DataFrame): (DataFrame, DataFrame) = {
+    val best = d
+      .select(col("w"), col("f"), posexplode(col("syms")).as(Seq("i", "x")))
+      .withColumn("pb",
+        lead(col("x"), 1).over(Window.partitionBy("w").orderBy("i")))
+      .filter(col("pb").isNotNull)
+      .groupBy(col("x").as("pa"), col("pb"))
+      .agg(sum(col("f")).as("cnt"))
+      .orderBy(desc("cnt"), col("pa"), col("pb")).limit(1)
+      .persist()
+    val next = d.crossJoin(broadcast(best.select("pa", "pb")))
+      .withColumn("syms", expr(
+        s"filter(split(aggregate(syms, '', ${bpeMergeLambda("endswith")}), " +
+          "chr(31)), y -> y <> '')"))
+      .select("w", "f", "syms")
+      .persist()
+    (next, best)
+  }
+
+  /** DuckDB replay of one round: p{i} pair counts (unnest + positional
+    * self-join), b{i} top-1, d{i} merge apply via list_reduce. */
+  private def bpeRoundSql(i: Int, prev: String): String = s"""
+    p$i AS (
+      SELECT l.x AS pa, r.x AS pb, sum(l.f) AS cnt
+      FROM (SELECT w, f, unnest(syms) AS x,
+                   generate_subscripts(syms, 1) AS i FROM $prev) l
+      JOIN (SELECT w, f, unnest(syms) AS x,
+                   generate_subscripts(syms, 1) AS i FROM $prev) r
+        ON l.w = r.w AND l.i + 1 = r.i
+      GROUP BY 1, 2),
+    b$i AS (SELECT pa, pb, cnt FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+    d$i AS (
+      SELECT w, f,
+        list_filter(string_split(list_reduce(list_prepend('', syms),
+          ${bpeMergeLambda("ends_with")}), chr(31)), y -> y <> '') AS syms
+      FROM $prev CROSS JOIN b$i)"""
 
   /** The winnowing pipeline on a (doc_id, text) frame → (doc_id, fp)
     * rows; k=3-gram hashes, window w=4, md5-derived values. Exposed for
