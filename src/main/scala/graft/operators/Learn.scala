@@ -1055,6 +1055,88 @@ object Learn extends QueryModule {
               "CAST(fn AS DOUBLE)), 6) AS recall_",
             "round(2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) + " +
               "CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) AS f1")
+      }),
+
+    // ---- top principal component of the embedding table via TWO
+    // power-iteration steps in EXACT integer arithmetic — engine-side
+    // PCA with zero float-summation nondeterminism. Embeddings are
+    // quantized to a 2^-20 grid (float→double is exact, ×2^20 is a
+    // power-of-two double scale, floor is floor — bit-identical in any
+    // engine); the n-scaled centered covariance n·Σqq − Σq·Σq is then
+    // pure integer algebra, and v₂ = C·(C·1 ÷ 2^40) stays inside
+    // DECIMAL(38,0) ≙ HUGEINT for n up to ~10⁵ rows at |e| < 1 (the
+    // divisor is the documented headroom knob — scale it with log₂ n).
+    // Scale shape: the covariance is ONE double-posexplode scan of the
+    // embedding column (64×64 per-row outer product, NO join and NO
+    // shuffle of data — map-side combine reduces each partition to
+    // ≤ d² = 4096 cells before the exchange); both power steps run on
+    // the 4096-row C frame (metadata, not data). Output: the 64
+    // direction components on a fixed 2^-56 grid, sign-stable via
+    // sign/abs integer division (identical truncation in both
+    // engines). ----
+    Q(
+      "ml_pca_power_iter",
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qa
+          FROM embeddings),
+        e1 AS (SELECT vec_id, qa, unnest(qa) AS qi,
+                      generate_subscripts(qa, 1) AS i FROM q),
+        e2 AS (SELECT i, qi, unnest(qa) AS qj,
+                      generate_subscripts(qa, 1) AS j FROM e1),
+        spp AS (SELECT i, j, sum(qi * qj) AS p FROM e2 GROUP BY 1, 2),
+        s AS (SELECT i, sum(qi) AS sv FROM e1 GROUP BY i),
+        cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+        c AS (
+          SELECT spp.i, spp.j, cnt.n * spp.p - si.sv * sj.sv AS cij
+          FROM spp CROSS JOIN cnt
+          JOIN s si ON si.i = spp.i
+          JOIN s sj ON sj.i = spp.j),
+        v1 AS (SELECT i, sum(cij) AS v FROM c GROUP BY i),
+        vs AS (SELECT i, CASE WHEN v < 0
+                 THEN -(abs(v) // 1099511627776)
+                 ELSE abs(v) // 1099511627776 END AS w FROM v1),
+        v2 AS (SELECT c.j, sum(c.cij * vs.w) AS v
+               FROM c JOIN vs ON vs.i = c.i GROUP BY c.j)
+        SELECT CAST(j - 1 AS BIGINT) AS j,
+               CAST(CASE WHEN v < 0
+                 THEN -(abs(v) // 72057594037927936)
+                 ELSE abs(v) // 72057594037927936 END AS BIGINT) AS pc
+        FROM v2 ORDER BY j"""),
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").selectExpr("vec_id",
+          "transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qa")
+        val e1 = q.select(col("vec_id"), col("qa"),
+          posexplode(col("qa")).as(Seq("i", "qi"))).persist()
+        val e2 = e1.select(col("i"), col("qi"),
+          posexplode(col("qa")).as(Seq("j", "qj")))
+        val spp = e2.groupBy("i", "j")
+          .agg(sum(expr("CAST(qi AS DECIMAL(38,0)) * qj")).as("p"))
+        val sv = e1.groupBy("i")
+          .agg(sum(expr("CAST(qi AS DECIMAL(38,0))")).as("sv"))
+        val cnt = t(s, dir, "embeddings")
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+        val c = spp.crossJoin(broadcast(cnt))
+          .join(broadcast(sv.select(col("i"), col("sv").as("svi"))), "i")
+          .join(broadcast(sv.select(col("i").as("j"), col("sv").as("svj"))),
+            "j")
+          .selectExpr("i", "j",
+            "CAST(n * p - svi * svj AS DECIMAL(38,0)) AS cij")
+          .persist()
+        val v1 = c.groupBy("i").agg(sum("cij").as("v"))
+        val vs = v1.selectExpr("i",
+          "CASE WHEN v < 0 THEN -(abs(v) DIV 1099511627776) " +
+            "ELSE abs(v) DIV 1099511627776 END AS w")
+        val v2 = c.join(broadcast(vs), "i")
+          .groupBy("j")
+          .agg(sum(expr("cij * CAST(w AS DECIMAL(38,0))")).as("v"))
+        v2.selectExpr("CAST(j AS BIGINT) AS j",
+          "CAST(CASE WHEN v < 0 THEN -(abs(v) DIV 72057594037927936) " +
+            "ELSE abs(v) DIV 72057594037927936 END AS BIGINT) AS pc")
+          .orderBy("j")
       })
   )
 }

@@ -202,6 +202,34 @@ class LearnSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("power-iteration PC equals an exact BigInt replay of the algebra") {
+    val got = SparkEntry.queries("ml_pca_power_iter")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    // replay the whole chain in arbitrary-precision integers from the
+    // raw floats — any quantization, overflow, or division-semantics
+    // drift in the engine pipeline would break exact equality
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v =>
+        BigInt(math.floor(v.toDouble * 1048576).toLong)).toArray)
+    val d = 64
+    val n = BigInt(rows.length)
+    val s = Array.tabulate(d)(j => rows.map(_(j)).sum)
+    def cij(i: Int, j: Int): BigInt =
+      n * rows.map(r => r(i) * r(j)).sum - s(i) * s(j)
+    val v1 = Array.tabulate(d)(i => (0 until d).map(j => cij(i, j)).sum)
+    def sdiv(v: BigInt, c: BigInt): BigInt =
+      if (v < 0) -(v.abs / c) else v.abs / c
+    val vs = v1.map(sdiv(_, BigInt(2).pow(40)))
+    val v2 = Array.tabulate(d)(j => (0 until d).map(i => cij(i, j) * vs(i)).sum)
+    val want = v2.map(sdiv(_, BigInt(2).pow(56)).toLong)
+    for (j <- 0 until d)
+      assert(got(j.toLong) == want(j),
+        s"component $j: engine ${got(j.toLong)} vs BigInt ${want(j)}")
+    assert(want.exists(_ != 0L), "degenerate all-zero direction")
+  }
+
   test("confusion cells tile the table; F1 consistent with P and R") {
     val r = SparkEntry.queries("ml_confusion_threshold")(spark, sf)
       .collect()(0)
