@@ -614,5 +614,70 @@ object Curation extends QueryModule {
             col("doc_id")),
           "sample_id")
           .select("doc_id", "sample_id")
-          .orderBy("doc_id")))
+          .orderBy("doc_id")),
+
+    // ---- deterministic negative sampling for contrastive training:
+    // every anchor document draws k=2 pseudo-random negatives via a
+    // bucketed hash ring — seeded md5 assigns each doc a bucket and a
+    // ring position (both uncorrelated with content, so the draw is
+    // uniform), and an anchor's negatives are the next 2 docs around
+    // its bucket's ring (modular wrap). Reproducible across runs and
+    // engines, no RNG state. Scale: NO global window — each bucket's
+    // ring orders independently (the 64-bucket constant is the
+    // parallelism knob; production sets it to O(cluster cores), which
+    // changes which negatives are drawn but not their uniformity), and
+    // the neighbor lookup is one equi-join on (bucket, position).
+    // Degenerate buckets (size ≤ 2) drop self-pairs via the final
+    // guard instead of failing. ----
+    Q(
+      "curate_negative_sampling",
+      Some("""
+        WITH ring AS (
+          SELECT doc_id, md5(doc_id::VARCHAR || ':neg') AS h
+          FROM documents),
+        rb AS (
+          SELECT doc_id, h,
+                 ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+                  strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 64
+                   AS b
+          FROM ring),
+        rp AS (
+          SELECT doc_id, b,
+                 row_number() OVER (PARTITION BY b ORDER BY h, doc_id)
+                   AS rn,
+                 count(*) OVER (PARTITION BY b) AS sz
+          FROM rb),
+        pairs AS (
+          SELECT a.doc_id, o.off,
+                 (a.rn - 1 + o.off) % a.sz + 1 AS p, a.b
+          FROM rp a CROSS JOIN (VALUES (1), (2)) o(off))
+        SELECT pr.doc_id, CAST(pr.off AS BIGINT) AS neg_rank,
+               n.doc_id AS neg_id
+        FROM pairs pr JOIN rp n ON n.b = pr.b AND n.rn = pr.p
+        WHERE n.doc_id <> pr.doc_id
+        ORDER BY pr.doc_id, neg_rank"""),
+      (s, dir) => {
+        val rp = docs(s, dir)
+          .select(col("doc_id"),
+            md5(concat(col("doc_id").cast("string"), lit(":neg"))).as("h"))
+          .withColumn("b",
+            expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 64"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("b").orderBy("h", "doc_id")))
+          .withColumn("sz",
+            count(lit(1)).over(Window.partitionBy("b")))
+          .select("doc_id", "b", "rn", "sz")
+          .persist()
+        val pairs = rp
+          .withColumn("off", explode(array(lit(1), lit(2))))
+          .withColumn("p", (col("rn") - 1 + col("off")) % col("sz") + 1)
+        pairs.as("a")
+          .join(rp.as("n"),
+            col("n.b") === col("a.b") && col("n.rn") === col("a.p"))
+          .filter(col("n.doc_id") =!= col("a.doc_id"))
+          .select(col("a.doc_id").as("doc_id"),
+            col("a.off").cast("long").as("neg_rank"),
+            col("n.doc_id").as("neg_id"))
+          .orderBy("doc_id", "neg_rank")
+      }))
 }

@@ -181,4 +181,26 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("negative sampling: no self-pairs, ≤2 per anchor, near-uniform") {
+    val rows = SparkEntry.queries("curate_negative_sampling")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, _, n) => a != n }, "self-pair drawn")
+    val perAnchor = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 2))
+    // ranks are 1..k and distinct per anchor
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).toSet.subsetOf(Set(1L, 2L)))
+    }
+    // hash-ring uniformity: expected in-degree is ~2; a content-
+    // correlated draw would concentrate mass on a few docs
+    val inDeg = rows.groupBy(_._3).view.mapValues(_.length)
+    assert(inDeg.values.max <= 6,
+      s"negative in-degree skew: max ${inDeg.values.max}")
+    // deterministic across invocations
+    val again = SparkEntry.queries("curate_negative_sampling")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again), "sampling not reproducible")
+  }
 }
