@@ -629,16 +629,8 @@ object TextAnalysis extends QueryModule {
         FROM vocab
         ORDER BY kind, rk"""),
       (s, dir) => {
-        val d0 = t(s, dir, "documents")
-          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-          .filter(length(col("w")) >= 2)
-          .groupBy("w").agg(count(lit(1)).as("f"))
-          .withColumn("syms",
-            filter(split(col("w"), ""), y => y =!= lit("")))
-          .persist()
-        val (d1, b1) = bpeRound(d0)
-        val (d2, b2) = bpeRound(d1)
-        val (d3, b3) = bpeRound(d2)
+        val (d3, bests) = bpeTrain(s, dir)
+        val (b1, b2, b3) = (bests(0), bests(1), bests(2))
         val voc = d3.select(col("f"), explode(col("syms")).as("sym"))
           .groupBy("sym").agg(sum("f").as("cnt"))
           .orderBy(desc("cnt"), col("sym")).limit(10)
@@ -654,6 +646,73 @@ object TextAnalysis extends QueryModule {
           .selectExpr("kind", "CAST(rk AS BIGINT) AS rk", "sym",
             "CAST(cnt AS BIGINT) AS cnt")
           .orderBy("kind", "rk")
+      }),
+
+    // ---- BPE ENCODE with the trained vocabulary — how a tokenizer is
+    // actually applied at corpus scale: tokenization is a dict LOOKUP,
+    // never a re-derivation. The corpus explodes to words and
+    // equi-joins the (word → symbol sequence) dict (every corpus word
+    // is in the dict by construction here; production broadcasts the
+    // dict or leaves it to AQE). Output: per-language token economics —
+    // words, BPE tokens, chars, and the chars-per-token compression
+    // the 3 learned merges buy. ----
+    Q(
+      "text_bpe_encode",
+      Some(s"""
+        WITH words AS (
+          SELECT w, count(*) AS f
+          FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                  AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w),
+        d0 AS (SELECT w, f,
+                 list_filter(string_split(w, ''), y -> y <> '') AS syms
+               FROM words),
+        ${bpeRoundSql(1, "d0")},
+        ${bpeRoundSql(2, "d1")},
+        ${bpeRoundSql(3, "d2")},
+        cw AS (
+          SELECT lang, w
+          FROM (SELECT lang,
+                       unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS w
+                FROM documents)
+          WHERE length(w) >= 2),
+        enc AS (
+          SELECT cw.lang, count(*) AS n_words,
+                 sum(len(d3.syms)) AS n_tokens,
+                 sum(length(cw.w)) AS n_chars
+          FROM cw JOIN d3 ON cw.w = d3.w
+          GROUP BY cw.lang),
+        nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT enc.lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 AS chars_per_token
+        FROM enc JOIN nd ON enc.lang = nd.lang
+        ORDER BY enc.lang"""),
+      (s, dir) => {
+        val d3 = bpeTrain(s, dir)._1
+        val cw = t(s, dir, "documents")
+          .select(col("lang"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 2)
+        val enc = cw.join(d3, "w")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("syms"))).as("n_tokens"),
+            sum(length(col("w"))).as("n_chars"))
+        val nd = t(s, dir, "documents").groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+        enc.join(nd, "lang")
+          .selectExpr("lang", "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_words AS BIGINT) AS n_words",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_chars AS BIGINT) AS n_chars",
+            "round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)" +
+              " AS chars_per_token")
+          .orderBy("lang")
       })
   )
 
@@ -675,6 +734,26 @@ object TextAnalysis extends QueryModule {
             ELSE substr(acc, 1, length(acc) - length(pa)) || pa || pb END
        WHEN acc = '' THEN x
        ELSE acc || chr(31) || x END"""
+
+  /** The 3-round training chain: word-frequency dict (one corpus
+    * shuffle) → three merge rounds. Returns the final dict and the
+    * three chosen 1-row merges. Shared by the train query (emits
+    * merges + vocab) and the encode query (joins the corpus against
+    * the final dict). */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val d0 = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("syms",
+        filter(split(col("w"), ""), y => y =!= lit("")))
+      .persist()
+    val (d1, b1) = bpeRound(d0)
+    val (d2, b2) = bpeRound(d1)
+    val (d3, b3) = bpeRound(d2)
+    (d3, Seq(b1, b2, b3))
+  }
 
   /** One Spark-side BPE round on a persisted dict: (next dict, chosen
     * 1-row merge). Pair counting is posexplode + lead over the per-word

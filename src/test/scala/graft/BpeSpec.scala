@@ -76,4 +76,18 @@ class BpeSpec extends SparkSpec {
     assert(vc.sliding(2).forall { case Array(a, b) => a >= b },
       "vocab not ordered by count")
   }
+
+  test("encode token economics bracket between words and chars") {
+    val rows = SparkEntry.queries("text_bpe_encode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (words, tokens, chars) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      // every word is ≥1 token; every token is ≥1 char; 3 merges can
+      // only shrink the token count below the char count
+      assert(tokens >= words, s"${r.getString(0)}: tokens < words")
+      assert(tokens < chars, s"${r.getString(0)}: merges bought nothing")
+      assert(r.getDouble(5) > 1.0 && r.getDouble(5) <= 3.0)
+    }
+  }
 }

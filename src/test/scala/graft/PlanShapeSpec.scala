@@ -266,7 +266,8 @@ class PlanShapeSpec extends SparkSpec {
       "ml_forest_bagged", // 3× broadcast tree state (1-row/2-row/4-row)
       "ml_gbt_stumps", // broadcast 1-row stump model per boosting round
       "ml_pca_power_iter", // broadcast 1-row count into the d²-cell frame
-      "text_bpe_merge_train") // broadcast 1-row chosen merge per round
+      "text_bpe_merge_train", // broadcast 1-row chosen merge per round
+      "text_bpe_encode") // same trained-merge broadcasts feed the dict
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
         try fn(spark, sf).queryExecution.executedPlan.toString
