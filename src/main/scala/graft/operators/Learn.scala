@@ -1106,15 +1106,21 @@ object Learn extends QueryModule {
                  ELSE abs(v) // 72057594037927936 END AS BIGINT) AS pc
         FROM v2 ORDER BY j"""),
       (s, dir) => {
+        // persist the n-row ARRAY frame, not an exploded view of it —
+        // caching post-explode rows would copy each 64-array 64×
         val q = t(s, dir, "embeddings").selectExpr("vec_id",
           "transform(embedding, x -> " +
             "CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qa")
+          .persist()
         val e1 = q.select(col("vec_id"), col("qa"),
-          posexplode(col("qa")).as(Seq("i", "qi"))).persist()
+          posexplode(col("qa")).as(Seq("i", "qi")))
         val e2 = e1.select(col("i"), col("qi"),
           posexplode(col("qa")).as(Seq("j", "qj")))
+        // qi·qj fits a primitive long (|q| < 2^21 → product < 2^42);
+        // only the ACCUMULATOR needs DECIMAL(38,0) headroom, so the
+        // multiply stays in primitive long arithmetic
         val spp = e2.groupBy("i", "j")
-          .agg(sum(expr("CAST(qi AS DECIMAL(38,0)) * qj")).as("p"))
+          .agg(sum(expr("CAST(qi * qj AS DECIMAL(38,0))")).as("p"))
         val sv = e1.groupBy("i")
           .agg(sum(expr("CAST(qi AS DECIMAL(38,0))")).as("sv"))
         val cnt = t(s, dir, "embeddings")
