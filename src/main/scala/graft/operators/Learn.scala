@@ -1057,6 +1057,112 @@ object Learn extends QueryModule {
               "CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) AS f1")
       }),
 
+    // ---- A/B experiment analysis over the raw event log: assignment
+    // is a seeded md5 of the user id (deterministic, balanced,
+    // content-blind — exactly how a production bucketing service
+    // derives variants), the metric is per-user HIGH-VALUE purchase
+    // conversion (value > 150 — plain any-purchase saturates near 1 on
+    // this log and degenerates the pooled variance to 0), and the
+    // readout is the two-proportion pooled z statistic. Shape:
+    // one scan → per-user aggregation (hash shuffle on user_id) → a
+    // 2-row reduce; the z arithmetic is shared-text double math whose
+    // only transcendental is sqrt — correctly rounded by IEEE 754, so
+    // bit-identical in any engine. ----
+    Q(
+      "ml_ab_test_ztest", {
+        val z = "round((ra - rb) / sqrt(p * (1.0 - p) * " +
+          "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)"
+        Some(s"""
+          WITH u AS (
+            SELECT user_id,
+                   CASE WHEN substr(md5(user_id::VARCHAR || ':ab'), 1, 1)
+                          < '8' THEN 'A' ELSE 'B' END AS variant,
+                   max(CASE WHEN event_type = 'purchase'
+                        AND value > 150 THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id,
+                 CASE WHEN substr(md5(user_id::VARCHAR || ':ab'), 1, 1)
+                        < '8' THEN 'A' ELSE 'B' END),
+          v AS (
+            SELECT variant, count(*) AS n, sum(conv) AS c
+            FROM u GROUP BY variant),
+          w AS (
+            SELECT CAST(a.n AS BIGINT) AS n_a, CAST(a.c AS BIGINT) AS c_a,
+                   CAST(b.n AS BIGINT) AS n_b, CAST(b.c AS BIGINT) AS c_b
+            FROM v a CROSS JOIN v b
+            WHERE a.variant = 'A' AND b.variant = 'B'),
+          m AS (
+            SELECT n_a, c_a, n_b, c_b,
+                   CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+                   CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+                   CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                     AS p
+            FROM w)
+          SELECT n_a, c_a, n_b, c_b, round(ra, 6) AS rate_a,
+                 round(rb, 6) AS rate_b, $z AS z
+          FROM m""")
+      },
+      (s, dir) => {
+        val z = "round((ra - rb) / sqrt(p * (1.0 - p) * " +
+          "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)"
+        val u = t(s, dir, "events")
+          .withColumn("variant", expr(
+            "CASE WHEN substr(md5(CAST(user_id AS STRING) || ':ab'), 1, 1)" +
+              " < '8' THEN 'A' ELSE 'B' END"))
+          .groupBy("user_id", "variant")
+          .agg(max(expr("CASE WHEN event_type = 'purchase' " +
+            "AND value > 150 THEN 1 ELSE 0 END")).as("conv"))
+        val v = u.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        val a = v.filter(col("variant") === "A")
+          .select(col("n").cast("long").as("n_a"),
+            col("c").cast("long").as("c_a"))
+        val b = v.filter(col("variant") === "B")
+          .select(col("n").cast("long").as("n_b"),
+            col("c").cast("long").as("c_b"))
+        a.crossJoin(broadcast(b))
+          .selectExpr("n_a", "c_a", "n_b", "c_b",
+            "CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra",
+            "CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb",
+            "CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p")
+          .selectExpr("n_a", "c_a", "n_b", "c_b",
+            "round(ra, 6) AS rate_a", "round(rb, 6) AS rate_b",
+            s"$z AS z")
+      }),
+
+    // ---- calibration / reliability bins for the price-as-classifier
+    // score: 10 fixed-width score bins (width from the broadcast 1-row
+    // max — integer arithmetic, no ntile and no global ranking), each
+    // with its exact count, positive count, and observed rate. One
+    // scan + one 1-row agg + a 10-group combine. ----
+    Q(
+      "ml_calibration_bins",
+      Some(s"""
+        WITH scored AS ($aucScoredSql),
+        mx AS (SELECT max(sc) AS m FROM scored),
+        binned AS (
+          SELECT CASE WHEN sc * 10 // (m + 1) > 9 THEN 9
+                      ELSE sc * 10 // (m + 1) END AS bin, pos
+          FROM scored CROSS JOIN mx)
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS rate
+        FROM binned GROUP BY bin ORDER BY bin"""),
+      (s, dir) => {
+        val mx = aucScored(s, dir).agg(max("sc").as("m"))
+        aucScored(s, dir).crossJoin(broadcast(mx))
+          .selectExpr(
+            "CASE WHEN sc * 10 DIV (m + 1) > 9 THEN 9 " +
+              "ELSE sc * 10 DIV (m + 1) END AS bin", "pos")
+          .groupBy("bin")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("pos").cast("long").as("n_pos"))
+          .selectExpr("CAST(bin AS BIGINT) AS bin", "n", "n_pos",
+            "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate")
+          .orderBy("bin")
+      }),
+
     // ---- top principal component of the embedding table via TWO
     // power-iteration steps in EXACT integer arithmetic — engine-side
     // PCA with zero float-summation nondeterminism. Embeddings are

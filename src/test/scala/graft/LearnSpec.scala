@@ -230,6 +230,40 @@ class LearnSpec extends SparkSpec {
     assert(want.exists(_ != 0L), "degenerate all-zero direction")
   }
 
+  test("A/B readout: buckets tile the users; z matches a direct recompute") {
+    val r = SparkEntry.queries("ml_ab_test_ztest")(spark, sf).collect()(0)
+    val (na, ca, nb, cb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(na + nb == users, "variants must partition the users")
+    assert(ca <= na && cb <= nb)
+    // assignment is content-blind md5 → near-balanced buckets (only
+    // meaningful once the law of large numbers has something to work
+    // with; sf0.001 has ~15 users)
+    if (users >= 100)
+      assert(math.abs(na - nb).toDouble / users < 0.35,
+        s"suspiciously unbalanced buckets: $na vs $nb")
+    assert(na > 0 && nb > 0)
+    val (ra, rb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ra - rb) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - z) < 1e-5,
+      s"z mismatch: engine ${r.getDouble(6)} vs direct $z")
+  }
+
+  test("calibration bins tile the rows and order by score") {
+    val rows = SparkEntry.queries("ml_calibration_bins")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(0)).sorted.toSeq)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must tile the rows")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("confusion cells tile the table; F1 consistent with P and R") {
     val r = SparkEntry.queries("ml_confusion_threshold")(spark, sf)
       .collect()(0)

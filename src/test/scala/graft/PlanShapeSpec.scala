@@ -266,6 +266,8 @@ class PlanShapeSpec extends SparkSpec {
       "ml_forest_bagged", // 3× broadcast tree state (1-row/2-row/4-row)
       "ml_gbt_stumps", // broadcast 1-row stump model per boosting round
       "ml_pca_power_iter", // broadcast 1-row count into the d²-cell frame
+      "ml_ab_test_ztest", // 1-row variant A × 1-row variant B readout
+      "ml_calibration_bins", // broadcast 1-row max into the binning scan
       "text_bpe_merge_train", // broadcast 1-row chosen merge per round
       "text_bpe_encode") // same trained-merge broadcasts feed the dict
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
