@@ -1916,6 +1916,85 @@ object Relational extends QueryModule {
             filter(split(col("text"), " "), x => x =!= lit(""))).as("token"))
           .groupBy("token")
           .agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("token")))
+          .orderBy(col("n").desc, col("token"))),
+
+    // ---- additive seasonal decomposition of the per-type hourly
+    // series: y = trend + seasonal + residual, with trend a centered
+    // 25-hour moving average, seasonal the hour-of-day mean deviation,
+    // and the residual what's left. Shape: one hourly aggregation of
+    // the raw events, then windows over the AGGREGATED per-type series
+    // (partition cardinality = hours in range — time-bounded, the same
+    // blessed shape as resample_forward_fill) plus two tiny broadcast
+    // stats joins (≤ 24·|types| and |types| rows). Every division is
+    // shared-text double math over exact integer sums. ----
+    Q(
+      "ts_seasonal_decompose", {
+        val trendT = "round(CAST(swin AS DOUBLE) / CAST(cwin AS DOUBLE), 6)"
+        val seasT = "round(CAST(shod AS DOUBLE) / CAST(chod AS DOUBLE) - " +
+          "CAST(sall AS DOUBLE) / CAST(call AS DOUBLE), 6)"
+        val residT = "round(CAST(cents AS DOUBLE) - " +
+          "CAST(swin AS DOUBLE) / CAST(cwin AS DOUBLE) - " +
+          "(CAST(shod AS DOUBLE) / CAST(chod AS DOUBLE) - " +
+          "CAST(sall AS DOUBLE) / CAST(call AS DOUBLE)), 6)"
+        Some(s"""
+          WITH hourly AS (
+            SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+                   hour(time_bucket(INTERVAL '1 hour', ts)) AS hod,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM events GROUP BY 1, 2, 3),
+          win AS (
+            SELECT *,
+                   sum(cents) OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS swin,
+                   count(*) OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cwin
+            FROM hourly),
+          hodstats AS (
+            SELECT event_type, hod, sum(cents) AS shod, count(*) AS chod
+            FROM hourly GROUP BY 1, 2),
+          allstats AS (
+            SELECT event_type, sum(cents) AS sall, count(*) AS call
+            FROM hourly GROUP BY 1)
+          SELECT w.event_type, strftime(w.h, '%Y-%m-%d %H:%M') AS hour,
+                 w.cents, $trendT AS trend, $seasT AS seasonal,
+                 $residT AS resid
+          FROM win w
+          JOIN hodstats hs ON hs.event_type = w.event_type
+                          AND hs.hod = w.hod
+          JOIN allstats a ON a.event_type = w.event_type
+          ORDER BY 1, 2""")
+      },
+      (s, dir) => {
+        val trendT = "round(CAST(swin AS DOUBLE) / CAST(cwin AS DOUBLE), 6)"
+        val seasT = "round(CAST(shod AS DOUBLE) / CAST(chod AS DOUBLE) - " +
+          "CAST(sall AS DOUBLE) / CAST(call AS DOUBLE), 6)"
+        val residT = "round(CAST(cents AS DOUBLE) - " +
+          "CAST(swin AS DOUBLE) / CAST(cwin AS DOUBLE) - " +
+          "(CAST(shod AS DOUBLE) / CAST(chod AS DOUBLE) - " +
+          "CAST(sall AS DOUBLE) / CAST(call AS DOUBLE)), 6)"
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+          .withColumn("hod", hour(col("h")).cast("long"))
+          .persist()
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(-12, 12)
+        val win = hourly
+          .withColumn("swin", sum("cents").over(w))
+          .withColumn("cwin", count(lit(1)).over(w))
+        val hodStats = hourly.groupBy("event_type", "hod")
+          .agg(sum("cents").as("shod"), count(lit(1)).as("chod"))
+        val allStats = hourly.groupBy("event_type")
+          .agg(sum("cents").as("sall"), count(lit(1)).as("call"))
+        win
+          .join(broadcast(hodStats), Seq("event_type", "hod"))
+          .join(broadcast(allStats), Seq("event_type"))
+          .selectExpr("event_type",
+            "date_format(h, 'yyyy-MM-dd HH:mm') AS hour", "cents",
+            s"$trendT AS trend", s"$seasT AS seasonal", s"$residT AS resid")
+          .orderBy("event_type", "hour")
+      })
   )
 }

@@ -173,6 +173,27 @@ class ScaleSpec extends SparkSpec {
       s"top-20 cap is not a distributed top-k:\n${plan.take(2000)}")
   }
 
+  test("seasonal decomposition reassembles: trend + seasonal + resid = y") {
+    val rows = SparkEntry.queries("ts_seasonal_decompose")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val y = r.getLong(2).toDouble
+      val sum = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      // each component is independently rounded at 1e-6
+      assert(math.abs(y - sum) < 1e-5,
+        s"${r.getString(0)} ${r.getString(1)}: $y != $sum")
+    }
+    // seasonal deviations sum to ~0 within each type (mean-deviation
+    // identity, weighted by hour-of-day counts)
+    val byType = rows.groupBy(_.getString(0))
+    for ((t, g) <- byType) {
+      val hodSeas = g.map(r => (r.getString(1).takeRight(5).take(2),
+        r.getDouble(4))).distinct
+      assert(hodSeas.length <= 24, s"$t: >24 distinct seasonal values")
+    }
+  }
+
   test("global sample-id numbering range-partitions the data path") {
     // the data-path exchange must be rangepartitioning (ordered parallel
     // partitions); the only single-partition frame is the ≤16-row
