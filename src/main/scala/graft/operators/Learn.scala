@@ -1163,6 +1163,76 @@ object Learn extends QueryModule {
           .orderBy("bin")
       }),
 
+    // ---- chi-squared test of independence between two categorical
+    // columns (order priority × status): the feature-association screen
+    // a pipeline runs before spending on a model. Shape: ONE scan to
+    // the r×c contingency cells (map-side combinable), marginals as
+    // broadcast aggregates OF THE CELLS (never a second scan), and the
+    // statistic as a 15-cell reduce. Determinism: per-cell (obs−exp)²/exp
+    // is IEEE-exact double math from exact integer counts, QUANTIZED to
+    // nano units and summed as integers (associative — the same
+    // fixed-point discipline as the logistic gradients). ----
+    Q(
+      "ml_chi2_feature_assoc", {
+        val cellT = "CAST(floor(1.0E9 * " +
+          "(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) * " +
+          "(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) / " +
+          "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) " +
+          "AS BIGINT)"
+        Some(s"""
+          WITH cells AS (
+            SELECT o_orderpriority AS r, o_orderstatus AS c,
+                   count(*) AS obs
+            FROM orders GROUP BY 1, 2),
+          rm AS (SELECT r, sum(obs) AS rt FROM cells GROUP BY r),
+          cm AS (SELECT c, sum(obs) AS ct FROM cells GROUP BY c),
+          tot AS (SELECT sum(obs) AS n FROM cells),
+          q AS (
+            SELECT $cellT AS contrib
+            FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot),
+          dims AS (
+            SELECT (SELECT count(*) FROM rm) AS nr,
+                   (SELECT count(*) FROM cm) AS nc)
+          SELECT CAST(tot.n AS BIGINT) AS n,
+                 CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS df,
+                 CAST(sum(q.contrib) AS BIGINT) AS chi2_nano,
+                 round(CAST(sum(q.contrib) AS DOUBLE) / 1.0E9, 4) AS chi2
+          FROM q CROSS JOIN tot CROSS JOIN dims
+          GROUP BY tot.n, dims.nr, dims.nc""")
+      },
+      (s, dir) => {
+        val cellT = "CAST(floor(1.0E9 * " +
+          "(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) * " +
+          "(CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) / " +
+          "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) " +
+          "AS BIGINT)"
+        val cells = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("r"),
+            col("o_orderstatus").as("c"))
+          .agg(count(lit(1)).as("obs"))
+          .persist()
+        val rm = cells.groupBy("r").agg(sum("obs").as("rt"))
+        val cm = cells.groupBy("c").agg(sum("obs").as("ct"))
+        val tot = cells.agg(sum("obs").as("n"),
+          count_distinct(col("r")).as("nr"),
+          count_distinct(col("c")).as("nc"))
+        cells
+          .join(broadcast(rm), "r")
+          .join(broadcast(cm), "c")
+          .crossJoin(broadcast(tot))
+          .selectExpr(s"$cellT AS contrib", "n", "nr", "nc")
+          .groupBy("n", "nr", "nc")
+          .agg(sum("contrib").as("chi2_nano"))
+          .selectExpr("CAST(n AS BIGINT) AS n",
+            "CAST((nr - 1) * (nc - 1) AS BIGINT) AS df",
+            "CAST(chi2_nano AS BIGINT) AS chi2_nano",
+            "round(CAST(chi2_nano AS DOUBLE) / 1.0E9, 4) AS chi2")
+      }),
+
     // ---- top principal component of the embedding table via TWO
     // power-iteration steps in EXACT integer arithmetic — engine-side
     // PCA with zero float-summation nondeterminism. Embeddings are

@@ -264,6 +264,26 @@ class LearnSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("chi2 statistic matches a driver-side contingency recompute") {
+    val r = SparkEntry.queries("ml_chi2_feature_assoc")(spark, sf)
+      .collect()(0)
+    val cells = Tables.load(spark, sf, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum)
+    val chi2 = cells.map { case ((a, b), obs) =>
+      val exp = rt(a) * ct(b) / n
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getLong(1) == (rt.size - 1).toLong * (ct.size - 1))
+    // the engine quantizes per-cell at 1e-9; 15 cells → ≤ 1.5e-8 drift
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-3,
+      s"chi2: engine ${r.getDouble(3)} vs direct $chi2")
+  }
+
   test("confusion cells tile the table; F1 consistent with P and R") {
     val r = SparkEntry.queries("ml_confusion_threshold")(spark, sf)
       .collect()(0)
