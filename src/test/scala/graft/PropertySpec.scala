@@ -155,6 +155,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE merge fold equals a reference greedy implementation on " +
+      "random symbol sequences") {
+    // reference: greedy left-to-right single-merge application
+    def ref(syms: List[String], pa: String, pb: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == pa && x == pb)
+          acc.init :+ (pa + pb)
+        else acc :+ x
+      }
+    val sym: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "bc", "l")
+    val word: Gen[List[String]] = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, sym))
+    for (trial <- 1 to 3) {
+      val words = sample(Gen.listOfN(80, word), 4200L + trial)
+      val pairs = sample(Gen.listOfN(80,
+        Gen.zip(sym, sym)), 9900L + trial)
+      val rows = words.zip(pairs).map { case (w, (pa, pb)) =>
+        (w, pa, pb, ref(w, pa, pb))
+      }
+      val df = rows.toDF("syms", "pa", "pb", "want")
+      val diff = df.withColumn("got", expr(
+        s"filter(split(aggregate(syms, '', " +
+          s"${operators.TextAnalysis.bpeMergeLambda("endswith")}), " +
+          "chr(31)), y -> y <> '')"))
+        .filter(not(col("got") === col("want"))).count()
+      assert(diff == 0, s"trial $trial: merge fold diverges from reference")
+    }
+  }
+
   test("partitioned parquet write -> read is an identity on rows") {
     for (trial <- 1 to 3) {
       val rows = sample(Gen.listOfN(20,
