@@ -1995,6 +1995,73 @@ object Relational extends QueryModule {
             "date_format(h, 'yyyy-MM-dd HH:mm') AS hour", "cents",
             s"$trendT AS trend", s"$seasT AS seasonal", s"$residT AS resid")
           .orderBy("event_type", "hour")
+      }),
+
+    // ---- rolling regression slope (trend detection): the least-squares
+    // slope of (hour, cents) over a trailing 25-hour frame, per type —
+    // the monitoring primitive behind "is this metric drifting". All
+    // four sufficient statistics are INTEGER window sums over the
+    // hourly-aggregated series (exact, order-free; x is epoch-hours
+    // re-based by a constant so products stay far inside BIGINT), and
+    // the slope is one shared-text double division. Same time-bounded
+    // partition shape as the decomposition above. Warm-up rows (frame
+    // shorter than 13) emit NULL slope rather than a 1-point fit. ----
+    Q(
+      "ts_rolling_slope", {
+        val slopeT = "CASE WHEN nw >= 13 AND " +
+          "(nw * sxx - sx * sx) <> 0 THEN " +
+          "round((CAST(nw AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(nw AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) " +
+          "ELSE NULL END"
+        Some(s"""
+          WITH hourly AS (
+            SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM events GROUP BY 1, 2),
+          xy AS (
+            SELECT event_type, h,
+                   epoch(h)::BIGINT // 3600 - 480000 AS x, cents AS y
+            FROM hourly),
+          win AS (
+            SELECT event_type, h,
+                   count(*) OVER w AS nw,
+                   sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                   sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+            FROM xy
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+          SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+                 CAST(nw AS BIGINT) AS nw, $slopeT AS slope
+          FROM win ORDER BY 1, 2""")
+      },
+      (s, dir) => {
+        val slopeT = "CASE WHEN nw >= 13 AND " +
+          "(nw * sxx - sx * sx) <> 0 THEN " +
+          "round((CAST(nw AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(CAST(nw AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) " +
+          "ELSE NULL END"
+        val xy = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+          .withColumn("x",
+            expr("CAST(unix_timestamp(h) AS BIGINT) DIV 3600 - 480000"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(-24, 0)
+        xy.withColumn("nw", count(lit(1)).over(w))
+          .withColumn("sx", sum("x").over(w))
+          .withColumn("sy", sum("y").over(w))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .selectExpr("event_type",
+            "date_format(h, 'yyyy-MM-dd HH:mm') AS hour",
+            "CAST(nw AS BIGINT) AS nw", s"$slopeT AS slope")
+          .orderBy("event_type", "hour")
       })
   )
 }

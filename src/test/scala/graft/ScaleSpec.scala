@@ -194,6 +194,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("rolling slope equals a direct OLS on each trailing window") {
+    val rows = SparkEntry.queries("ts_rolling_slope")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    // warm-up rows (frame < 13) are null, mature rows are not
+    assert(rows.filter(_._3 < 13).forall(_._4.isEmpty))
+    assert(rows.filter(_._3 >= 13).forall(_._4.isDefined))
+    // direct recompute for one type from the hourly series
+    val hourly = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .selectExpr("event_type",
+        "date_format(h, 'yyyy-MM-dd HH:mm') AS hour",
+        "CAST(unix_timestamp(h) AS BIGINT) DIV 3600 - 480000 AS x", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val typ = hourly.head._1
+    val series = hourly.filter(_._1 == typ).sortBy(_._2)
+    for ((_, hour, _, _) <- series.drop(12).take(20)) {
+      val i = series.indexWhere(_._2 == hour)
+      val w = series.slice(math.max(0, i - 24), i + 1)
+      val (n, sx, sy) = (w.length.toDouble, w.map(_._3).sum.toDouble,
+        w.map(_._4).sum.toDouble)
+      val sxy = w.map(p => p._3 * p._4).sum.toDouble
+      val sxx = w.map(p => p._3 * p._3).sum.toDouble
+      val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val got = rows.find(r => r._1 == typ && r._2 == hour).get._4.get
+      assert(math.abs(got - want) < 1e-4,
+        s"$typ $hour: engine $got vs direct $want")
+    }
+  }
+
   test("global sample-id numbering range-partitions the data path") {
     // the data-path exchange must be rangepartitioning (ordered parallel
     // partitions); the only single-partition frame is the ≤16-row
