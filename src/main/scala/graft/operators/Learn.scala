@@ -1163,6 +1163,66 @@ object Learn extends QueryModule {
           .orderBy("bin")
       }),
 
+    // ---- the composed train→holdout-eval pipeline, entirely
+    // engine-side: a seeded md5 hash splits rows ~81/19 (the same
+    // deterministic-split discipline as gold_train_test_split), a
+    // depth-1 histogram stump fits on the TRAIN side only, and the
+    // holdout r² comes from exact integer sufficient statistics of the
+    // TEST side — the model never sees it. One histogram scan to fit,
+    // one scoring scan to evaluate, 1-row broadcast model between
+    // them; nothing is collected. This is the capability the
+    // reference's sklearn train_test_split+fit+score cell exercises
+    // (airflow/dags/realestate_pipeline.py:224-234), as distributed
+    // aggregation. ----
+    Q(
+      "pipeline_model_eval",
+      Some(s"""
+        WITH f0 AS ($treeFeaturesSql),
+        f AS (SELECT *, y AS y0 FROM f0
+              WHERE substr(md5(k::VARCHAR || ':spl'), 1, 1) < 'd'),
+        ${stumpCtes("f", "g")},
+        tst AS (SELECT * FROM f0
+                WHERE substr(md5(k::VARCHAR || ':spl'), 1, 1) >= 'd'),
+        sc AS (
+          SELECT y, CASE WHEN (sfeat = 1 AND b1 <= sthr)
+                          OR (sfeat = 2 AND b2 <= sthr)
+                    THEN pl ELSE pr END AS p
+          FROM tst CROSS JOIN gm),
+        ev AS (
+          SELECT count(*) AS n,
+                 sum(CAST(y - p AS HUGEINT) * (y - p)) AS sse,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM sc),
+        tr AS (SELECT count(*) AS n_train FROM f)
+        SELECT CAST(tr.n_train AS BIGINT) AS n_train,
+               CAST(ev.n AS BIGINT) AS n_test,
+               CAST(gm.sfeat AS BIGINT) AS sfeat,
+               CAST(gm.sthr AS BIGINT) AS sthr,
+               CAST(gm.pl AS BIGINT) AS pl, CAST(gm.pr AS BIGINT) AS pr,
+               $treeR2Text
+        FROM ev CROSS JOIN gm CROSS JOIN tr"""),
+      (s, dir) => {
+        val f = treeFeatures(s, dir)
+        val inTrain =
+          "substr(md5(CAST(k AS STRING) || ':spl'), 1, 1) < 'd'"
+        val train = f.filter(expr(inTrain))
+        val test = f.filter(not(expr(inTrain)))
+        val m = stumpFit(train)
+        val scored = stumpApply(test, m, "p")
+        val ev = scored.agg(count(lit(1)).as("n"),
+          expr("sum(CAST(y - p AS DECIMAL(38,0)) * (y - p))").as("sse"),
+          expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
+        val tr = train.agg(count(lit(1)).as("n_train"))
+        ev.crossJoin(broadcast(m)).crossJoin(broadcast(tr))
+          .selectExpr("CAST(n_train AS BIGINT) AS n_train",
+            "CAST(n AS BIGINT) AS n_test",
+            "CAST(sfeat AS BIGINT) AS sfeat", "CAST(sthr AS BIGINT) AS sthr",
+            "CAST(pl AS BIGINT) AS pl", "CAST(pr AS BIGINT) AS pr",
+            treeR2Text)
+      }),
+
     // ---- chi-squared test of independence between two categorical
     // columns (order priority × status): the feature-association screen
     // a pipeline runs before spending on a model. Shape: ONE scan to

@@ -264,6 +264,21 @@ class LearnSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("train/holdout eval: split tiles the rows; model fits train only") {
+    val r = SparkEntry.queries("pipeline_model_eval")(spark, sf)
+      .collect()(0)
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(r.getLong(0) + r.getLong(1) == total,
+      "train + test must tile the table")
+    assert(r.getLong(1) > 0, "empty holdout")
+    assert(Set(1L, 2L).contains(r.getLong(2)), "stump feature domain")
+    // holdout r² of a depth-1 stump on weak synthetic signal: bounded
+    // above by 1, and not catastrophically negative (a sign the model
+    // was fit on the wrong split or scored against train)
+    val r2 = r.getDouble(6)
+    assert(r2 <= 1.0 && r2 > -1.0, s"holdout r2 out of range: $r2")
+  }
+
   test("chi2 statistic matches a driver-side contingency recompute") {
     val r = SparkEntry.queries("ml_chi2_feature_assoc")(spark, sf)
       .collect()(0)

@@ -269,6 +269,7 @@ class PlanShapeSpec extends SparkSpec {
       "ml_ab_test_ztest", // 1-row variant A × 1-row variant B readout
       "ml_calibration_bins", // broadcast 1-row max into the binning scan
       "ml_chi2_feature_assoc", // broadcast 1-row totals into 15 cells
+      "pipeline_model_eval", // broadcast 1-row stump + train-count rows
       "text_bpe_merge_train", // broadcast 1-row chosen merge per round
       "text_bpe_encode") // same trained-merge broadcasts feed the dict
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
