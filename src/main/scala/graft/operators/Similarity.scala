@@ -592,6 +592,68 @@ object Similarity extends QueryModule {
             round(col("qsum").cast("double") / 1e12, 6).as("adc_d2"))
           .filter(col("rn") <= 5)
           .orderBy("q_id", "rn")
+      }),
+
+    // ---- k-NN classification: the retrieval→label step (label a new
+    // item by majority vote of its 5 nearest labeled neighbors). Same
+    // broadcast-query-set/candidate-stream shape as sim_bruteforce_topk
+    // (whose green rn column already pins cross-engine ORDERING parity
+    // of the cosine), plus an exact integer vote with label-ascending
+    // tie-break. At scale the candidate leg swaps for any of the ANN
+    // legs (same interface: top-k per query) — the vote is unchanged. ----
+    Q(
+      "ml_knn_classify",
+      Some("""
+        WITH q AS (SELECT vec_id AS q_id, label AS true_label,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cand_id, label,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        sc AS (SELECT q_id, true_label, cand_id, label,
+                      list_cosine_similarity(qv, cv) AS cos
+               FROM q CROSS JOIN c WHERE q_id <> cand_id),
+        r AS (SELECT q_id, true_label, label,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, cand_id) AS rn
+              FROM sc),
+        v AS (SELECT q_id, true_label, label, count(*) AS votes
+              FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        p AS (SELECT q_id, true_label, label AS pred, votes,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY votes DESC, label) AS pr
+              FROM v)
+        SELECT q_id, CAST(pred AS BIGINT) AS pred,
+               CAST(votes AS BIGINT) AS votes,
+               CAST(true_label AS BIGINT) AS true_label,
+               CAST(CASE WHEN pred = true_label THEN 1 ELSE 0 END
+                    AS BIGINT) AS correct
+        FROM p WHERE pr = 1 ORDER BY q_id"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+            col("vec").as("qv"))
+        val c = e.select(col("vec_id").as("cand_id"),
+          col("label"), col("vec").as("cv"))
+        val wNn = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("cand_id"))
+        val nn = c.join(broadcast(q), col("q_id") =!= col("cand_id"))
+          .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(wNn))
+          .filter(col("rn") <= 5)
+        val wVote = Window.partitionBy("q_id")
+          .orderBy(col("votes").desc, col("label"))
+        nn.groupBy("q_id", "true_label", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("pr", row_number().over(wVote))
+          .filter(col("pr") === 1)
+          .selectExpr("q_id", "CAST(label AS BIGINT) AS pred",
+            "CAST(votes AS BIGINT) AS votes",
+            "CAST(true_label AS BIGINT) AS true_label",
+            "CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END " +
+              "AS BIGINT) AS correct")
+          .orderBy("q_id")
       })
   )
 }

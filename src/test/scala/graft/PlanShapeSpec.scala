@@ -254,6 +254,7 @@ class PlanShapeSpec extends SparkSpec {
       "join_cross_region_flags", // deliberate CROSS of two bounded dims
       "join_range_price_bands", // BETWEEN theta vs constant bands dim
       "sim_bruteforce_topk", // broadcast bounded query set (the baseline)
+      "ml_knn_classify", // same broadcast bounded query set + vote
       "sim_ivf_probe", // 16-centroid quantizer broadcast
       "retrieval_hybrid_rrf", // broadcast single query embedding
       "sim_pq_adc", // broadcast 128-row codebook + 1280-row query LUT

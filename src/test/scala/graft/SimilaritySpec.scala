@@ -178,4 +178,25 @@ class SimilaritySpec extends SparkSpec {
       .filter(abs(viaUdaf("centroid_val") - viaSql("centroid_val")) > 1e-6)
     assert(diff.count() == 0)
   }
+
+  test("knn prediction is the majority label of the brute-force top-5") {
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // the green sim_bruteforce_topk rows ARE the neighbor lists
+    val top5 = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), labels(r.getLong(1))))
+    val preds = SparkEntry.queries("ml_knn_classify")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(preds.nonEmpty)
+    for ((qid, g) <- top5.groupBy(_._1)) {
+      val votes = g.groupBy(_._2).view.mapValues(_.length)
+      val want = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head
+      val (pred, v, tl, correct) = preds(qid)
+      assert(pred == want._1 && v == want._2.toLong,
+        s"q $qid: knn ($pred,$v) vs brute-force majority $want")
+      assert(correct == (if (pred == tl) 1L else 0L))
+    }
+  }
 }
