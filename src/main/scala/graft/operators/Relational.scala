@@ -1116,6 +1116,47 @@ object Relational extends QueryModule {
           .orderBy("o_custkey", "o_orderkey")
       }),
 
+    // Bitmap-chunked EXACT distinct count — the roaring-bitmap trick as
+    // two cheap aggregations: chunk the integer key space (32 ids per
+    // chunk), OR each chunk's membership mask with bit_or (map-side
+    // combinable — a partition contributes ONE 8-byte mask per chunk it
+    // touched, not its distinct ids), then popcount and sum the masks.
+    // Exact like count(DISTINCT) but the shuffle carries masks instead
+    // of every distinct value — at 100 TB that's |keyspace|/32 longs
+    // against billions of shuffled ids. The oracle computes BOTH forms
+    // and the green row is the bitmap ≡ count(DISTINCT) proof.
+    Q(
+      "agg_bitmap_exact_distinct",
+      Some("""
+        WITH masks AS (
+          SELECT o_custkey // 32 AS chunk,
+                 bit_or(1::BIGINT << CAST(o_custkey % 32 AS INT)) AS m
+          FROM orders GROUP BY 1),
+        bm AS (SELECT CAST(sum(bit_count(m)) AS BIGINT) AS n_bitmap,
+                      CAST(count(*) AS BIGINT) AS n_chunks
+               FROM masks),
+        direct AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                     AS n_direct FROM orders)
+        SELECT n_bitmap, n_direct, n_chunks,
+               CAST(CASE WHEN n_bitmap = n_direct THEN 1 ELSE 0 END
+                    AS BIGINT) AS agrees
+        FROM bm CROSS JOIN direct"""),
+      (s, dir) => {
+        val masks = t(s, dir, "orders")
+          .groupBy(expr("o_custkey DIV 32").as("chunk"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(o_custkey % 32 AS INT)))")
+            .as("m"))
+        val bm = masks.agg(
+          sum(expr("bit_count(m)")).cast("long").as("n_bitmap"),
+          count(lit(1)).cast("long").as("n_chunks"))
+        val direct = t(s, dir, "orders")
+          .agg(count_distinct(col("o_custkey")).cast("long").as("n_direct"))
+        bm.crossJoin(broadcast(direct))
+          .selectExpr("n_bitmap", "n_direct", "n_chunks",
+            "CAST(CASE WHEN n_bitmap = n_direct THEN 1 ELSE 0 END " +
+              "AS BIGINT) AS agrees")
+      }),
+
     // Two-phase salted aggregation — the skew-mitigation pattern: partial
     // agg on (key, salt) spreads a hot key over N reducers, then a cheap
     // final agg on the (bounded) key space merges partials. Result is

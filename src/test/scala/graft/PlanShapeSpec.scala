@@ -271,6 +271,7 @@ class PlanShapeSpec extends SparkSpec {
       "ml_calibration_bins", // broadcast 1-row max into the binning scan
       "ml_chi2_feature_assoc", // broadcast 1-row totals into 15 cells
       "pipeline_model_eval", // broadcast 1-row stump + train-count rows
+      "agg_bitmap_exact_distinct", // 1-row bitmap total × 1-row direct
       "text_bpe_merge_train", // broadcast 1-row chosen merge per round
       "text_bpe_encode") // same trained-merge broadcasts feed the dict
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

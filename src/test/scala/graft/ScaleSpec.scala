@@ -227,6 +227,15 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bitmap distinct count agrees with count(DISTINCT)") {
+    val r = SparkEntry.queries("agg_bitmap_exact_distinct")(spark, sf)
+      .collect()(0)
+    assert(r.getLong(3) == 1L,
+      s"bitmap ${r.getLong(0)} != direct ${r.getLong(1)}")
+    assert(r.getLong(2) <= r.getLong(0),
+      "more chunks than distinct ids")
+  }
+
   test("global sample-id numbering range-partitions the data path") {
     // the data-path exchange must be rangepartitioning (ordered parallel
     // partitions); the only single-partition frame is the ≤16-row
