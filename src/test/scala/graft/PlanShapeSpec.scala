@@ -245,6 +245,17 @@ class PlanShapeSpec extends SparkSpec {
       "ts_zscore_outliers: a window still partitions on event_type alone")
   }
 
+  test("AUC prefix sum range-partitions; no single-partition window") {
+    // ml_auc_rank's cumulative-negatives must run the TeraSort two-pass
+    // (RangePartitioning + per-__pid windows), never a global ORDER BY
+    // window over the score groups
+    val p = plan("ml_auc_rank")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"no RangePartitioning exchange in the AUC plan:\n${p.take(2000)}")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"AUC window not partitioned by the slice id:\n${p.take(2000)}")
+  }
+
   test("global plan audit: no cartesian anywhere; NL joins only on bounded sides") {
     // nested-loop joins are legal ONLY where one side is bounded by
     // construction (a constant dim, a broadcast query set, a fixed
