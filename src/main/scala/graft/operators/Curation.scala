@@ -287,6 +287,67 @@ object Curation extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // ---- HTML boilerplate stripping (the CommonCrawl-style extraction
+    // step): the corpus has no markup, so — same discipline as
+    // curate_pii_redact's synthetic identifiers — each doc is wrapped
+    // in deterministic chrome (title/nav/footer derived from doc_id),
+    // then the extractor removes nav/footer SUBTREES (content and all,
+    // non-greedy tag-pair match), strips remaining tags, and collapses
+    // whitespace. The md5 digest pins the exact extracted text; the
+    // retained ratio is the extraction-quality signal a pipeline
+    // thresholds on. Scale: pure per-row regex in whole-stage codegen,
+    // zero shuffles before the oracle ORDER BY. ----
+    Q(
+      "curate_html_strip",
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 '<html><head><title>doc ' || doc_id::VARCHAR ||
+                 '</title></head><body><nav>home | products | about' ||
+                 '</nav><p>' || text || '</p><footer>© site ' ||
+                 (doc_id % 97)::VARCHAR || '</footer></body></html>'
+                   AS html
+          FROM documents),
+        sub AS (
+          SELECT doc_id, html,
+                 regexp_replace(regexp_replace(html,
+                   '<nav>.*?</nav>', ' ', 'g'),
+                   '<footer>.*?</footer>', ' ', 'g') AS h1
+          FROM aug),
+        txt AS (
+          SELECT doc_id, html,
+                 trim(regexp_replace(regexp_replace(h1,
+                   '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM sub)
+        SELECT doc_id, CAST(length(html) AS BIGINT) AS n_raw,
+               CAST(length(clean) AS BIGINT) AS n_clean,
+               round(CAST(length(clean) AS DOUBLE) /
+                     CAST(length(html) AS DOUBLE), 6) AS retained,
+               md5(clean) AS clean_digest
+        FROM txt ORDER BY doc_id"""),
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title></head><body><nav>home | products | about"),
+          lit("</nav><p>"), col("text"), lit("</p><footer>© site "),
+          (col("doc_id") % 97).cast("string"),
+          lit("</footer></body></html>"))
+        docs(s, dir)
+          .select(col("doc_id"), html.as("html"))
+          .withColumn("h1",
+            regexp_replace(regexp_replace(col("html"),
+              "<nav>.*?</nav>", " "), "<footer>.*?</footer>", " "))
+          .withColumn("clean",
+            trim(regexp_replace(regexp_replace(col("h1"),
+              "<[^>]*>", " "), " +", " ")))
+          .selectExpr("doc_id", "CAST(length(html) AS BIGINT) AS n_raw",
+            "CAST(length(clean) AS BIGINT) AS n_clean",
+            "round(CAST(length(clean) AS DOUBLE) / " +
+              "CAST(length(html) AS DOUBLE), 6) AS retained",
+            "md5(clean) AS clean_digest")
+          .orderBy("doc_id")
+      }),
+
     // ---- Unigram-LM document scoring (KenLM-style quality signal with a
     // unigram stand-in): corpus token frequencies → per-token log-prob →
     // per-doc sum. Integer-floored micros keep the sum order-independent

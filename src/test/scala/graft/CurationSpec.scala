@@ -182,6 +182,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("html strip removes chrome subtrees and keeps the body text") {
+    val rows = SparkEntry.queries("curate_html_strip")(spark, sf).collect()
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    // recompute the clean text for a handful and compare the digest
+    for (r <- rows.take(5)) {
+      val (id, nRaw, nClean) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nClean < nRaw)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+      val want = s"doc $id ${texts(id)}"
+        .replaceAll(" +", " ").trim
+      val wantMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(want.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(4) == wantMd5,
+        s"doc $id: extracted text is not title+body exactly")
+    }
+  }
+
   test("negative sampling: no self-pairs, ≤2 per anchor, near-uniform") {
     val rows = SparkEntry.queries("curate_negative_sampling")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
