@@ -50,6 +50,18 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Memoized row counts for the immutable driver testdata, keyed on the
+    * resolved file path: range-slice sizing needs the table's cardinality
+    * on EVERY build of the query, and the data under an sfDir never
+    * changes, so pay the count job once per (dir, table) per JVM instead
+    * of one extra driver action per invocation. */
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCounts.computeIfAbsent(s"$sfDir/$name.parquet",
+      _ => load(spark, sfDir, name).count())
+
   /** BSP-loop lineage truncation with a fault-tolerance toggle.
     *
     * Default: `localCheckpoint()` — fast (executor block manager), the

@@ -105,7 +105,14 @@ object Dedup extends QueryModule {
     * so the posting stream itself is never reshuffled. Every oracle
     * replays the identical predicate (NOT IN … HAVING count(*) > cap).
     * DedupSpec plants a viral key across many docs and pins that the
-    * candidate pair stream stays linear. */
+    * candidate pair stream stays linear.
+    *
+    * PRECONDITION: `post` must carry each key at most once per document
+    * (all call sites feed per-doc-DISTINCT keys — trigram_shingles /
+    * list_distinct fingerprints), so the row count per key IS the
+    * document frequency. A caller with duplicate per-doc keys would cap
+    * on raw row count instead — count distinct doc_id per key in the hot
+    * aggregate before reusing this for such a stream. */
   private[graft] def dfCapped(post: DataFrame, key: String,
       cap: Int): DataFrame = {
     val hot = post.groupBy(key).agg(count(lit(1)).as("df"))
@@ -151,27 +158,39 @@ object Dedup extends QueryModule {
     * horizon per round, giving O(log n) convergence. Fails loudly (never
     * silently-wrong labels) if the cap is somehow hit. Returns (doc, lbl)
     * where lbl = component id = min member. */
+  /** Rows of the label frame one loop task should own: low enough that a
+    * billion-row pair graph fans out to thousands of partitions, high
+    * enough that the sf0.01 graph (hundreds of rows) stays at the 8-task
+    * floor where per-round task-launch overhead would otherwise dominate
+    * the 3 shuffles × O(log n) rounds. */
+  private val RowsPerLoopTask = 1000000L
+
   private[graft] def components(pairs: DataFrame): DataFrame = {
-    // the label frames are tiny relative to the corpus (one row per doc
-    // in the pair graph) but iterate through 3 shuffles per round — pin
-    // the loop's shuffle width low so per-round task overhead doesn't
-    // dominate; restored after (the caller's width suits the big scans).
     val s = pairs.sparkSession
+    // Materialize the symmetric edge list at the CALLER's shuffle width
+    // (it consumes the expensive candidate-pair stream), then size the
+    // loop's width from the MEASURED edge count — the label frames are
+    // one row per doc in the pair graph, so width = edges/RowsPerLoopTask
+    // (floor 8) keeps loop-task overhead negligible locally yet widens
+    // with the data instead of funnelling a 100 TB pair graph through a
+    // fixed-8 bottleneck. The count is free: `.truncated` has already
+    // materialized the frame.
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").truncated
+    val loopWidth = math.max(8L, edges.count() / RowsPerLoopTask)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try componentsLoop(pairs)
+    s.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
+    try componentsLoop(edges)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  private def componentsLoop(pairs: DataFrame): DataFrame = {
+  private def componentsLoop(edges: DataFrame): DataFrame = {
     // localCheckpoint (not persist): each round joins the previous labels
     // against themselves, so WITHOUT lineage truncation the logical plan
     // doubles per round and the driver OOMs just printing it. Checkpoint
     // materializes the round's result and cuts the plan back to a leaf —
     // the standard shape for iterative DataFrame algorithms.
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").truncated
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc")).truncated
     var changed = 1L

@@ -993,8 +993,8 @@ object Learn extends QueryModule {
         u AS (
           SELECT CAST(sum(p) AS BIGINT) AS n_pos,
                  CAST(sum(ng) AS BIGINT) AS n_neg,
-                 CAST(sum(CAST(p AS HUGEINT) * (2 * cnb + ng)) AS BIGINT)
-                   AS u2
+                 CAST(sum(CAST(p AS HUGEINT) * (2 * cnb + ng))
+                   AS DECIMAL(38,0)) AS u2
           FROM w)
         SELECT n_pos, n_neg, u2, $aucText FROM u"""),
       (s, dir) => {
@@ -1005,8 +1005,12 @@ object Learn extends QueryModule {
         w.agg(
           sum("p").cast("long").as("n_pos"),
           sum("ng").cast("long").as("n_neg"),
+          // 2U ≈ n_pos·n_neg is far past BIGINT at 100 TB scale, and the
+          // overflow behavior diverges across engines (DuckDB errors,
+          // non-ANSI Spark wraps) — so EMIT it as DECIMAL(38,0) too,
+          // matching the accumulator type on both sides
           sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * cnb + ng)"))
-            .cast("long").as("u2"))
+            .cast("decimal(38,0)").as("u2"))
           .selectExpr("n_pos", "n_neg", "u2", aucText)
       }),
 

@@ -565,7 +565,9 @@ object Relational extends QueryModule {
         ORDER BY event_id"""),
       (s, dir) => {
         val base = t(s, dir, "events")
-        val parts = sliceParts(s, base.count(), minRows = 300)
+        // memoized: one count job per (dir, table) per JVM, not per build
+        val parts = sliceParts(s, Tables.rowCount(s, dir, "events"),
+          minRows = 300)
         val keys = Seq(col("event_type"), col("ts"), col("event_id"))
         val ranged = base
           .select(col("event_id"), col("event_type"), col("ts"),
@@ -574,11 +576,25 @@ object Relational extends QueryModule {
           .sortWithinPartitions(keys: _*)
           .withColumn("__pid", spark_partition_id())
           .persist()
-        // carry-completeness guard (see scale note): ≤ parts rows read
-        val sizes = ranged.groupBy("__pid").count().collect()
-        require(parts == 1 || sizes.forall(_.getLong(1) >= 100),
-          s"range slice thinner than the 100-row carry frame: " +
-            sizes.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(","))
+        // carry-completeness guard (see scale note), ≤ parts×types rows
+        // read off the persisted frame. The carry for slice p of type t
+        // forwards min(100, rows of t in p-1), so completeness needs
+        // ≥ 100 rows of t only in slices INTERIOR to t's contiguous
+        // slice span: the span's first slice holds the type's entire
+        // earlier history, and its last slice forwards nothing onward —
+        // a legitimately thin boundary slice under a skewed
+        // distribution stays exact and stays legal.
+        val sizes = ranged.groupBy("__pid", "event_type").count().collect()
+        if (parts > 1) sizes.groupBy(_.getString(1)).foreach {
+          case (tpe, rows) =>
+            val span = rows.map(r => (r.getInt(0), r.getLong(2)))
+              .sortBy(_._1)
+            val thin = span.drop(1).dropRight(1).filter(_._2 < 100)
+            require(thin.isEmpty,
+              s"range slices interior to '$tpe' thinner than the " +
+                "100-row carry frame: " +
+                thin.map(p => s"${p._1}=${p._2}").mkString(","))
+        }
         val tail = Window.partitionBy("__pid", "event_type")
           .orderBy(col("ts").desc, col("event_id").desc)
         val carry = ranged

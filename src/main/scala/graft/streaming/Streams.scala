@@ -292,12 +292,22 @@ object Streams extends QueryModule {
         // the SAME single scan (conditional aggregates).
         val bounds = Tables.load(s, dir, "events")
           .agg(max(col("ts")).as("mx"),
-            least(
-              max(when(col("event_type") === "view", col("ts"))),
-              max(when(col("event_type") === "purchase", col("ts"))))
-              .as("side"))
+            max(when(col("event_type") === "view", col("ts"))).as("vmx"),
+            max(when(col("event_type") === "purchase", col("ts"))).as("pmx"))
           .first()
-        val (cutoff, sideMax) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+        // null-check each side EXPLICITLY before doing timestamp math:
+        // least() skips NULLs, so a side with zero events — the extreme
+        // sparse-side case this guard exists for — would silently bypass
+        // a least()-based check (and an empty table would NPE on getTime).
+        val cutoff = bounds.getTimestamp(0)
+        require(cutoff != null, "stream_join_left_outer: events is empty")
+        for ((idx, side) <- Seq(1 -> "view", 2 -> "purchase"))
+          require(!bounds.isNullAt(idx),
+            s"stream_join_left_outer: no '$side' events at all — that " +
+              "side's watermark lags infinitely; the 1-day cutoff " +
+              "cannot reproduce batch left-join semantics")
+        val sideMax = Seq(bounds.getTimestamp(1), bounds.getTimestamp(2))
+          .minBy(_.getTime)
         val lagMs = cutoff.getTime - sideMax.getTime
         require(lagMs <= 22L * 3600 * 1000 + 1800 * 1000,
           s"stream_join_left_outer: a join side's max event time lags the " +

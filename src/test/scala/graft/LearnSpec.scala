@@ -183,7 +183,9 @@ class LearnSpec extends SparkSpec {
 
   test("histogram AUC equals the brute-force pairwise U statistic") {
     val r = SparkEntry.queries("ml_auc_rank")(spark, sf).collect()(0)
-    val (nPos, nNeg, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // u2 is emitted DECIMAL(38,0): BIGINT overflows at 100 TB cardinality
+    val (nPos, nNeg, u2) =
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact())
     val scored = Tables.load(spark, sf, "orders").selectExpr(
       "CAST(round(o_totalprice * 100) AS BIGINT) AS sc",
       "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
