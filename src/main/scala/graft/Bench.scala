@@ -51,6 +51,20 @@ object Bench {
     // silently improving the total.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // load adjudication: a shared box can inflate every query uniformly
+    // (round 6's driver run read 1.46× vs round 5 while a re-run
+    // reproduced round-5 times). Record the machine state around the run
+    // plus BOTH per-query timings so a reader can separate box load from
+    // a code regression without re-running: high loadavg or a large
+    // run1/run2 spread says noise; a clean-box, tight-spread slowdown
+    // says regression. Protocol note in BASELINE.md §adjudication.
+    def loadavg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val nproc = Runtime.getRuntime.availableProcessors
+    val loadBefore = loadavg()
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map { name =>
@@ -75,8 +89,10 @@ object Bench {
       // land on the next row; fine for a pressure map, not accounting
       val mb = (spillMem.get() - m0 + spillDisk.get() - d0) / 1e6
       if (mb > 0) spillMb(name) = math.round(mb * 10) / 10.0
+      allRuns(name) = times.map(t => math.round(t * 1000) / 1000.0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    val loadAfter = loadavg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
@@ -84,8 +100,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val spillJson = spillMb.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = allRuns.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"spill_mb":$spillJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"spill_mb":$spillJson,"runs":$runsJson,"load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},"nproc":$nproc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
