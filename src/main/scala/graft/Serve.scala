@@ -45,6 +45,11 @@ object Serve {
     new java.io.File(s"${Tables.scratchRoot}/derby").mkdirs()
     Tables.registerViews(spark, sfDir)
     operators.Catalog.rebuildCatalogDims(spark, sfDir)
+    // expose the experiment-tracking ledger (RunStore) when it exists —
+    // the BI/JDBC analog of browsing the reference's MLflow UI
+    val runsRoot = operators.RunStore.defaultRoot(sfDir)
+    if (new java.io.File(s"$runsRoot/runs").exists())
+      operators.RunStore.registerViews(spark, runsRoot)
     HiveThriftServer2.startWithContext(spark.sqlContext)
   }
 

@@ -158,6 +158,52 @@ object Learn extends QueryModule {
     "round(1.0 - (syy - (det0/det)*sy - (det1/det)*s1y - (det2/det)*s2y)" +
       " / (syy - sy*sy/n), 6) AS r2")
 
+  // full standalone OLS train SELECT / builder, shared by the
+  // ml_linreg_two_features query and the ml_runs_log tracking sink
+  private[graft] val olsFitSql: String = {
+    val f = """
+      SELECT CAST(o_orderkey % 500 AS BIGINT) AS x1,
+             CAST(o_custkey % 300 AS BIGINT) AS x2,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders"""
+    s"""
+      WITH f AS ($f),
+      sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(x1) AS HUGEINT) AS DOUBLE) AS s1,
+               CAST(CAST(sum(x2) AS HUGEINT) AS DOUBLE) AS s2,
+               CAST(CAST(sum(y)  AS HUGEINT) AS DOUBLE) AS sy,
+               CAST(CAST(sum(x1*x1) AS HUGEINT) AS DOUBLE) AS s11,
+               CAST(CAST(sum(x1*x2) AS HUGEINT) AS DOUBLE) AS s12,
+               CAST(CAST(sum(x2*x2) AS HUGEINT) AS DOUBLE) AS s22,
+               CAST(CAST(sum(x1*y) AS HUGEINT) AS DOUBLE) AS s1y,
+               CAST(CAST(sum(x2*y) AS HUGEINT) AS DOUBLE) AS s2y,
+               CAST(sum(CAST(y AS HUGEINT)*y) AS DOUBLE) AS syy
+        FROM f),
+      dets AS (SELECT *, ${olsDetExprs.mkString(", ")} FROM sums)
+      SELECT ${olsOutExprs.mkString(", ")} FROM dets"""
+  }
+
+  private[graft] def olsFitRow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .selectExpr(
+        "CAST(o_orderkey % 500 AS BIGINT) AS x1",
+        "CAST(o_custkey % 300 AS BIGINT) AS x2",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
+      .agg(
+        expr("CAST(count(*) AS DOUBLE)").as("n"),
+        expr("CAST(sum(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE)").as("s1"),
+        expr("CAST(sum(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE)").as("s2"),
+        expr("CAST(sum(CAST(y  AS DECIMAL(38,0))) AS DOUBLE)").as("sy"),
+        expr("CAST(sum(CAST(x1*x1 AS DECIMAL(38,0))) AS DOUBLE)").as("s11"),
+        expr("CAST(sum(CAST(x1*x2 AS DECIMAL(38,0))) AS DOUBLE)").as("s12"),
+        expr("CAST(sum(CAST(x2*x2 AS DECIMAL(38,0))) AS DOUBLE)").as("s22"),
+        expr("CAST(sum(CAST(x1*y AS DECIMAL(38,0))) AS DOUBLE)").as("s1y"),
+        expr("CAST(sum(CAST(x2*y AS DECIMAL(38,0))) AS DOUBLE)").as("s2y"),
+        expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)").as("syy"))
+      .selectExpr(("*" +: olsDetExprs): _*)
+      .selectExpr(olsOutExprs: _*)
+
   // ---- depth-2 histogram decision tree (regression) ----------------
   // The reference's literal model family is a tree ensemble
   // (airflow/dags/realestate_pipeline.py:224-234: sklearn
@@ -450,6 +496,49 @@ object Learn extends QueryModule {
       "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)" +
       " AS r2"
 
+  // full standalone tree-eval SELECT / builder, shared by the ml_tree_r2
+  // query and the ml_runs_log tracking sink
+  private[graft] def treeR2Sql: String = s"""
+    WITH $treeOracleCtes,
+    preds AS (SELECT leaf, sy // n AS p FROM leaves),
+    scored AS (
+      SELECT fa.y, fa.node * 2 +
+             CASE WHEN (b.split_feat = 1 AND fa.b1 <= b.split_thr)
+                   OR (b.split_feat = 2 AND fa.b2 <= b.split_thr)
+             THEN 0 ELSE 1 END AS leaf
+      FROM fa JOIN best1 b ON fa.node = b.node),
+    ev AS (
+      SELECT count(*) AS n,
+             sum(CAST(e * e AS HUGEINT)) AS sse,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM (SELECT s.y, s.y - p.p AS e
+            FROM scored s JOIN preds p USING (leaf)))
+    SELECT CAST(n AS BIGINT) AS n, $treeR2Text FROM ev"""
+
+  private[graft] def treeR2Row(s: SparkSession, dir: String): DataFrame = {
+    val (best0, h1, best1) = treeLevels(s, dir)
+    val preds = treeLeaves(best0, h1, best1)
+      .selectExpr("leaf", "sy DIV n AS p")
+    treeFeatures(s, dir).crossJoin(broadcast(best0))
+      .withColumn("node", expr(
+        "CAST(CASE WHEN (root_feat = 1 AND b1 <= root_thr) " +
+          "OR (root_feat = 2 AND b2 <= root_thr) " +
+          "THEN 0 ELSE 1 END AS BIGINT)"))
+      .join(broadcast(best1), Seq("node"))
+      .withColumn("leaf", col("node") * 2 + expr(
+        "CAST(CASE WHEN (split_feat = 1 AND b1 <= split_thr) " +
+          "OR (split_feat = 2 AND b2 <= split_thr) " +
+          "THEN 0 ELSE 1 END AS BIGINT)"))
+      .join(broadcast(preds), Seq("leaf"))
+      .withColumn("e", col("y") - col("p"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
+        expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+        expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
+      .selectExpr("CAST(n AS BIGINT) AS n", treeR2Text)
+  }
+
   // shared expression text for the one-scan 3-fold CV (see the query's
   // comment): slope/intercept from complement (train) sums, holdout SSE
   // expanded algebraically from the fold's own sums
@@ -605,48 +694,9 @@ object Learn extends QueryModule {
     // story is the whole point: training a linear model is one map-side-
     // combined scan producing a single 9-number row, not a toPandas. ----
     Q(
-      "ml_linreg_two_features", {
-        val f = """
-          SELECT CAST(o_orderkey % 500 AS BIGINT) AS x1,
-                 CAST(o_custkey % 300 AS BIGINT) AS x2,
-                 CAST(round(o_totalprice * 100) AS BIGINT) AS y
-          FROM orders"""
-        Some(s"""
-          WITH f AS ($f),
-          sums AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n,
-                   CAST(CAST(sum(x1) AS HUGEINT) AS DOUBLE) AS s1,
-                   CAST(CAST(sum(x2) AS HUGEINT) AS DOUBLE) AS s2,
-                   CAST(CAST(sum(y)  AS HUGEINT) AS DOUBLE) AS sy,
-                   CAST(CAST(sum(x1*x1) AS HUGEINT) AS DOUBLE) AS s11,
-                   CAST(CAST(sum(x1*x2) AS HUGEINT) AS DOUBLE) AS s12,
-                   CAST(CAST(sum(x2*x2) AS HUGEINT) AS DOUBLE) AS s22,
-                   CAST(CAST(sum(x1*y) AS HUGEINT) AS DOUBLE) AS s1y,
-                   CAST(CAST(sum(x2*y) AS HUGEINT) AS DOUBLE) AS s2y,
-                   CAST(sum(CAST(y AS HUGEINT)*y) AS DOUBLE) AS syy
-            FROM f),
-          dets AS (SELECT *, ${olsDetExprs.mkString(", ")} FROM sums)
-          SELECT ${olsOutExprs.mkString(", ")} FROM dets""")
-      },
-      (s, dir) =>
-        t(s, dir, "orders")
-          .selectExpr(
-            "CAST(o_orderkey % 500 AS BIGINT) AS x1",
-            "CAST(o_custkey % 300 AS BIGINT) AS x2",
-            "CAST(round(o_totalprice * 100) AS BIGINT) AS y")
-          .agg(
-            expr("CAST(count(*) AS DOUBLE)").as("n"),
-            expr("CAST(sum(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE)").as("s1"),
-            expr("CAST(sum(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE)").as("s2"),
-            expr("CAST(sum(CAST(y  AS DECIMAL(38,0))) AS DOUBLE)").as("sy"),
-            expr("CAST(sum(CAST(x1*x1 AS DECIMAL(38,0))) AS DOUBLE)").as("s11"),
-            expr("CAST(sum(CAST(x1*x2 AS DECIMAL(38,0))) AS DOUBLE)").as("s12"),
-            expr("CAST(sum(CAST(x2*x2 AS DECIMAL(38,0))) AS DOUBLE)").as("s22"),
-            expr("CAST(sum(CAST(x1*y AS DECIMAL(38,0))) AS DOUBLE)").as("s1y"),
-            expr("CAST(sum(CAST(x2*y AS DECIMAL(38,0))) AS DOUBLE)").as("s2y"),
-            expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)").as("syy"))
-          .selectExpr(("*" +: olsDetExprs): _*)
-          .selectExpr(olsOutExprs: _*)),
+      "ml_linreg_two_features",
+      Some(olsFitSql),
+      (s, dir) => olsFitRow(s, dir)),
 
     // ---- feature standardization (z-score + min-max): the stats pass
     // reduces to ONE broadcastable row (exact integer Σ, Σ², min, max),
@@ -727,45 +777,8 @@ object Learn extends QueryModule {
     // doubles, via shared text. ----
     Q(
       "ml_tree_r2",
-      Some(s"""
-        WITH $treeOracleCtes,
-        preds AS (SELECT leaf, sy // n AS p FROM leaves),
-        scored AS (
-          SELECT fa.y, fa.node * 2 +
-                 CASE WHEN (b.split_feat = 1 AND fa.b1 <= b.split_thr)
-                       OR (b.split_feat = 2 AND fa.b2 <= b.split_thr)
-                 THEN 0 ELSE 1 END AS leaf
-          FROM fa JOIN best1 b ON fa.node = b.node),
-        ev AS (
-          SELECT count(*) AS n,
-                 sum(CAST(e * e AS HUGEINT)) AS sse,
-                 sum(CAST(y AS HUGEINT)) AS sy,
-                 sum(CAST(y AS HUGEINT) * y) AS syy
-          FROM (SELECT s.y, s.y - p.p AS e
-                FROM scored s JOIN preds p USING (leaf)))
-        SELECT CAST(n AS BIGINT) AS n, $treeR2Text FROM ev"""),
-      (s, dir) => {
-        val (best0, h1, best1) = treeLevels(s, dir)
-        val preds = treeLeaves(best0, h1, best1)
-          .selectExpr("leaf", "sy DIV n AS p")
-        treeFeatures(s, dir).crossJoin(broadcast(best0))
-          .withColumn("node", expr(
-            "CAST(CASE WHEN (root_feat = 1 AND b1 <= root_thr) " +
-              "OR (root_feat = 2 AND b2 <= root_thr) " +
-              "THEN 0 ELSE 1 END AS BIGINT)"))
-          .join(broadcast(best1), Seq("node"))
-          .withColumn("leaf", col("node") * 2 + expr(
-            "CAST(CASE WHEN (split_feat = 1 AND b1 <= split_thr) " +
-              "OR (split_feat = 2 AND b2 <= split_thr) " +
-              "THEN 0 ELSE 1 END AS BIGINT)"))
-          .join(broadcast(preds), Seq("leaf"))
-          .withColumn("e", col("y") - col("p"))
-          .agg(count(lit(1)).as("n"),
-            expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
-            expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
-            expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
-          .selectExpr("CAST(n AS BIGINT) AS n", treeR2Text)
-      }),
+      Some(treeR2Sql),
+      (s, dir) => treeR2Row(s, dir)),
 
     // ---- bagged forest: the reference's LITERAL model family
     // (RandomForestRegressor, realestate_pipeline.py:224-233) as three
@@ -1383,6 +1396,51 @@ object Learn extends QueryModule {
           "CAST(CASE WHEN v < 0 THEN -(abs(v) DIV 72057594037927936) " +
             "ELSE abs(v) DIV 72057594037927936 END AS BIGINT) AS pc")
           .orderBy("j")
+      }),
+
+    // ---- experiment-tracking ledger (the reference's MLflow step,
+    // realestate_pipeline.py:197,232-235): train two models with the
+    // factored Learn builders, LOG each (run identity, string params,
+    // one-row metrics) through RunStore's append-only parquet tables,
+    // then read the ledger back as the query result. The oracle re-runs
+    // both trainings in DuckDB and constructs the expected ledger rows
+    // directly — so the green hash proves the sink round-trips exactly
+    // what the engine computed, param counts included. Runs/metrics are
+    // model-sized; the sink cost is independent of the corpus. ----
+    Q(
+      "ml_runs_log",
+      Some(s"""
+        WITH ols AS ($olsFitSql),
+        tree AS ($treeR2Sql),
+        m AS (
+          SELECT 'r1_ols_cents' AS run_id,
+                 'ols_normal_equations' AS algo,
+                 CAST(2 AS BIGINT) AS n_params,
+                 'n' AS metric, CAST(n AS DOUBLE) AS value FROM ols
+          UNION ALL SELECT 'r1_ols_cents', 'ols_normal_equations',
+                 CAST(2 AS BIGINT), 'b0', b0 FROM ols
+          UNION ALL SELECT 'r1_ols_cents', 'ols_normal_equations',
+                 CAST(2 AS BIGINT), 'b1', b1 FROM ols
+          UNION ALL SELECT 'r1_ols_cents', 'ols_normal_equations',
+                 CAST(2 AS BIGINT), 'b2', b2 FROM ols
+          UNION ALL SELECT 'r1_ols_cents', 'ols_normal_equations',
+                 CAST(2 AS BIGINT), 'r2', r2 FROM ols
+          UNION ALL SELECT 'r2_tree_depth2', 'hist_tree_depth2',
+                 CAST(2 AS BIGINT), 'n', CAST(n AS DOUBLE) FROM tree
+          UNION ALL SELECT 'r2_tree_depth2', 'hist_tree_depth2',
+                 CAST(2 AS BIGINT), 'r2', r2 FROM tree)
+        SELECT run_id, algo, n_params, metric, round(value, 6) AS value
+        FROM m ORDER BY run_id, metric"""),
+      (s, dir) => {
+        val root = RunStore.defaultRoot(dir)
+        RunStore.reset(s, root)
+        RunStore.log(s, root, "r1_ols_cents", "ols_normal_equations",
+          Seq("features" -> "x1,x2", "target" -> "price_cents"),
+          olsFitRow(s, dir))
+        RunStore.log(s, root, "r2_tree_depth2", "hist_tree_depth2",
+          Seq("depth" -> "2", "bins" -> TreeBins.toString),
+          treeR2Row(s, dir))
+        RunStore.snapshot(s, root).orderBy("run_id", "metric")
       })
   )
 }

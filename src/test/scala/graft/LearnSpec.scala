@@ -312,4 +312,37 @@ class LearnSpec extends SparkSpec {
     assert(math.abs(f1 - 2 * prec * rec / (prec + rec)) < 1e-5,
       "F1 is not the harmonic mean of precision and recall")
   }
+
+  test("RunStore ledger appends runs without disturbing earlier ones") {
+    import operators.RunStore
+    val root = s"${Tables.scratchRoot}/mlruns-spec"
+    RunStore.reset(spark, root)
+    RunStore.log(spark, root, "a", "algo_a", Seq("k" -> "v"),
+      spark.range(1).selectExpr("1.5 AS m1", "2.0 AS m2"))
+    RunStore.log(spark, root, "b", "algo_b",
+      Seq("k1" -> "v1", "k2" -> "v2"),
+      spark.range(1).selectExpr("3.25 AS m1"))
+    val snap = RunStore.snapshot(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(snap == Set(
+      ("a", "algo_a", 1L, "m1", 1.5), ("a", "algo_a", 1L, "m2", 2.0),
+      ("b", "algo_b", 2L, "m1", 3.25)))
+    // string params round-trip verbatim
+    val params = spark.read.parquet(s"$root/params").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(params ==
+      Set(("a", "k", "v"), ("b", "k1", "v1"), ("b", "k2", "v2")))
+    // append-only: a later run (even param-less) leaves earlier rows
+    // untouched and still appears in the ledger
+    RunStore.log(spark, root, "c", "algo_c", Nil,
+      spark.range(1).selectExpr("9.0 AS z"))
+    val snap2 = RunStore.snapshot(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+    assert(snap2 == Set(("a", 1L, "m1"), ("a", 1L, "m2"),
+      ("b", 2L, "m1"), ("c", 0L, "z")))
+    // the JDBC-facing views resolve over the same store
+    RunStore.registerViews(spark, root)
+    assert(spark.sql("SELECT count(*) FROM ml_runs").head().getLong(0) == 3)
+  }
 }
