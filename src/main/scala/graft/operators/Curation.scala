@@ -375,8 +375,13 @@ object Curation extends QueryModule {
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        // corpus token total as a 1-row broadcast scalar, NOT an
+        // empty-partition window over the vocab: the vocabulary is
+        // bounded but still corpus-sized (millions of rows at 100 TB),
+        // and sum() OVER () would funnel it through one partition
+        val total = vocab.agg(sum("cnt").as("total"))
         val scored = vocab
-          .withColumn("total", sum("cnt").over(Window.partitionBy()))
+          .crossJoin(broadcast(total))
           .select(col("tok"),
             floor(log(col("cnt").cast("double") / col("total")) * 1e6)
               .cast("long").as("lp"))

@@ -283,6 +283,7 @@ class PlanShapeSpec extends SparkSpec {
       "ml_chi2_feature_assoc", // broadcast 1-row totals into 15 cells
       "pipeline_model_eval", // broadcast 1-row stump + train-count rows
       "agg_bitmap_exact_distinct", // 1-row bitmap total × 1-row direct
+      "curate_unigram_logprob", // broadcast 1-row corpus token total
       "text_bpe_merge_train", // broadcast 1-row chosen merge per round
       "text_bpe_encode") // same trained-merge broadcasts feed the dict
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
