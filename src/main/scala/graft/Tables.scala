@@ -34,15 +34,28 @@ object Tables {
     normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
-  /** Convert a raw nanos-as-long `ts` column to a µs timestamp; no-op if
-    * already a timestamp. Integer DIV — a double division would lose
-    * precision at 1e18-scale nanos. */
-  def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+  /** Normalize the `ts` column to session-tz TIMESTAMP whatever the
+    * parquet encoding. Two encodings have been observed from the driver's
+    * generator: INT64 TIMESTAMP(NANOS) (read as plain longs via the
+    * legacy conf — integer DIV, a double division would lose precision at
+    * 1e18-scale nanos) and TIMESTAMP(MICROS) without isAdjustedToUTC,
+    * which Spark reads as TIMESTAMP_NTZ. Watermarks require TIMESTAMP
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so cast NTZ across;
+    * the session tz is pinned UTC, so wall-clock values — and DuckDB
+    * oracle comparisons — are unchanged. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** Register every table as a temp view (for spark.sql entry points —
     * the engine's equivalent of the reference's Thrift-Server surface,

@@ -4,6 +4,34 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump one query's result as parquet under `outDir/name`. On failure,
+    * fail LOUDLY: a silently-absent output dir made 5 regressions
+    * invisible in round 7's correctness diff. Leave an explicit marker
+    * where the parquet would be, so the driver's read errors out
+    * per-query (an "err" row) instead of skipping the row entirely.
+    * Returns true on success. */
+  private[graft] def dumpOne(spark: SparkSession, sfDir: String,
+      outDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Boolean = {
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val dir = Paths.get(s"$outDir/$name")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("_ERROR.txt"),
+        s"$name failed:\n${e.toString}\n")
+      false
+    }
+    // queries may persist() intermediates for within-plan reuse (e.g.
+    // dedup_minhash_lsh); release them so cached blocks don't pile up
+    // in the shared session across the whole query list.
+    finally spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to the named queries (dev iteration);
@@ -19,18 +47,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .flatMap { case (name, fn) =>
+        val ok = dumpOne(spark, sfDir, outDir, name, fn)
+        if (ok) None else Some(name)
       }
-      // queries may persist() intermediates for within-plan reuse (e.g.
-      // dedup_minhash_lsh); release them so cached blocks don't pile up
-      // in the shared session across the whole query list.
-      finally spark.catalog.clearCache()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} FAILED: ${failed.mkString(", ")}")
+      Files.writeString(Paths.get(s"$outDir/_FAILED_QUERIES.txt"),
+        failed.mkString("", "\n", "\n"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -352,8 +352,10 @@ object Curation extends QueryModule {
     // unigram stand-in): corpus token frequencies → per-token log-prob →
     // per-doc sum. Integer-floored micros keep the sum order-independent
     // (float += is not associative; BIGINT + is). Scale: vocabulary is
-    // bounded (≪ corpus) → broadcast back to the exploded token stream;
-    // one shuffle to build the vocab, one to re-aggregate per doc. ----
+    // bounded (≪ corpus) but can still reach millions of rows at 100 TB,
+    // so the vocab→token join is left unhinted for AQE to size at
+    // runtime (broadcast when small, shuffle when not); one shuffle to
+    // build the vocab, one to re-aggregate per doc. ----
     Q(
       "curate_unigram_logprob",
       Some("""
@@ -385,7 +387,13 @@ object Curation extends QueryModule {
           .select(col("tok"),
             floor(log(col("cnt").cast("double") / col("total")) * 1e6)
               .cast("long").as("lp"))
-        tok.join(broadcast(scored), "tok")
+        // no forced broadcast hint on the vocab side: at test scale AQE's
+        // runtime stats see a tiny aggregate and convert this to a
+        // broadcast join anyway, while a genuinely large vocabulary
+        // (millions of rows at 100 TB) stays a shuffle join instead of
+        // blowing the driver/broadcast limit — size-gated by the engine,
+        // not hard-coded here
+        tok.join(scored, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("lp").as("logprob_micro"))
           .orderBy("doc_id")

@@ -1009,7 +1009,7 @@ object Learn extends QueryModule {
                  CAST(sum(CAST(p AS HUGEINT) * (2 * cnb + ng))
                    AS DECIMAL(38,0)) AS u2
           FROM w)
-        SELECT n_pos, n_neg, u2, $aucText FROM u"""),
+        SELECT n_pos, n_neg, CAST(u2 AS VARCHAR) AS u2, $aucText FROM u"""),
       (s, dir) => {
         val g = aucScored(s, dir).groupBy("sc")
           .agg(sum("pos").as("p"),
@@ -1020,11 +1020,12 @@ object Learn extends QueryModule {
           sum("ng").cast("long").as("n_neg"),
           // 2U ≈ n_pos·n_neg is far past BIGINT at 100 TB scale, and the
           // overflow behavior diverges across engines (DuckDB errors,
-          // non-ANSI Spark wraps) — so EMIT it as DECIMAL(38,0) too,
-          // matching the accumulator type on both sides
+          // non-ANSI Spark wraps) — so ACCUMULATE in DECIMAL(38,0) on
+          // both sides, then emit as a canonical string: decimal hash
+          // canonicalization differs across engines, digits don't
           sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * cnb + ng)"))
             .cast("decimal(38,0)").as("u2"))
-          .selectExpr("n_pos", "n_neg", "u2", aucText)
+          .selectExpr("n_pos", "n_neg", "CAST(u2 AS STRING) AS u2", aucText)
       }),
 
     // ---- confusion matrix + precision/recall/F1 at a fixed score

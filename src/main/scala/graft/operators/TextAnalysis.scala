@@ -735,13 +735,22 @@ object TextAnalysis extends QueryModule {
        WHEN acc = '' THEN x
        ELSE acc || chr(31) || x END"""
 
-  /** The 3-round training chain: word-frequency dict (one corpus
-    * shuffle) → three merge rounds. Returns the final dict and the
-    * three chosen 1-row merges. Shared by the train query (emits
-    * merges + vocab) and the encode query (joins the corpus against
-    * the final dict). */
-  private def bpeTrain(s: SparkSession, dir: String)
-      : (DataFrame, Seq[DataFrame]) = {
+  /** Plan-depth bound for the BPE loop: every this-many rounds the dict's
+    * lineage is truncated (localCheckpoint / reliable checkpoint via
+    * -Dgraft.checkpoint.dir, see Tables.truncateLineage), so a 50k-round
+    * production vocabulary build keeps O(1) plan depth instead of nesting
+    * 50k lambda chains through Catalyst. 3-round oracled queries never
+    * hit it. */
+  private val BpeTruncateEvery = 8
+
+  /** The N-round training chain: word-frequency dict (one corpus
+    * shuffle) → N merge rounds, each touching only the vocab-bounded
+    * dict. Returns the final dict and the N chosen 1-row merges.
+    * Shared by the train query (emits merges + vocab, N=3) and the
+    * encode query (joins the corpus against the final dict); the
+    * BpeSpec runs N=10 against a driver-side greedy reference. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int = 3): (DataFrame, Seq[DataFrame]) = {
     val d0 = t(s, dir, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -749,32 +758,51 @@ object TextAnalysis extends QueryModule {
       .withColumn("syms",
         filter(split(col("w"), ""), y => y =!= lit("")))
       .persist()
-    val (d1, b1) = bpeRound(d0)
-    val (d2, b2) = bpeRound(d1)
-    val (d3, b3) = bpeRound(d2)
-    (d3, Seq(b1, b2, b3))
+    var cur = d0
+    val bests = (1 to rounds).map { i =>
+      val (nd, b) = bpeRound(cur)
+      cur = if (i % BpeTruncateEvery == 0) Tables.truncateLineage(nd)
+        else nd
+      b
+    }
+    (cur, bests)
   }
 
   /** One Spark-side BPE round on a persisted dict: (next dict, chosen
     * 1-row merge). Pair counting is posexplode + lead over the per-word
     * window (no self-join: the dict is consumed ONCE, so the round's
-    * lambda chain is never re-evaluated). */
+    * lambda chain is never re-evaluated).
+    *
+    * The round's winner is MATERIALIZED to the driver (a 1-row take —
+    * BPE is inherently sequential per round; every production trainer
+    * does exactly this) and re-enters the plan as a LocalRelation.
+    * Keeping it as a lazy subplan instead would reference the dict
+    * twice per round — the logical tree doubles every round, 2^N
+    * growth that OOMs plan stringification by N=10. With the literal
+    * winner the per-round plan growth is one crossJoin+project:
+    * linear, and bounded further by the BpeTruncateEvery checkpoint. */
   private def bpeRound(d: DataFrame): (DataFrame, DataFrame) = {
-    val best = d
+    val s = d.sparkSession
+    import s.implicits._
+    val top = d
       .select(col("w"), col("f"), posexplode(col("syms")).as(Seq("i", "x")))
       .withColumn("pb",
         lead(col("x"), 1).over(Window.partitionBy("w").orderBy("i")))
       .filter(col("pb").isNotNull)
       .groupBy(col("x").as("pa"), col("pb"))
       .agg(sum(col("f")).as("cnt"))
-      .orderBy(desc("cnt"), col("pa"), col("pb")).limit(1)
-      .persist()
-    val next = d.crossJoin(broadcast(best.select("pa", "pb")))
-      .withColumn("syms", expr(
-        s"filter(split(aggregate(syms, '', ${bpeMergeLambda("endswith")}), " +
-          "chr(31)), y -> y <> '')"))
-      .select("w", "f", "syms")
-      .persist()
+      .orderBy(desc("cnt"), col("pa"), col("pb")).take(1)
+    val best = top.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toDF("pa", "pb", "cnt")
+    val next =
+      if (top.isEmpty) d // vocab exhausted: no adjacent pairs remain
+      else d.crossJoin(broadcast(best.select("pa", "pb")))
+        .withColumn("syms", expr(
+          s"filter(split(aggregate(syms, '', " +
+            s"${bpeMergeLambda("endswith")}), chr(31)), y -> y <> '')"))
+        .select("w", "f", "syms")
+        .persist()
     (next, best)
   }
 

@@ -63,10 +63,13 @@ object Streams extends QueryModule {
   }
 
   /** File-source stream over the events parquet (schema pinned from a batch
-    * read — file sources require an explicit schema). The raw file carries
-    * nanos-as-long timestamps (see Tables.normalizeEventTs), so the stream
-    * reads the RAW schema and normalizes ts after. */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    * read — file sources require an explicit schema). The raw file's ts
+    * encoding has varied across driver testdata generations (INT64 nanos
+    * vs TIMESTAMP(MICROS)-NTZ — see Tables.normalizeEventTs), so the
+    * stream reads the RAW schema and normalizes ts after; watermarks
+    * demand a session-tz TIMESTAMP. package-private for the encoding
+    * fixture spec. */
+  private[graft] def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     // trailing glob: FileStreamSource only injects a (file-illegal)

@@ -1,93 +1,99 @@
 package graft
 
-import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.Row
 
-/** Semantic pins for engine-side BPE vocabulary training
-  * (operators.TextAnalysis text_bpe_merge_train) — the DuckDB oracle
-  * pins cross-engine value equality; these pin that the merge fold IS
-  * greedy left-to-right BPE.
+/** Cross-checks the engine-side N-round BPE trainer (posexplode + lead
+  * pair counts, aggregate() merge lambda) against an independent
+  * driver-side greedy reference (Sennrich et al. 2016 on the word-freq
+  * dict) at N=10 — seven rounds past the oracled 3-round queries, so the
+  * loop body, tie-break total order, and merge-apply scan semantics are
+  * pinned beyond the unroll depth round 6 flagged.
   */
 class BpeSpec extends SparkSpec {
 
-  private def applyMerge(word: String, pa: String, pb: String): Seq[String] = {
-    import spark.implicits._
-    Seq(word).toDF("w")
-      .withColumn("pa", lit(pa)).withColumn("pb", lit(pb))
-      .withColumn("syms", filter(split(col("w"), ""), y => y =!= lit("")))
-      .withColumn("m", expr(
-        s"filter(split(aggregate(syms, '', " +
-          s"${operators.TextAnalysis.bpeMergeLambda("endswith")}), " +
-          "chr(31)), y -> y <> '')"))
-      .select("m").collect()(0).getSeq[String](0)
-  }
-
-  test("merge fold is greedy left-to-right BPE") {
-    // the canonical run case: 'l l l' merges the FIRST pair only
-    assert(applyMerge("lllo", "l", "l") == Seq("ll", "l", "o"))
-    assert(applyMerge("llll", "l", "l") == Seq("ll", "ll"))
-    assert(applyMerge("hello", "l", "l") == Seq("h", "e", "ll", "o"))
-    // untouched word passes through as single chars
-    assert(applyMerge("abab", "l", "l") == Seq("a", "b", "a", "b"))
-    // distinct-symbol pair merges every non-overlapping occurrence
-    assert(applyMerge("abab", "a", "b") == Seq("ab", "ab"))
-    // a one-symbol word never matches (no adjacent pair)
-    assert(applyMerge("a", "a", "a") == Seq("a"))
-  }
-
-  test("multi-char symbols cannot false-match on their suffixes") {
-    import spark.implicits._
-    // symbols [c, ab]: pair (b, x) must NOT fire even though the
-    // delimited accumulator ends in ...b — the chr(31) guard sees the
-    // full tail symbol 'ab', not its suffix 'b'
-    val r = Seq(Seq("c", "ab", "x")).toDF("syms")
-      .withColumn("pa", lit("b")).withColumn("pb", lit("x"))
-      .withColumn("m", expr(
-        s"filter(split(aggregate(syms, '', " +
-          s"${operators.TextAnalysis.bpeMergeLambda("endswith")}), " +
-          "chr(31)), y -> y <> '')"))
-      .select("m").collect()(0).getSeq[String](0)
-    assert(r == Seq("c", "ab", "x"), s"suffix false-match: $r")
-    // and the true multi-char pair does fire
-    val r2 = Seq(Seq("c", "ab", "x")).toDF("syms")
-      .withColumn("pa", lit("ab")).withColumn("pb", lit("x"))
-      .withColumn("m", expr(
-        s"filter(split(aggregate(syms, '', " +
-          s"${operators.TextAnalysis.bpeMergeLambda("endswith")}), " +
-          "chr(31)), y -> y <> '')"))
-      .select("m").collect()(0).getSeq[String](0)
-    assert(r2 == Seq("c", "abx"), s"multi-char merge failed: $r2")
-  }
-
-  test("trained merges are well-formed with non-increasing counts") {
-    val rows = SparkEntry.queries("text_bpe_merge_train")(spark, sf).collect()
-    assert(rows.length == 13, "3 merges + top-10 vocab")
-    val merges = rows.filter(_.getString(0) == "merge").sortBy(_.getLong(1))
-    assert(merges.length == 3)
-    // each learned merge is a concatenation of ≥2 chars
-    assert(merges.forall(_.getString(2).length >= 2))
-    // merging can only shrink any pair's count → round maxima are
-    // non-increasing (the classic BPE monotonicity)
-    val cnts = merges.map(_.getLong(3))
-    assert(cnts.sliding(2).forall { case Array(a, b) => a >= b },
-      s"round maxima increased: ${cnts.mkString(",")}")
-    val vocab = rows.filter(_.getString(0) == "vocab")
-    assert(vocab.length == 10)
-    val vc = vocab.sortBy(_.getLong(1)).map(_.getLong(3))
-    assert(vc.sliding(2).forall { case Array(a, b) => a >= b },
-      "vocab not ordered by count")
-  }
-
-  test("encode token economics bracket between words and chars") {
-    val rows = SparkEntry.queries("text_bpe_encode")(spark, sf).collect()
-    assert(rows.nonEmpty)
-    for (r <- rows) {
-      val (words, tokens, chars) =
-        (r.getLong(2), r.getLong(3), r.getLong(4))
-      // every word is ≥1 token; every token is ≥1 char; 3 merges can
-      // only shrink the token count below the char count
-      assert(tokens >= words, s"${r.getString(0)}: tokens < words")
-      assert(tokens < chars, s"${r.getString(0)}: merges bought nothing")
-      assert(r.getDouble(5) > 1.0 && r.getDouble(5) <= 3.0)
+  /** Greedy left-to-right non-overlapping merge of (pa,pb) in one word's
+    * symbol sequence — the same scan the aggregate() lambda encodes (a
+    * freshly merged tail cannot immediately re-merge). */
+  private def applyMerge(syms: Vector[String], pa: String, pb: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+        out += (pa + pb); i += 2
+      } else { out += syms(i); i += 1 }
     }
+    out.result()
+  }
+
+  /** Reference trainer over a collected word-freq dict: each round counts
+    * adjacent pairs weighted by word frequency, picks (cnt DESC, pa ASC,
+    * pb ASC), applies the merge to every word. Symbols here are ASCII
+    * a-z fragments, so Scala string order == Spark UTF8 binary order. */
+  private def refTrain(dict0: Map[String, (Long, Vector[String])],
+      rounds: Int): (Seq[(String, String, Long)],
+                     Map[String, Vector[String]]) = {
+    var dict = dict0.map { case (w, (f, syms)) => (w, f, syms) }.toVector
+    val merges = (1 to rounds).map { _ =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      dict.foreach { case (_, f, syms) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((pa, pb), cnt) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      dict = dict.map { case (w, f, syms) =>
+        (w, f, applyMerge(syms, pa, pb)) }
+      (pa, pb, cnt)
+    }
+    (merges, dict.map { case (w, _, syms) => w -> syms }.toMap)
+  }
+
+  test("N=10 engine training matches the driver-side greedy reference") {
+    val (dN, bests) = TextAnalysis.bpeTrain(spark, sf, rounds = 10)
+    assert(bests.size == 10)
+    // independent reference input: rebuild the word-freq dict directly
+    val dict0 = Tables.load(spark, sf, "documents")
+      .selectExpr("explode(split(lower(text), '[^a-z]+')) AS w")
+      .where("length(w) >= 2")
+      .groupBy("w").count()
+      .collect()
+      .map { r =>
+        val w = r.getString(0)
+        w -> (r.getLong(1), w.split("").toVector.filter(_.nonEmpty))
+      }.toMap
+    val (refMerges, refDict) = refTrain(dict0, rounds = 10)
+
+    val gotMerges = bests.map { b =>
+      val Row(pa: String, pb: String, cnt: Long) =
+        b.select("pa", "pb", "cnt").head
+      (pa, pb, cnt)
+    }
+    assert(gotMerges == refMerges,
+      s"merge sequence diverged:\n engine=$gotMerges\n ref=$refMerges")
+
+    val gotDict = dN.select("w", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(gotDict.keySet == refDict.keySet)
+    val bad = gotDict.collect {
+      case (w, syms) if refDict(w) != syms => (w, syms, refDict(w))
+    }
+    assert(bad.isEmpty, s"dict diverged on ${bad.take(5)}")
+  }
+
+  test("lineage truncation keeps the N=10 loop's plan depth bounded") {
+    // rounds 8+ run on a truncated dict: its logical plan must not chain
+    // back through all prior rounds' merge lambdas
+    val (dN, _) = TextAnalysis.bpeTrain(spark, sf, rounds = 10)
+    val planStr = dN.queryExecution.logical.toString
+    val lambdaCount = "aggregate\\(".r.findAllIn(planStr).size
+    assert(lambdaCount <= 4,
+      s"expected ≤4 merge lambdas above the last truncation, " +
+        s"got $lambdaCount — lineage not truncated")
   }
 }
