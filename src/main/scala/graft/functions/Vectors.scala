@@ -27,9 +27,12 @@ object Vectors {
     * planes with zero driver-side state to ship.
     */
   def hyperplane(j: Column, dim: Int): Column =
+    // per-plane slope (j*2654435761 mod p) — see VectorOps.lshBucket for
+    // why a shared slope degenerates; this Column form stays bit-equal
+    // to the native kernel (pinned by VectorExprsSpec)
     transform(sequence(lit(0), lit(dim - 1)), d =>
-      pmod(j * 2654435761L + d * 40503L, lit(1000003L)).cast("double")
-        / 1000003.0 - 0.5)
+      pmod(pmod(j * 2654435761L, lit(1000003L)) * d + j * 40503L,
+        lit(1000003L)).cast("double") / 1000003.0 - 0.5)
 
   /** LSH bucket key for one table: `bits` sign bits of dot(vec, hyperplane).
     * `table` selects a disjoint plane set (OR-amplification across tables).

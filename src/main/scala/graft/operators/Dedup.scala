@@ -463,15 +463,34 @@ object Dedup extends QueryModule {
         // vector re-attach joins (shuffle exchanges aren't reused across
         // those shapes, so the union+perturb would otherwise run 4×)
         val vecs = allv.persist()
+        // LSH granularity scales with N (the round-8 10× stress measured
+        // 17.7× runtime at 10× data on the old fixed 8-bit/24-table
+        // config — in-bucket pair counts are quadratic in occupancy, so
+        // fixed bucket granularity is a scale-killer). bits targets ~8
+        // vectors/bucket; the table count then holds the analytic miss
+        // probability at the 0.95-threshold angle (q = 1 - θ/π ≈ 0.8989
+        // per sign bit) to ≤ 1e-6: T = ln(1e-6)/ln(1 - q^bits). The
+        // verified small-N config (8 bits, 24 tables — exact-match
+        // proven against the all-pairs oracle at sf0.01 AND sf0.1) is
+        // pinned for n ≤ 8192 so the oracled runs are bit-identical.
+        val n = vecs.count()
+        val bits =
+          if (n <= 8192) 8
+          else math.ceil(math.log(n / 8.0) / math.log(2)).toInt
+        val tables =
+          if (bits == 8) 24
+          else math.ceil(13.816 /
+            -math.log1p(-math.pow(0.8989, bits))).toInt
         // candidate generation on IDS ONLY — the 64-dim vectors must not
         // ride the candidate-dedup shuffle (at 2400 vecs × 24 tables the
         // id-only dedup moves ~4 MB where vector-carrying pairs moved
         // hundreds; at 100 TB that difference is the whole game)
         val buckets = vecs.select(
           col("vec_id"),
-          explode(transform(sequence(lit(0), lit(23)), tb =>
+          explode(transform(sequence(lit(0), lit(tables - 1)), tb =>
             struct(tb.as("tbl"),
-              VectorExprs.lshBucket(s, col("vec"), tb, bits = 8).as("bucket"))))
+              VectorExprs.lshBucket(s, col("vec"), tb, bits = bits)
+                .as("bucket"))))
             .as("tb"))
           .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
         val cand = buckets.as("x")

@@ -80,8 +80,9 @@ object Similarity extends QueryModule {
         dots AS (
           SELECT e.vec_id, tb.tbl, tb.bit,
                  list_aggregate(list_transform(range(64), d ->
-                   v[d + 1] * ((((tb.tbl * 4 + tb.bit) * 2654435761
-                                 + d * 40503) % 1000003)
+                   v[d + 1] * (((((tb.tbl * 4 + tb.bit) * 2654435761 % 1000003)
+                                 * d + (tb.tbl * 4 + tb.bit) * 40503)
+                                % 1000003)
                                / 1000003.0 - 0.5)), 'sum') AS dot
           FROM e CROSS JOIN tb),
         buckets AS (
@@ -164,8 +165,9 @@ object Similarity extends QueryModule {
         dots AS (
           SELECT e.vec_id, tb.tbl, tb.bit,
                  list_aggregate(list_transform(range(64), d ->
-                   v[d + 1] * ((((tb.tbl * 4 + tb.bit) * 2654435761
-                                 + d * 40503) % 1000003)
+                   v[d + 1] * (((((tb.tbl * 4 + tb.bit) * 2654435761 % 1000003)
+                                 * d + (tb.tbl * 4 + tb.bit) * 40503)
+                                % 1000003)
                                / 1000003.0 - 0.5)), 'sum') AS dot
           FROM e CROSS JOIN tb),
         buckets AS (
