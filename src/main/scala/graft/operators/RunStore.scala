@@ -68,11 +68,19 @@ object RunStore {
   }
 
   /** Expose the store to SQL/JDBC clients (graft.Serve calls this when
-    * the store exists, making runs BI-queryable like any other table). */
+    * the store exists, making runs BI-queryable like any other table).
+    * Registered as CATALOG-level external parquet tables, not temp
+    * views: temp views are session state, and in HiveServer2
+    * multi-session mode (the default; each JDBC connection owns its
+    * session) a fresh BI connection would not see them — ServeSpec's
+    * parallel-session case pins exactly this. Dropping an external
+    * table never deletes the ledger files. */
   def registerViews(s: SparkSession, root: String): Unit =
     Seq("runs" -> "ml_runs", "params" -> "ml_params",
       "metrics" -> "ml_metrics").foreach { case (d, v) =>
-      s.read.parquet(s"$root/$d").createOrReplaceTempView(v)
+      s.catalog.dropTempView(v) // a stale temp view would shadow
+      s.sql(s"DROP TABLE IF EXISTS $v")
+      s.sql(s"CREATE TABLE $v USING parquet LOCATION '$root/$d'")
     }
 
   /** Default store location for a given data dir. */

@@ -183,9 +183,10 @@ class LearnSpec extends SparkSpec {
 
   test("histogram AUC equals the brute-force pairwise U statistic") {
     val r = SparkEntry.queries("ml_auc_rank")(spark, sf).collect()(0)
-    // u2 is emitted DECIMAL(38,0): BIGINT overflows at 100 TB cardinality
+    // u2 accumulates DECIMAL(38,0) (BIGINT overflows at 100 TB
+    // cardinality) and is emitted as its canonical digit string
     val (nPos, nNeg, u2) =
-      (r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact())
+      (r.getLong(0), r.getLong(1), r.getString(2).toLong)
     val scored = Tables.load(spark, sf, "orders").selectExpr(
       "CAST(round(o_totalprice * 100) AS BIGINT) AS sc",
       "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +

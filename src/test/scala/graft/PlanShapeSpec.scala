@@ -256,6 +256,56 @@ class PlanShapeSpec extends SparkSpec {
       s"AUC window not partitioned by the slice id:\n${p.take(2000)}")
   }
 
+  test("global plan audit: unpartitioned windows only over bounded inputs") {
+    // a WindowExec with an empty partitionSpec funnels its entire input
+    // through ONE task ("No Partition Defined" warning) — a scale-killer
+    // unless the input is bounded by construction (under a limit, a
+    // grand aggregate's single row, or a literal local relation). The
+    // range-slice rewrites (ts_zscore_outliers, ml_auc_rank) exist
+    // precisely to avoid this shape on unbounded data; this audit keeps
+    // every other query honest.
+    import org.apache.spark.sql.execution.{SparkPlan, LocalTableScanExec,
+      GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: LocalTableScanExec => true
+      case _: GlobalLimitExec => true
+      case _: LocalLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      // an aggregate grouped ONLY on the slice id (__pid =
+      // spark_partition_id) emits ≤ one row per shuffle partition — a
+      // cluster-width constant, not a data-size quantity. This is the
+      // offsets frame of the TeraSort two-pass in globalRowNumber /
+      // exclusivePrefixSum; its tiny ordered window is the designed
+      // alternative to a global single-partition window.
+      case a: BaseAggregateExec
+          if a.groupingExpressions.flatMap(_.references.toSeq)
+            .forall(_.name == "__pid") => true
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
+    }
+    // windows over frames whose cardinality a LITERAL bounds (invisible
+    // to the structural walk) — each entry names its bound
+    val boundedWindowAllowed = Set(
+      "ml_cv_3fold_linreg") // 3-row fold-stats frame (fold = key % 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val bad =
+      try SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) => boundedWindowAllowed(name) }
+        .flatMap { case (name, fn) =>
+        val unbounded =
+          try fn(spark, sf).queryExecution.executedPlan.collect {
+            case w: WindowExec
+                if w.partitionSpec.isEmpty && !bounded(w.child) => w
+          } catch { case _: Throwable => Nil } // broken queries fail elsewhere
+        if (unbounded.isEmpty) None
+        else Some(s"$name (${unbounded.size} unpartitioned window(s))")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(bad.isEmpty, s"single-partition windows over unbounded input: $bad")
+  }
+
   test("global plan audit: no cartesian anywhere; NL joins only on bounded sides") {
     // nested-loop joins are legal ONLY where one side is bounded by
     // construction (a constant dim, a broadcast query set, a fixed
