@@ -51,10 +51,14 @@ object Curation extends QueryModule {
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    // pmod(__pid, 1) = constant 0 but NON-foldable: same single
+    // partition as an empty spec (the frame is ≤ `parts` metadata
+    // rows), minus WindowExec's "No Partition Defined" warning —
+    // lit(0) would be folded away by EliminateWindowPartitions
     val offsets = ranged.groupBy("__pid").count()
       .withColumn("__off",
         coalesce(sum(col("count")).over(
-          Window.orderBy("__pid")
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
     ranged.join(broadcast(offsets), "__pid")

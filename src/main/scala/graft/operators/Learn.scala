@@ -587,11 +587,14 @@ object Learn extends QueryModule {
       .sortWithinPartitions(key)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    // pmod(__pid, 1): constant 0 but non-foldable — single partition
+    // either way (≤ one row per shuffle partition), without the "No
+    // Partition Defined" warning (lit(0) would be optimizer-eliminated)
     val offsets = ranged.groupBy("__pid")
       .agg(sum(col(valCol)).as("__tot"))
       .withColumn("__off",
         coalesce(sum(col("__tot")).over(
-          Window.orderBy("__pid")
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
     ranged.join(broadcast(offsets), "__pid")
@@ -902,8 +905,11 @@ object Learn extends QueryModule {
           expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
         // complement (train-side) sums via a window over the 3-row
         // stats frame — the single-partition window is over metadata
-        val all3 = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
+        // (fold = key % 3); pmod(hash(fold), 1) = constant single
+        // partition without the warning, non-foldable so it survives
+        val all3 = Window.partitionBy(pmod(hash(col("fold")), lit(1)))
+          .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
         val compl = Seq("n" -> "tn", "sx" -> "tsx", "sy" -> "tsy",
           "sxx" -> "tsxx", "sxy" -> "tsxy")
           .foldLeft(fs) { case (acc, (c, t)) =>

@@ -22,5 +22,12 @@ object Ranking {
       keys: Column*): DataFrame =
     df.orderBy(keys: _*).limit(k)
       .withColumn(rankCol,
-        row_number().over(Window.orderBy(keys: _*)).cast("long"))
+        // constant-but-non-foldable partition key: one partition either
+        // way over the k-row frame, but unlike an empty spec it draws no
+        // "No Partition Defined" warning, and unlike lit(0) the
+        // optimizer's EliminateWindowPartitions can't fold it away
+        row_number().over(Window
+          .partitionBy(pmod(hash(col(df.columns.head)), lit(1)))
+          .orderBy(keys: _*))
+          .cast("long"))
 }

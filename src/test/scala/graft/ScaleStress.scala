@@ -21,43 +21,52 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  /** Salt every 2nd token with a copy+position-specific token; identity
-    * for copy 0. The salted stream has a salt in every 3 consecutive
-    * tokens, so NO original 3-gram shingle survives — cross-copy shingle
-    * Jaccard is exactly 0 and every shingle/minhash/simhash/winnowing
-    * detector sees the copies as unrelated (a period-4 salt left ~1/3
-    * Jaccard and produced 300× cross-copy pair inflation). Planted
-    * duplicate pairs WITHIN a copy stay duplicates (same salts at same
-    * positions). */
-  private def saltText(cp: Int): org.apache.spark.sql.Column =
-    if (cp == 0) col("text")
-    else array_join(flatten(expr(
-      s"""transform(split(text, ' '), (t, j) ->
-            CASE WHEN j % 2 = 1 THEN array(t, concat('slt${cp}x', j))
-                 ELSE array(t) END)""")), " ")
-
+  /** Build the copies× corpus as ONE crossJoin with a copies range (a
+    * 100-way unionByName built a 100-branch plan that took longer than
+    * the queries it feeds). Copy 0 is the original.
+    *
+    * Text: salt every 2nd token with a copy+position token. The salted
+    * stream has a salt in every 3 consecutive tokens, so NO original
+    * 3-gram shingle survives — cross-copy shingle Jaccard is exactly 0
+    * and every shingle/minhash/simhash/winnowing detector sees the
+    * copies as unrelated (a period-4 salt left ~1/3 Jaccard and
+    * produced 300× cross-copy pair inflation). Planted duplicate pairs
+    * WITHIN a copy stay duplicates (same salts at same positions).
+    *
+    * Embeddings: per-(copy,dim) deterministic sign flips + a circular
+    * rotation by copy%dim — norm-preserving, and the sign pattern keeps
+    * copies decorrelated even when rotations collide past 64 copies. */
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
     val out = Paths.get(outDir)
     Files.createDirectories(out)
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    (0 until copies).map { cp =>
-      docs.withColumn("doc_id", col("doc_id") + lit(cp * 1000000L))
-        .withColumn("text", saltText(cp))
-        .withColumn("n_chars", length(col("text")))
-    }.reduce(_ unionByName _)
+    val cps = spark.range(copies.toLong)
+      .select(col("id").cast("int").as("cp"))
+    spark.read.parquet(s"$baseDir/documents.parquet")
+      .crossJoin(cps)
+      .withColumn("doc_id", col("doc_id") + col("cp") * lit(1000000L))
+      .withColumn("text", when(col("cp") === 0, col("text")).otherwise(
+        array_join(flatten(expr(
+          """transform(split(text, ' '), (t, j) ->
+               CASE WHEN j % 2 = 1
+                 THEN array(t, concat('slt', cp, 'x', j))
+                 ELSE array(t) END)""")), " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("cp")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    (0 until copies).map { cp =>
-      // circular dim rotation: norm-preserving, cross-copy cosine ~0
-      emb.withColumn("vec_id", col("vec_id") + lit(cp * 10000000L))
-        .withColumn("embedding",
-          if (cp == 0) col("embedding")
-          else expr(s"""concat(slice(embedding, ${cp + 1},
-                          size(embedding) - $cp),
-                        slice(embedding, 1, $cp))"""))
-    }.reduce(_ unionByName _)
+    spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .crossJoin(cps)
+      .withColumn("vec_id", col("vec_id") + col("cp") * lit(10000000L))
+      .withColumn("embedding",
+        when(col("cp") === 0, col("embedding")).otherwise(expr(
+          """transform(
+               concat(slice(embedding, pmod(cp, size(embedding)) + 1,
+                            size(embedding) - pmod(cp, size(embedding))),
+                      slice(embedding, 1, pmod(cp, size(embedding)))),
+               (x, d) -> CASE WHEN pmod(cp * 131 + d * 37, 2) = 0
+                              THEN x ELSE -x END)""")))
+      .drop("cp")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // remaining tables pass through unscaled so incidental reads resolve
