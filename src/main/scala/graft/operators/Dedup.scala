@@ -459,9 +459,8 @@ object Dedup extends QueryModule {
               transform(slice(col("vec"), 33, 32), x => x * m)).as("vec"))
           .select((col("vec_id") + 10000000L).as("vec_id"), col("vec"))
         val allv = base.unionByName(planted)
-        // persisted: feeds both sides of the bucket self-join AND the
-        // vector re-attach joins (shuffle exchanges aren't reused across
-        // those shapes, so the union+perturb would otherwise run 4×)
+        // persisted: the count below and both sides of the bucket
+        // self-join would otherwise re-run the union+perturb
         val vecs = allv.persist()
         // LSH granularity scales with N (the round-8 10× stress measured
         // 17.7× runtime at 10× data on the old fixed 8-bit/24-table
@@ -481,31 +480,38 @@ object Dedup extends QueryModule {
           if (bits == 8) 24
           else math.ceil(13.816 /
             -math.log1p(-math.pow(0.8989, bits))).toInt
-        // candidate generation on IDS ONLY — the 64-dim vectors must not
-        // ride the candidate-dedup shuffle (at 2400 vecs × 24 tables the
-        // id-only dedup moves ~4 MB where vector-carrying pairs moved
-        // hundreds; at 100 TB that difference is the whole game)
+        // VERIFY INSIDE THE BUCKET JOIN. The vectors ride the bucket
+        // frame (N × tables rows, one 64-dim array each — bounded and
+        // linear in N) and the exact cosine filter sits directly in the
+        // join projection, so candidate PAIRS are never materialized to
+        // a shuffle: they stream through the codegen'd join stage and
+        // only survivors (≈ true pairs × table multiplicity) reach the
+        // distinct. The previous id-only-candidates + re-attach design
+        // inverted this — with dense duplicate clusters the distinct
+        // pair set times two 520-byte vectors is quadratic-in-cluster
+        // traffic (measured: ~169M candidate occurrences at 240k
+        // vectors filled 77 GB of spill and killed the job; the bucket
+        // frame here is 15M rows ≈ 8 GB). Per-occurrence cosine evals
+        // cost more FLOPs, but FLOPs in a codegen pipeline are cheap;
+        // shuffled bytes are not.
         val buckets = vecs.select(
-          col("vec_id"),
+          col("vec_id"), col("vec"),
           explode(transform(sequence(lit(0), lit(tables - 1)), tb =>
             struct(tb.as("tbl"),
               VectorExprs.lshBucket(s, col("vec"), tb, bits = bits)
                 .as("bucket"))))
             .as("tb"))
-          .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
-        val cand = buckets.as("x")
+          .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+        buckets.as("x")
           .join(buckets.as("y"),
             col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
               col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-          .distinct()
-        cand
-          .join(vecs.select(col("vec_id").as("id_a"), col("vec").as("va")), "id_a")
-          .join(vecs.select(col("vec_id").as("id_b"), col("vec").as("vb")), "id_b")
           .withColumn("cos_sim",
-            round(VectorExprs.cosine(s, col("va"), col("vb")), 6))
+            round(VectorExprs.cosine(s, col("x.vec"), col("y.vec")), 6))
           .filter(col("cos_sim") >= 0.95)
-          .select(col("id_a"), col("id_b"), col("cos_sim"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+            col("cos_sim"))
+          .distinct()
           .orderBy("id_a", "id_b")
       }),
 

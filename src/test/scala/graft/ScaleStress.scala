@@ -34,27 +34,36 @@ object ScaleStress {
     * WITHIN a copy stay duplicates (same salts at same positions).
     *
     * Embeddings: per-(copy,dim) deterministic sign flips + a circular
-    * rotation by copy%dim — norm-preserving, and the sign pattern keeps
-    * copies decorrelated even when rotations collide past 64 copies. */
+    * rotation by copy%dim — norm-preserving. The sign bit mixes cp and
+    * d MULTIPLICATIVELY (pmod(cp*(2d+1)*2654435761, 1000003) % 2): an
+    * additive form like (cp*131 + d*37) % 2 depends only on cp's
+    * parity, which made copies 64..99 EXACT duplicates of copies
+    * 0..35 (same rotation, same signs) — the detector then correctly
+    * reported ~6× the linear pair count. Two copies now share a sign
+    * pattern only if equal mod 1000003. */
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
     val out = Paths.get(outDir)
     Files.createDirectories(out)
     val cps = spark.range(copies.toLong)
       .select(col("id").cast("int").as("cp"))
-    spark.read.parquet(s"$baseDir/documents.parquet")
-      .crossJoin(cps)
-      .withColumn("doc_id", col("doc_id") + col("cp") * lit(1000000L))
-      .withColumn("text", when(col("cp") === 0, col("text")).otherwise(
-        array_join(flatten(expr(
-          """transform(split(text, ' '), (t, j) ->
-               CASE WHEN j % 2 = 1
-                 THEN array(t, concat('slt', cp, 'x', j))
-                 ELSE array(t) END)""")), " ")))
-      .withColumn("n_chars", length(col("text")))
-      .drop("cp")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    def upToDate(path: String, expected: Long): Boolean =
+      try spark.read.parquet(path).count() == expected
+      catch { case _: Throwable => false }
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    if (!upToDate(s"$outDir/documents.parquet", docs.count() * copies))
+      docs.crossJoin(cps)
+        .withColumn("doc_id", col("doc_id") + col("cp") * lit(1000000L))
+        .withColumn("text", when(col("cp") === 0, col("text")).otherwise(
+          array_join(flatten(expr(
+            """transform(split(text, ' '), (t, j) ->
+                 CASE WHEN j % 2 = 1
+                   THEN array(t, concat('slt', cp, 'x', j))
+                   ELSE array(t) END)""")), " ")))
+        .withColumn("n_chars", length(col("text")))
+        .drop("cp")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$baseDir/embeddings.parquet")
       .crossJoin(cps)
       .withColumn("vec_id", col("vec_id") + col("cp") * lit(10000000L))
@@ -64,8 +73,9 @@ object ScaleStress {
                concat(slice(embedding, pmod(cp, size(embedding)) + 1,
                             size(embedding) - pmod(cp, size(embedding))),
                       slice(embedding, 1, pmod(cp, size(embedding)))),
-               (x, d) -> CASE WHEN pmod(cp * 131 + d * 37, 2) = 0
-                              THEN x ELSE -x END)""")))
+               (x, d) -> CASE WHEN
+                   pmod(cp * (2 * d + 1) * 2654435761, 1000003) % 2 = 0
+                 THEN x ELSE -x END)""")))
       .drop("cp")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
