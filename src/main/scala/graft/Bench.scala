@@ -105,7 +105,17 @@ object Bench {
     }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"spill_mb":$spillJson,"runs":$runsJson,"load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},"nproc":$nproc,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"spill_mb":$spillJson,"runs":$runsJson,"load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},"nproc":$nproc,"sf":"$sfDir"}"""
+    println(json)
+    // the driver clips sbt stdout (round 8's BENCH_r08.json kept only an
+    // alphabetical tail of the per-query map, "parsed": null), so also
+    // persist the full artifact to a repo file — committed each round,
+    // it lets cross-round comparison reach every query instead of 43/246.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")), json + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $t") }
     spark.stop()
   }
 }

@@ -75,6 +75,30 @@ object Tables {
     rowCounts.computeIfAbsent(s"$sfDir/$name.parquet",
       _ => load(spark, sfDir, name).count())
 
+  /** Parquet footer row count, read driver-side through the Hadoop FS
+    * API — no Spark job, so queries can size LSH parameters at
+    * plan-CONSTRUCTION time without executing anything (EXPLAIN and the
+    * PlanShapeSpec audits stay job-free). Memoized like [[rowCount]];
+    * the testdata under an sfDir never changes. */
+  def footerRowCount(spark: SparkSession, path: String): Long =
+    rowCounts.computeIfAbsent("footer:" + path, _ => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      var n = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          try n += rdr.getRecordCount finally rdr.close()
+        }
+      }
+      n
+    })
+
   /** BSP-loop lineage truncation with a fault-tolerance toggle.
     *
     * Default: `localCheckpoint()` — fast (executor block manager), the

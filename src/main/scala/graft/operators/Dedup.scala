@@ -94,6 +94,32 @@ object Dedup extends QueryModule {
     * pair joins (trigram jaccard here, winnowing in TextAnalysis). */
   private[graft] val DfCap = 64
 
+  /** N-adaptive MinHash-LSH sizing → (perms, bands, rowsPerBand).
+    *
+    * Pinned (16, 4, 4) for n ≤ [[MinhashPinnedN]] — the config every
+    * DuckDB-oracled run bit-replays (documents: sf0.01 = 500 docs,
+    * sf0.1 = 5000). Above it, rows-per-band grow with log N — a
+    * background (non-duplicate) bucket collision needs r simultaneous
+    * minhash matches, so its rate falls exponentially in r and bucket
+    * occupancy stays ~flat as N grows; with CONSTANT banding, occupancy
+    * grows linearly in N and in-bucket candidate pairs quadratically —
+    * measured as the worst family ratio (43× at 100× data) in the
+    * round-8 scale stress. The band count b = ceil((1/s*)^r) then holds
+    * the LSH candidate threshold s* = b^(-1/r) at the pinned 4×4 value
+    * (4^(-1/4) ≈ 0.707), so recall at the Jaccard verify threshold does
+    * not drift with N. r is capped at 8 (128 perms): signature cost is
+    * perms × shingles per doc. PropertySpec pins the monotonicity,
+    * threshold-stability, and pinned-branch identity of this formula. */
+  private[graft] val MinhashPinnedN = 8192L
+  private[graft] def minhashConfig(n: Long): (Int, Int, Int) =
+    if (n <= MinhashPinnedN) (16, 4, 4)
+    else {
+      val r = math.min(8, 4 + math.ceil(
+        math.log(n.toDouble / MinhashPinnedN) / math.log(2.0) / 2.0).toInt)
+      val b = math.ceil(math.pow(2.0, r / 2.0)).toInt
+      (r * b, b, r)
+    }
+
   /** Stop-key df cap for inverted-index pair joins: drop posting rows
     * whose key occurs in more than `cap` documents. One viral key (a
     * boilerplate header shared by millions of docs) otherwise makes the
@@ -364,49 +390,60 @@ object Dedup extends QueryModule {
         SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
       (s, dir) => {
         import graft.functions.VectorExprs
+        // N-adaptive banding, sized from the parquet footer (no Spark
+        // job at plan-construction); pinned 16-perm/4×4 below
+        // MinhashPinnedN so every oracled run bit-replays in DuckDB.
+        val (perms, bands, rows) = minhashConfig(
+          Tables.footerRowCount(s, s"$dir/documents.parquet"))
+        // persisted: the signature pipeline feeds both sides of the band
+        // self-join, and Spark only reuses *shuffle* exchanges — without
+        // the persist the whole tokenize→shingle→minhash chain runs
+        // twice.
         val docs = docShingles(s, dir)
           .withColumn("hs",
             transform(col("sh"), x =>
               conv(substring(md5(x), 1, 12), 16, 10).cast("long") % 1000003L))
-          .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), 16))
-        // persisted: the signature pipeline feeds both sides of the
-        // candidate self-join (stream + broadcast build), and Spark only
-        // reuses *shuffle* exchanges — without the persist the whole
-        // tokenize→shingle→minhash chain runs twice.
-        val bands = docs.select(
-          col("doc_id"),
-          explode(transform(sequence(lit(0), lit(3)), b =>
+          .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), perms))
+          .persist()
+        // VERIFY INSIDE THE BAND JOIN (the dedup_embedding_cosine
+        // pattern, Dedup.scala round-8 rewrite): the shingle set rides
+        // the band frame (N × bands rows — bounded, linear in N) and the
+        // exact-Jaccard filter sits directly in the join projection, so
+        // candidate PAIRS are never materialized to a shuffle — they
+        // stream through the codegen'd join stage and only survivors
+        // (true pairs × ≤ bands multiplicity) reach the distinct. The
+        // previous id-only candidate set + two re-attach joins shuffled
+        // the full pair set plus two shingle arrays per pair: quadratic
+        // traffic in bucket occupancy, measured as the worst family
+        // ratio (43×) in the round-8 100× stress.
+        val bandFrame = docs.select(
+          col("doc_id"), col("sh"),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band_id"),
               // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
               // engine-neutral band keys are what make the whole LSH
               // pipeline oracle-replayable
               md5(concat_ws(",",
-                transform(slice(col("sig"), b * 4 + 1, lit(4)),
+                transform(slice(col("sig"), b * rows + 1, lit(rows)),
                   _.cast("string")))).as("bkey"))))
             .as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.bkey"))
-          .persist()
+          .select(col("doc_id"), col("sh"),
+            col("band.band_id"), col("band.bkey"))
         // no broadcast hint: the band table is per-doc (unbounded at
         // scale) — the equi-join shuffles on (band_id, bkey) and AQE
         // broadcasts by itself when the input is actually small
-        val cand = bands.as("x")
-          .join(bands.as("y"),
+        val jac =
+          size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))
+        bandFrame.as("x")
+          .join(bandFrame.as("y"),
             col("x.band_id") === col("y.band_id") &&
               col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .distinct()
-        // the shingle-set dimension is per-doc (unbounded at scale): no
-        // broadcast hint — keyed joins shuffle on doc_id and AQE picks
-        // broadcast itself when the side is actually small
-        val sets = docShingles(s, dir).persist()
-        val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))
-        cand
-          .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-          .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
           .filter(jac >= 0.2)
-          .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            round(jac, 6).as("jaccard"))
+          .distinct()
           .orderBy("id_a", "id_b")
       }),
 
@@ -472,7 +509,12 @@ object Dedup extends QueryModule {
         // verified small-N config (8 bits, 24 tables — exact-match
         // proven against the all-pairs oracle at sf0.01 AND sf0.1) is
         // pinned for n ≤ 8192 so the oracled runs are bit-identical.
-        val n = vecs.count()
+        // n is sized from the parquet footer (driver-side, no Spark job
+        // at plan-construction — EXPLAIN and plan audits stay job-free)
+        // times 6/5 for the planted vec_id%5 canaries; LSH sizing only
+        // needs the order of magnitude, and the pinned branch holds with
+        // margin at both oracled dirs (600 and 2400 vs the 8192 cutoff).
+        val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
         val bits =
           if (n <= 8192) 8
           else math.ceil(math.log(n / 8.0) / math.log(2)).toInt

@@ -51,6 +51,13 @@ object RunStore {
       .toDF("metric", "value")
       .select(lit(runId).as("run_id"), col("metric"), col("value"))
       .write.mode("append").parquet(s"$root/metrics")
+    // the Serve catalog tables (registerViews) cache their resolved
+    // file listing in the session's tableRelationCache, so a long-lived
+    // JDBC/BI session could miss runs appended after it first queried —
+    // refresh the ledger tables whenever they are registered.
+    Seq("ml_runs", "ml_params", "ml_metrics")
+      .filter(s.catalog.tableExists)
+      .foreach(t => s.sql(s"REFRESH TABLE $t"))
   }
 
   /** The queryable run ledger: runs ⋈ metrics, plus the per-run param

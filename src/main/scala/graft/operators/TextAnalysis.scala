@@ -760,10 +760,27 @@ object TextAnalysis extends QueryModule {
         filter(split(col("w"), ""), y => y =!= lit("")))
       .persist()
     var cur = d0
+    var prev: DataFrame = null
     val bests = (1 to rounds).map { i =>
       val (nd, b) = bpeRound(cur)
-      cur = if (i % BpeTruncateEvery == 0) Tables.truncateLineage(nd)
-        else nd
+      // cache hygiene at the advertised 50k-round scale: the round's
+      // take(1) materialized the pair counts from `cur`, and `cur`'s
+      // cache is read at most once more (nd's own first
+      // materialization) — so the dict from TWO rounds back is fully
+      // consumed and its persisted blocks can be released; without
+      // this, persisted dicts accumulate without bound even though
+      // lineage depth is O(1) via the periodic checkpoint.
+      if (prev != null && (prev ne nd) && (prev ne cur)) prev.unpersist()
+      prev = cur
+      cur =
+        if (i % BpeTruncateEvery == 0) {
+          val truncated = Tables.truncateLineage(nd)
+          // the checkpoint materialized nd, so nothing reachable from
+          // `truncated` needs the cached chain behind it any more
+          if (nd ne prev) nd.unpersist()
+          prev.unpersist(); prev = null
+          truncated
+        } else nd
       b
     }
     (cur, bests)

@@ -63,6 +63,68 @@ class ServeModelSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("endpoint hardening: malformed bodies, non-finite inputs, " +
+      "concurrent load") {
+    val server = ServeModel.start(spark, sf, port + 2)
+    def post2(path: String, body: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${port + 2}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // malformed / non-JSON / missing-key bodies → structured 400
+      for (bad <- Seq("", "not json at all", "{", """{"x1": 1.0}""",
+          """{"x2": 2.0}""", """{"a": 1, "b": 2}""")) {
+        val r = post2("/predict", bad)
+        assert(r.statusCode() == 400, s"body <$bad> → ${r.statusCode()}")
+        assert(r.body().contains("\"error\""), r.body())
+      }
+      // a parseable-but-infinite literal must not reach the model: the
+      // response would interpolate Infinity, which is invalid JSON
+      val inf = post2("/predict", """{"x1": 1e999, "x2": 0}""")
+      assert(inf.statusCode() == 400, inf.body())
+      assert(inf.body().contains("finite"), inf.body())
+
+      // concurrent /predict: all requests answered, none hang (the
+      // executor pool is 4 threads — 16 in-flight requests exercise
+      // queueing), every response identical-shape 200
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (1 to 16).map { i =>
+        scala.concurrent.Future(
+          post2("/predict", s"""{"x1": $i, "x2": ${i * 2}}"""))
+      }
+      val rs = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(30, "s"))
+      pool.shutdown()
+      assert(rs.forall(_.statusCode() == 200))
+      assert(rs.forall(_.body().contains("\"y\":")))
+    } finally server.stop(0)
+  }
+
+  test("partial ledger (no registered model) triggers retrain, " +
+      "absent data dir fails with a clear error") {
+    val root = operators.RunStore.defaultRoot(sf)
+    // a ledger that EXISTS but lacks the r1_ols_cents run: loadModel
+    // must fall through to training, not throw NoSuchElementException
+    operators.RunStore.reset(spark, root)
+    operators.RunStore.log(spark, root, "r9_other", "something",
+      Seq("k" -> "v"),
+      spark.range(1).selectExpr("1.5 as unrelated_metric"))
+    val m = ServeModel.loadModel(spark, sf)
+    assert(m.runId == "r1_ols_cents" && m.b1 != 0.0)
+
+    // no ledger AND no trainable data dir → a structured error that
+    // names the registry and the sfDir, not an opaque NPE/NoSuchElement
+    val bogus = s"${Tables.scratchRoot}/no_such_dir"
+    operators.RunStore.reset(spark, operators.RunStore.defaultRoot(bogus))
+    val err = intercept[IllegalStateException](
+      ServeModel.loadModel(spark, bogus))
+    assert(err.getMessage.contains(bogus), err.getMessage)
+  }
+
   test("model survives a server restart from the persisted ledger") {
     // second start: the store exists, so no re-train — the model is
     // LOADED from the registry (the MLflow load_model analog)
