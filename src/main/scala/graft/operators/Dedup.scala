@@ -120,6 +120,83 @@ object Dedup extends QueryModule {
       (r * b, b, r)
     }
 
+  /** N-adaptive hyperplane-LSH sizing for embedding dedup → (bits,
+    * tables). Pinned (8, 24) for n ≤ 8192 — exact-match proven against
+    * the all-pairs oracle at sf0.01 AND sf0.1 (the jump at the cutoff
+    * is deliberate: the pinned branch must stay bit-identical for
+    * oracled runs). Above: bits targets ~8 vectors/bucket; the table
+    * count holds the analytic per-pair miss probability at the
+    * 0.95-threshold angle (q = 1 − θ/π ≈ 0.8989 per sign bit) to
+    * ≤ 1e-6: T = ln(1e-6) / ln(1 − q^bits). PropertySpec pins the
+    * miss-bound and occupancy-target math over a wide n range. */
+  private[graft] def embLshConfig(n: Long): (Int, Int) = {
+    val bits =
+      if (n <= 8192) 8
+      else math.ceil(math.log(n / 8.0) / math.log(2)).toInt
+    val tables =
+      if (bits == 8) 24
+      else math.ceil(13.816 /
+        -math.log1p(-math.pow(0.8989, bits))).toInt
+    (bits, tables)
+  }
+
+  /** The planted-canary embedding corpus and its LSH bucket frame
+    * (vec_id, vec, tbl, bucket) — shared by dedup_embedding_cosine and
+    * the ScaleStress candidate-occurrence probe. The corpus is
+    * persisted; callers release via clearCache. */
+  private[graft] def embBucketFrame(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.VectorExprs
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val m = (col("vec_id") % 7 + 1).cast("double") * lit(0.25) + lit(1.0)
+    // perturb BEFORE renaming: aliasing the shifted id as "vec_id" in
+    // the same select would make m's col("vec_id") resolve laterally
+    // to the NEW id (Spark lateral column aliases), silently diverging
+    // from the oracle's orig_id-based multiplier
+    val planted = base.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        concat(slice(col("vec"), 1, 32),
+          transform(slice(col("vec"), 33, 32), x => x * m)).as("vec"))
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("vec"))
+    // persisted: both sides of the bucket self-join would otherwise
+    // re-run the union+perturb
+    val vecs = base.unionByName(planted).persist()
+    // LSH granularity scales with N (the round-8 10× stress measured
+    // 17.7× runtime at 10× data on the old fixed 8-bit/24-table
+    // config — in-bucket pair counts are quadratic in occupancy, so
+    // fixed bucket granularity is a scale-killer). n is sized from the
+    // parquet footer (driver-side, no Spark job at plan-construction —
+    // EXPLAIN and plan audits stay job-free) times 6/5 for the planted
+    // vec_id%5 canaries; sizing only needs the order of magnitude, and
+    // the pinned branch holds with margin at both oracled dirs (600 and
+    // 2400 vs the 8192 cutoff).
+    val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
+    val (bits, tables) = embLshConfig(n)
+    vecs.select(
+      col("vec_id"), col("vec"),
+      explode(transform(sequence(lit(0), lit(tables - 1)), tb =>
+        struct(tb.as("tbl"),
+          VectorExprs.lshBucket(s, col("vec"), tb, bits = bits)
+            .as("bucket"))))
+        .as("tb"))
+      .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+  }
+
+  /** Candidate occurrences: rows streaming through the bucket join
+    * BEFORE the cosine filter — the quantity whose growth the
+    * dense-cluster scale stress bounds (quadratic in bucket occupancy,
+    * the measured 77 GB-spill failure axis of the pre-round-8 design). */
+  private[graft] def embCandidateOccurrences(s: SparkSession, dir: String)
+      : Long = {
+    val buckets = embBucketFrame(s, dir)
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .count()
+  }
+
   /** Stop-key df cap for inverted-index pair joins: drop posting rows
     * whose key occurs in more than `cap` documents. One viral key (a
     * boilerplate header shared by millions of docs) otherwise makes the
@@ -483,45 +560,6 @@ object Dedup extends QueryModule {
         ORDER BY id_a, id_b"""),
       (s, dir) => {
         import graft.functions.VectorExprs
-        val base = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-        val m = (col("vec_id") % 7 + 1).cast("double") * lit(0.25) + lit(1.0)
-        // perturb BEFORE renaming: aliasing the shifted id as "vec_id" in
-        // the same select would make m's col("vec_id") resolve laterally
-        // to the NEW id (Spark lateral column aliases), silently diverging
-        // from the oracle's orig_id-based multiplier
-        val planted = base.filter(col("vec_id") % 5 === 0)
-          .select(col("vec_id"),
-            concat(slice(col("vec"), 1, 32),
-              transform(slice(col("vec"), 33, 32), x => x * m)).as("vec"))
-          .select((col("vec_id") + 10000000L).as("vec_id"), col("vec"))
-        val allv = base.unionByName(planted)
-        // persisted: the count below and both sides of the bucket
-        // self-join would otherwise re-run the union+perturb
-        val vecs = allv.persist()
-        // LSH granularity scales with N (the round-8 10× stress measured
-        // 17.7× runtime at 10× data on the old fixed 8-bit/24-table
-        // config — in-bucket pair counts are quadratic in occupancy, so
-        // fixed bucket granularity is a scale-killer). bits targets ~8
-        // vectors/bucket; the table count then holds the analytic miss
-        // probability at the 0.95-threshold angle (q = 1 - θ/π ≈ 0.8989
-        // per sign bit) to ≤ 1e-6: T = ln(1e-6)/ln(1 - q^bits). The
-        // verified small-N config (8 bits, 24 tables — exact-match
-        // proven against the all-pairs oracle at sf0.01 AND sf0.1) is
-        // pinned for n ≤ 8192 so the oracled runs are bit-identical.
-        // n is sized from the parquet footer (driver-side, no Spark job
-        // at plan-construction — EXPLAIN and plan audits stay job-free)
-        // times 6/5 for the planted vec_id%5 canaries; LSH sizing only
-        // needs the order of magnitude, and the pinned branch holds with
-        // margin at both oracled dirs (600 and 2400 vs the 8192 cutoff).
-        val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
-        val bits =
-          if (n <= 8192) 8
-          else math.ceil(math.log(n / 8.0) / math.log(2)).toInt
-        val tables =
-          if (bits == 8) 24
-          else math.ceil(13.816 /
-            -math.log1p(-math.pow(0.8989, bits))).toInt
         // VERIFY INSIDE THE BUCKET JOIN. The vectors ride the bucket
         // frame (N × tables rows, one 64-dim array each — bounded and
         // linear in N) and the exact cosine filter sits directly in the
@@ -535,15 +573,10 @@ object Dedup extends QueryModule {
         // vectors filled 77 GB of spill and killed the job; the bucket
         // frame here is 15M rows ≈ 8 GB). Per-occurrence cosine evals
         // cost more FLOPs, but FLOPs in a codegen pipeline are cheap;
-        // shuffled bytes are not.
-        val buckets = vecs.select(
-          col("vec_id"), col("vec"),
-          explode(transform(sequence(lit(0), lit(tables - 1)), tb =>
-            struct(tb.as("tbl"),
-              VectorExprs.lshBucket(s, col("vec"), tb, bits = bits)
-                .as("bucket"))))
-            .as("tb"))
-          .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+        // shuffled bytes are not. Corpus construction + N-adaptive LSH
+        // sizing live in embBucketFrame/embLshConfig (shared with the
+        // ScaleStress candidate-occurrence probe).
+        val buckets = embBucketFrame(s, dir)
         buckets.as("x")
           .join(buckets.as("y"),
             col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 10× corpus stress for the dedup/similarity/text families — the
@@ -79,12 +79,91 @@ object ScaleStress {
       .drop("cp")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // relational/streaming heavy families (round-9 mandate): scale
+    // events / lineitem / orders with per-copy KEY SHIFTS — new users,
+    // orders and part↔supplier subgraphs per copy, so session lengths,
+    // per-key group sizes and graph degree stay constant while volume
+    // scales: the regime where the range-slice / salted-agg /
+    // degree-orientation designs must hold ~linear, and where a design
+    // keyed on a constant-cardinality column (event_type has 5 values)
+    // is forced to prove its slice parallelism. Timestamps are kept so
+    // the same wall-clock range carries copies× the event RATE
+    // (streaming state and quote-bucket sizes scale like a busier
+    // system, not a longer-running one).
+    def scaleTable(name: String, shift: (DataFrame, Column) => DataFrame,
+        parts: Int): Unit = {
+      val base = Tables.load(spark, baseDir, name)
+      val target = s"$outDir/$name.parquet"
+      if (!upToDate(target, base.count() * copies))
+        shift(base.crossJoin(cps), col("cp"))
+          .drop("cp")
+          .repartition(parts)
+          .write.mode("overwrite").parquet(target)
+    }
+    scaleTable("events", (df, cp) => df
+      .withColumn("event_id", col("event_id") + cp * lit(1000000000L))
+      .withColumn("user_id", col("user_id") + cp * lit(10000000L)),
+      parts = 32)
+    scaleTable("lineitem", (df, cp) => df
+      .withColumn("l_orderkey", col("l_orderkey") + cp * lit(1000000000L))
+      .withColumn("l_partkey", col("l_partkey") + cp * lit(1000000L))
+      .withColumn("l_suppkey", col("l_suppkey") + cp * lit(1000000L)),
+      parts = 64)
+    scaleTable("orders", (df, cp) => df
+      .withColumn("o_orderkey", col("o_orderkey") + cp * lit(1000000000L))
+      .withColumn("o_custkey", col("o_custkey") + cp * lit(10000000L)),
+      parts = 32)
     // remaining tables pass through unscaled so incidental reads resolve
-    for (t <- Tables.names if t != "documents" && t != "embeddings") {
+    for (t <- Tables.names
+        if !Seq("documents", "embeddings", "events", "lineitem",
+          "orders").contains(t)) {
       val src = Paths.get(s"$baseDir/$t.parquet")
       val dst = out.resolve(s"$t.parquet")
       if (!Files.exists(dst)) Files.copy(src, dst)
     }
+  }
+
+  /** Dense-cluster canary variant of the scaled embeddings (round-8
+    * verdict item 5): ~1% of vectors are replaced by members of k
+    * clusters (~1000 members each) centered on distinct base vectors,
+    * each member a tiny deterministic diagonal perturbation of its
+    * center (pairwise in-cluster cosine ≈ 0.9999, so every in-cluster
+    * pair is a true near-dup). This is the risk axis the round-8
+    * sign-flip generator bug accidentally probed: candidate occurrences
+    * are quadratic in CLUSTER size no matter how many hash bits the
+    * adaptive LSH uses — the design survives only because the verify
+    * rides inside the bucket join instead of shuffling pairs. Only
+    * embeddings is written; the probe reads nothing else. */
+  def buildClustered(spark: SparkSession, scaledDir: String,
+      outDir: String): Long = {
+    Files.createDirectories(Paths.get(outDir))
+    val emb = spark.read.parquet(s"$scaledDir/embeddings.parquet")
+    val n = emb.count()
+    val k = math.max(1L, n / 100 / 1000)
+    val target = s"$outDir/embeddings.parquet"
+    val exists =
+      try spark.read.parquet(target).count() == n
+      catch { case _: Throwable => false }
+    if (!exists) {
+      val centers = emb.filter(col("vec_id") >= 0 && col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("center"))
+      emb
+        .withColumn("cid",
+          when(pmod(col("vec_id"), lit(100)) === 17,
+            pmod(floor(col("vec_id") / 100), lit(k)).cast("long"))
+            .otherwise(lit(-1L)))
+        .join(broadcast(centers), Seq("cid"), "left")
+        .withColumn("embedding",
+          when(col("cid") >= 0, expr(
+            """cast(transform(center, (x, d) ->
+                 x * cast(1.0 + 0.001 * pmod(vec_id + d, 7) as float))
+               as array<float>)"""))
+            .otherwise(col("embedding")))
+        .drop("cid", "center")
+        .repartition(8)
+        .write.mode("overwrite").parquet(target)
+    }
+    k
   }
 
   /** The stressed families: every candidate-generating dedup/sim/text
@@ -98,6 +177,16 @@ object ScaleStress {
     "sim_pq_adc", "sim_bruteforce_topk",
     "text_winnowing_fingerprints", "text_heavy_hitters",
     "text_bpe_encode", "curate_unigram_logprob")
+
+  /** The shuffle-dominant join/window/time-series/graph/ML/streaming/agg
+    * queries (round-9 mandate — these families previously had only
+    * plan-shape arguments above sf0.1). Inputs come from the scaled
+    * events/lineitem/orders. */
+  val StressedHeavy: Seq[String] = Seq(
+    "join_asof_event_quotes", "ts_zscore_outliers",
+    "window_sessionize_by_gap", "graph_pagerank_3iter",
+    "graph_triangle_count", "ml_forest_bagged", "ml_pca_power_iter",
+    "stream_join_left_outer", "agg_salted_two_phase")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -144,7 +233,7 @@ object ScaleStress {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val rowsOut = new StringBuilder
     var first = true
-    for (name <- Stressed) {
+    for (name <- Stressed ++ StressedHeavy) {
       val entry =
         try {
           val (t1, r1) = timed(name, baseDir)
@@ -161,6 +250,34 @@ object ScaleStress {
         }
       rowsOut.append(if (first) entry else "," + entry); first = false
     }
+    // dense-cluster canary (round-8 verdict item 5): candidate
+    // occurrences — bucket-join rows BEFORE the cosine filter — for the
+    // plain scaled corpus vs the clustered one, plus the clustered
+    // query end-to-end. The bound being documented: occurrences ≈
+    // (linear background) + (Σ per-cluster C(m,2)) × tables — quadratic
+    // in CLUSTER size by the nature of the output, but never amplified
+    // into a pair shuffle because the verify rides inside the join.
+    val candJson =
+      try {
+        val clusteredDir = s"$scaledDir-clustered"
+        val k = buildClustered(spark, scaledDir, clusteredDir)
+        def occ(d: String): Long = {
+          val c = graft.operators.Dedup.embCandidateOccurrences(spark, d)
+          spark.catalog.clearCache(); c
+        }
+        val (occBase, occScaled, occClu) =
+          (occ(baseDir), occ(scaledDir), occ(clusteredDir))
+        val (tClu, rClu) = timed("dedup_embedding_cosine", clusteredDir)
+        println(s"[scale] emb candidates: base=$occBase scaled=$occScaled " +
+          s"clustered=$occClu (k=$k); clustered query ${tClu}s, $rClu pairs")
+        s""","emb_candidates":{"base":$occBase,"scaled":$occScaled,""" +
+          s""""clustered":$occClu,"clusters":$k,""" +
+          s""""clustered_query_sec":$tClu,"clustered_pairs":$rClu}"""
+      } catch { case e: Throwable =>
+        errors("emb_candidates") = e.toString.takeWhile(_ != '\n').take(200)
+        println(s"[scale] emb_candidates ERROR ${errors("emb_candidates")}")
+        ""
+      }
     val loadAfter = loadavg()
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) =>
@@ -169,7 +286,7 @@ object ScaleStress {
     }.mkString("{", ",", "}")
     val json =
       s"""{"base":"$baseDir","copies":$copies,""" +
-      s""""queries":{${rowsOut.result()}},"errors":$errJson,""" +
+      s""""queries":{${rowsOut.result()}},"errors":$errJson$candJson,""" +
       s""""load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors}}"""
     Files.writeString(Paths.get(outJson), json + "\n")
