@@ -184,6 +184,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("adaptive embedding-LSH sizing: pinned branch, miss bound, " +
+      "occupancy target, monotonicity") {
+    import operators.Dedup.embLshConfig
+    // pinned branch is bit-frozen: every oracled dir must replay
+    for (n <- Seq(1L, 100L, 600L, 2400L, 8192L))
+      assert(embLshConfig(n) == (8, 24), s"n=$n")
+    val q = 0.8989 // per-sign-bit agreement prob at the 0.95 angle
+    val ns = sample(Gen.listOfN(200, Gen.chooseNum(8193L, 1000000000000L)),
+      777L)
+    for (n <- ns) {
+      val (bits, tables) = embLshConfig(n)
+      // analytic per-pair miss at the threshold angle stays <= 1e-6:
+      // a true pair collides in one table w.p. q^bits, so missing ALL
+      // tables is (1 - q^bits)^tables
+      val missLog = tables * math.log1p(-math.pow(q, bits))
+      assert(missLog <= math.log(1e-6) + 1e-9,
+        s"n=$n bits=$bits tables=$tables miss=e^$missLog")
+      // occupancy target ~8 vectors/bucket under uniform hashing:
+      // bucket count 2^bits lands in [n/8, n/4)
+      assert(math.pow(2, bits) >= n / 8.0 && math.pow(2, bits) < n / 2.0,
+        s"n=$n bits=$bits off the n/8 occupancy target")
+      assert(tables >= 1)
+    }
+    // bits never decreases with n (no size regime where buckets refill)
+    val sorted = ns.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(embLshConfig(a)._1 <= embLshConfig(b)._1) }
+  }
+
+  test("adaptive MinHash banding: pinned branch, threshold stability, " +
+      "high-similarity recall, log-N growth") {
+    import operators.Dedup.{minhashConfig, MinhashPinnedN}
+    for (n <- Seq(1L, 500L, 5000L, MinhashPinnedN))
+      assert(minhashConfig(n) == (16, 4, 4), s"n=$n")
+    val ns = sample(Gen.listOfN(200,
+      Gen.chooseNum(MinhashPinnedN + 1, 1000000000000L)), 888L)
+    for (n <- ns) {
+      val (perms, bands, rows) = minhashConfig(n)
+      assert(perms == bands * rows, s"n=$n: sig length != b*r")
+      assert(rows >= 5 && rows <= 8 && perms <= 128, s"n=$n ($perms,$bands,$rows)")
+      // the LSH candidate threshold s* = b^(-1/r) must not drift from
+      // the pinned 4x4 value (4^(-1/4) ~ 0.707) as N scales — recall at
+      // the verify threshold is a correctness property, not a tuning
+      val sStar = math.pow(bands.toDouble, -1.0 / rows)
+      assert(sStar >= 0.60 && sStar <= 0.75, s"n=$n s*=$sStar")
+      // recall for a genuinely-similar pair (jaccard 0.8) stays high:
+      // P(candidate) = 1 - (1 - s^r)^b
+      val recall08 = 1 - math.pow(1 - math.pow(0.8, rows), bands)
+      assert(recall08 >= 0.85, s"n=$n recall@0.8=$recall08")
+      // rows-per-band track log N until the 8-row cap: background
+      // bucket collisions fall exponentially in r, which is what keeps
+      // occupancy flat where the old fixed config went quadratic
+      val wantR = math.min(8.0,
+        4 + math.log(n.toDouble / MinhashPinnedN) / math.log(2) / 2)
+      assert(rows >= wantR - 1 && rows <= wantR + 1, s"n=$n r=$rows want~$wantR")
+    }
+    val sorted = ns.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(minhashConfig(a)._3 <= minhashConfig(b)._3) }
+  }
+
   test("partitioned parquet write -> read is an identity on rows") {
     for (trial <- 1 to 3) {
       val rows = sample(Gen.listOfN(20,
