@@ -43,6 +43,13 @@ object Analytics extends QueryModule {
   /** Undirected bipartite part↔supplier graph from lineitem:
     * node ids: part → 2·l_partkey, supplier → 2·l_suppkey+1 (disjoint
     * integer node space, no string keys in the shuffle). */
+  /** Rows of a BSP-loop frame one task should own (the Dedup
+    * .componentsLoop discipline): loops re-shuffle every round, so the
+    * width floor (8) keeps test-scale graphs from drowning in task
+    * launches while the edge-count numerator fans a 100×+ graph out
+    * before any single task owns an OOM-sized slice. */
+  private val LoopRowsPerTask = 1000000L
+
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val e0 = t(s, dir, "lineitem")
       .select((col("l_partkey") * 2).as("src"),
@@ -231,16 +238,22 @@ object Analytics extends QueryModule {
         val SCALE = 1000000000000L
         // BSP loop hygiene (same shape as Dedup.componentsLoop): truncate
         // lineage each round with localCheckpoint — without it the final
-        // plan re-derives every prior round — and pin the loop's shuffle
-        // width low (rank/edge frames are small per partition; per-round
-        // task overhead dominates otherwise).
+        // plan re-derives every prior round.
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
+          // loop shuffle width from the MEASURED edge count (the
+          // componentsLoop discipline): the old fixed-8 pin OOM'd the
+          // rank hashAgg in the 100× stress — 8 tasks each owning 1/8 of
+          // a 100×-edge join is a memory bug, not a tuning choice. The
+          // count is free off the materialized checkpoint; the 8-task
+          // floor keeps per-round task-launch overhead negligible on
+          // test-scale graphs.
           val e = edges(s, dir)
           val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
           // edge list with out-degree attached once, reused every round
           val eDeg = e.join(deg, "src").truncated
+          s.conf.set("spark.sql.shuffle.partitions",
+            math.max(8L, eDeg.count() / LoopRowsPerTask).toString)
           val n = eDeg.select("src").distinct().count()
           val tele = ((SCALE * 15) / 100) / n
           var ranks = eDeg.select(col("src").as("node")).distinct()
@@ -292,11 +305,14 @@ object Analytics extends QueryModule {
         // so WITHOUT truncation the final plan re-derives each expansion
         // once per later round (exponential recomputation); with it each
         // superstep reads materialized leaves — the BSP barrier made
-        // explicit. Loop shuffle width pinned low like componentsLoop.
+        // explicit. Loop shuffle width sized from the measured edge
+        // count like componentsLoop (floor 8).
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val e = edges(s, dir).truncated
+          // measured-width loop sizing — see graph_pagerank_3iter
+          s.conf.set("spark.sql.shuffle.partitions",
+            math.max(8L, e.count() / LoopRowsPerTask).toString)
           val seeds = t(s, dir, "supplier")
             .filter(col("s_nationkey") === 0)
             .select((col("s_suppkey") * 2 + 1).as("node"))

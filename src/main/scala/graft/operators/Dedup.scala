@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryModule, Tables}
 import graft.Tables.LineageOps
@@ -348,6 +349,13 @@ object Dedup extends QueryModule {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold)"""
 
+  /** Window width (tokens) for substring-span dedup: every repeated run
+    * of ≥ SpanK tokens is detected; shorter repeats are ignored. 8 is
+    * small enough that the sf0.01 corpus contains real repeats and large
+    * enough that common short phrases don't mark everything (production
+    * uses ~50, Lee et al. 2021 — the plan is width-independent). */
+  private val SpanK = 8
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: one hash-aggregate on the full text ----
@@ -431,7 +439,7 @@ object Dedup extends QueryModule {
       Some(s"""
         WITH docs AS ($docShinglesSql),
         ex AS (SELECT doc_id, unnest(sh) AS sg FROM docs),
-        hh AS (SELECT doc_id,
+        hh AS (SELECT DISTINCT doc_id,
                       ${duckHexToLong("md5(sg)", 12)} % 1000003 AS h
                FROM ex),
         perms AS (SELECT unnest(range(0, 16)) AS i),
@@ -449,12 +457,12 @@ object Dedup extends QueryModule {
           FROM bands x JOIN bands y
             ON x.band_id = y.band_id AND x.bkey = y.bkey
            AND x.doc_id < y.doc_id),
-        sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
         inter AS (
           SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
           FROM cand c
-          JOIN ex a ON a.doc_id = c.id_a
-          JOIN ex b ON b.doc_id = c.id_b AND b.sg = a.sg
+          JOIN hh a ON a.doc_id = c.id_a
+          JOIN hh b ON b.doc_id = c.id_b AND b.h = a.h
           GROUP BY 1, 2),
         pairs AS (
           SELECT id_a, id_b,
@@ -475,11 +483,21 @@ object Dedup extends QueryModule {
         // persisted: the signature pipeline feeds both sides of the band
         // self-join, and Spark only reuses *shuffle* exchanges — without
         // the persist the whole tokenize→shingle→minhash chain runs
-        // twice.
+        // twice. Jaccard is computed over the DISTINCT shingle-HASH sets
+        // (array_distinct(hs)), not the shingle strings: the verify
+        // payload riding the band frame shrinks from ~2 KB of strings to
+        // 8-byte longs per shingle, and the per-meeting set intersect
+        // hashes longs instead of re-hashing every string — measured 5×
+        // end-to-end on the 100× corpus (562 s → see BENCH_scale100).
+        // Identical-by-construction in the DuckDB oracle (same md5-mod
+        // hashes on both sides); vs string Jaccard the value differs
+        // only on mod-1000003 collisions (~|A||B|/1e6 ≈ 1e-2 expected
+        // false intersections per candidate pair at 100-shingle docs).
         val docs = docShingles(s, dir)
-          .withColumn("hs",
-            transform(col("sh"), x =>
+          .select(col("doc_id"),
+            array_distinct(transform(col("sh"), x =>
               conv(substring(md5(x), 1, 12), 16, 10).cast("long") % 1000003L))
+              .as("hs"))
           .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), perms))
           .persist()
         // VERIFY INSIDE THE BAND JOIN (the dedup_embedding_cosine
@@ -494,7 +512,7 @@ object Dedup extends QueryModule {
         // traffic in bucket occupancy, measured as the worst family
         // ratio (43×) in the round-8 100× stress.
         val bandFrame = docs.select(
-          col("doc_id"), col("sh"),
+          col("doc_id"), col("hs"),
           explode(transform(sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band_id"),
               // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
@@ -504,14 +522,14 @@ object Dedup extends QueryModule {
                 transform(slice(col("sig"), b * rows + 1, lit(rows)),
                   _.cast("string")))).as("bkey"))))
             .as("band"))
-          .select(col("doc_id"), col("sh"),
+          .select(col("doc_id"), col("hs"),
             col("band.band_id"), col("band.bkey"))
         // no broadcast hint: the band table is per-doc (unbounded at
         // scale) — the equi-join shuffles on (band_id, bkey) and AQE
         // broadcasts by itself when the input is actually small
         val jac =
-          size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-            size(array_union(col("x.sh"), col("y.sh")))
+          size(array_intersect(col("x.hs"), col("y.hs"))).cast("double") /
+            size(array_union(col("x.hs"), col("y.hs")))
         bandFrame.as("x")
           .join(bandFrame.as("y"),
             col("x.band_id") === col("y.band_id") &&
@@ -805,6 +823,84 @@ object Dedup extends QueryModule {
             (col("exact_id").isNull && col("near_dup_of").isNull)
               .as("is_novel"))
           .orderBy("doc_id")
+      }),
+
+    // ---- substring-level dedup: maximal repeated token SPANS, the
+    // exact-substring complement to the document-level detectors above
+    // (the "remove every ≥k-token run that appears twice in the corpus"
+    // operation of training-data dedup; suffix arrays do this exactly on
+    // one machine — the distributed shape is fixed-k window hashes, which
+    // detect every repeat of length ≥ k, then a per-doc interval merge
+    // recovers maximal spans). Pipeline: (1) one md5 window hash per
+    // token position (per-row HOF, no shuffle), (2) repeated windows via
+    // groupBy(count>1) + equi-join back — shuffles carry (id, pos, 16-byte
+    // hash), never text (md5 is the oracle-replay choice; at 100 TB the
+    // key would be xxhash64, same plan), (3) gaps-and-islands merge under
+    // a doc_id-partitioned window (bounded by max document length).
+    // Within-doc repeats count toward the ≥2 occurrences, matching the
+    // self-repetition removal of the suffix-array formulation. No pair
+    // stream anywhere: output is per-doc spans, linear in corpus size. ----
+    Q(
+      "dedup_substring_spans",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS ts
+                   FROM documents),
+        hs AS (SELECT doc_id,
+                      list_transform(range(1, len(ts) - ${SpanK - 2}),
+                        i -> md5(array_to_string(ts[i:i+${SpanK - 1}], ' ')))
+                        AS whs
+               FROM t WHERE len(ts) >= $SpanK),
+        w AS (SELECT doc_id,
+                     CAST(generate_subscripts(whs, 1) AS BIGINT) AS pos,
+                     unnest(whs) AS wh
+              FROM hs),
+        d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+        m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (wh)),
+        i AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER
+                            (PARTITION BY doc_id ORDER BY pos) <= $SpanK
+                          THEN 0 ELSE 1 END AS brk
+              FROM m),
+        g AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM i)
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + ${SpanK - 1} AS BIGINT) AS span_end,
+               CAST(max(pos) - min(pos) + $SpanK AS BIGINT) AS span_tokens
+        FROM g GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start"""),
+      (s, dir) => {
+        val k = SpanK
+        val wins = t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= k)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(1), size(col("ts")) - (k - 1)),
+              i => md5(concat_ws(" ", slice(col("ts"), i, lit(k)))
+                .cast("binary")))))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("wh"))
+        val dup = wins.groupBy("wh").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select("wh")
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        wins.join(dup, Seq("wh"))
+          .select("doc_id", "pos")
+          .withColumn("brk",
+            when(col("pos") - lag("pos", 1).over(byDoc) <= k, lit(0))
+              .otherwise(lit(1)))
+          .withColumn("grp", sum("brk").over(byDoc))
+          .groupBy("doc_id", "grp")
+          .agg(
+            min("pos").cast("long").as("span_start"),
+            (max("pos") + lit(k - 1)).cast("long").as("span_end"),
+            (max("pos") - min("pos") + lit(k)).cast("long")
+              .as("span_tokens"))
+          .drop("grp")
+          .orderBy("doc_id", "span_start")
       })
   )
 }

@@ -557,7 +557,7 @@ object Relational extends QueryModule {
                  AS is_outlier
         FROM (
           SELECT event_id,
-                 CASE WHEN cnt >= 20 THEN
+                 CASE WHEN cnt >= 20 AND (cnt * ss - s * s) > 0 THEN
                    (cents - s / cnt)
                      / sqrt((cnt * ss - s * s) / (cnt * (cnt - 1.0)))
                  END AS z
@@ -614,8 +614,16 @@ object Relational extends QueryModule {
             sum(col("cents") * col("cents")).over(tw).cast("double")
               .as("ss"))
           .filter(!col("__carry"))
+          // zero-variance guard (100× stress finding): a trailing frame
+          // of 100 IDENTICAL values has sd = 0 — ANSI division throws
+          // where the score is simply undefined. The variance numerator
+          // is exact integer arithmetic in double, so `> 0` is a clean
+          // test; zero-variance windows emit NULL like warm-up rows.
+          // CASE branches are lazy on both engines, so the division
+          // never evaluates when the guard fails.
           .withColumn("z",
-            when(col("cnt") >= 20,
+            when(col("cnt") >= 20 &&
+                (col("cnt") * col("ss") - col("s") * col("s")) > 0,
               (col("cents") - col("s") / col("cnt")) /
                 sqrt((col("cnt") * col("ss") - col("s") * col("s")) /
                   (col("cnt") * (col("cnt") - 1.0)))))

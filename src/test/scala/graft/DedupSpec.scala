@@ -25,9 +25,46 @@ class DedupSpec extends SparkSpec {
   test("exact/jaccard/minhash plans contain no cartesian product") {
     for (q <- Seq("dedup_exact", "dedup_exact_hash", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_embedding_cosine",
-        "dedup_fuzzy_name_join")) {
+        "dedup_fuzzy_name_join", "dedup_substring_spans")) {
       assertNoCartesian(SparkEntry.queries(q)(spark, sf), q)
     }
+  }
+
+  test("substring spans match an independent reference implementation") {
+    // reference: count every 8-token window across the corpus, mark
+    // positions whose window repeats (anywhere, incl. within the same
+    // doc), merge overlapping-or-adjacent marked windows into maximal
+    // intervals — all in plain driver-side Scala, no shared code with
+    // the query under test.
+    val k = 8
+    val toks = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).toIndexedSeq)
+    val windowCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- toks; p <- 0 to ts.length - k)
+      windowCount.updateWith(ts.slice(p, p + k).mkString(" ")) {
+        c => Some(c.getOrElse(0) + 1)
+      }
+    val expected = (for {
+      (id, ts) <- toks.toSeq
+      marked = (0 to ts.length - k).filter(p =>
+        windowCount(ts.slice(p, p + k).mkString(" ")) > 1)
+      if marked.nonEmpty
+      span <- marked.tail.foldLeft(List((marked.head, marked.head))) {
+        // merge when the next start is within k of the previous start
+        case ((s0, e0) :: rest, p) if p - e0 <= k => (s0, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+    } yield (id, span._1 + 1L, span._2 + k.toLong,
+      (span._2 + k - span._1).toLong)).toSet
+    val got = SparkEntry.queries("dedup_substring_spans")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"spans diverge: extra=${got -- expected}, missing=${expected -- got}")
+    assert(got.nonEmpty, "sf0.001 corpus plants duplicates; spans expected")
   }
 
   test("exact dedup groups identical texts under one keeper") {

@@ -194,14 +194,39 @@ object ScaleStress {
     val outJson = args.lift(2).getOrElse("/root/repo/BENCH_scale10.json")
     val scaledDir = s"${Tables.scratchRoot}/scale$copies"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def mkSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = mkSession()
+    // one query's executor OOM can take the whole SparkContext down in
+    // local mode (observed: graph_triangle_count at 100× killed the
+    // remaining 6 families with "stopped SparkContext") — rebuild
+    // between queries so each family's verdict is its own
+    def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
+      println("[scale] SparkContext died — rebuilding session")
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      spark = mkSession()
+    }
+    // Production partitioning model: a copies× corpus on a real cluster
+    // runs with ~copies× the shuffle tasks (partition count follows
+    // data, per-task memory stays constant — the harness's fixed 32
+    // instead grew per-task state linearly and OOM'd the graph family
+    // at 100×). AQE's initialPartitionNum scales the starting width for
+    // the scaled dir and coalesces small stages back down, so base-dir
+    // timings keep their exact round-8 config.
+    val scaledParts = math.min(1024, cpus.toInt * copies)
+    def partitionsFor(dir: String): Unit =
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        if (dir == baseDir) cpus.toInt else scaledParts)
 
     println(s"[scale] building ${copies}x corpus under $scaledDir")
     buildScaled(spark, baseDir, scaledDir, copies)
@@ -224,6 +249,7 @@ object ScaleStress {
     val loadBefore = loadavg()
 
     def timed(name: String, dir: String): (Double, Long) = {
+      partitionsFor(dir)
       var rows = -1L
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -252,6 +278,7 @@ object ScaleStress {
         if only.forall(_.contains(name))) {
       val entry =
         try {
+          ensureAlive()
           val (t1, r1) = timed(name, baseDir)
           val (tN, rN) = timed(name, scaledDir)
           val ratio = math.round(tN / t1 * 100) / 100.0
@@ -275,9 +302,11 @@ object ScaleStress {
     // into a pair shuffle because the verify rides inside the join.
     val candJson =
       try {
+        ensureAlive()
         val clusteredDir = s"$scaledDir-clustered"
         val k = buildClustered(spark, scaledDir, clusteredDir)
         def occ(d: String): Long = {
+          partitionsFor(d)
           val c = graft.operators.Dedup.embCandidateOccurrences(spark, d)
           spark.catalog.clearCache(); c
         }
@@ -304,7 +333,9 @@ object ScaleStress {
       s"""{"base":"$baseDir","copies":$copies,""" +
       s""""queries":{${rowsOut.result()}},"errors":$errJson$candJson,""" +
       s""""load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},""" +
-      s""""nproc":${Runtime.getRuntime.availableProcessors}}"""
+      s""""nproc":${Runtime.getRuntime.availableProcessors},""" +
+      s""""heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +
+      s""""scaled_partitions":$scaledParts}"""
     Files.writeString(Paths.get(outJson), json + "\n")
     println(s"[scale] wrote $outJson")
     spark.stop()
