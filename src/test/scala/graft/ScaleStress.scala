@@ -222,7 +222,12 @@ object ScaleStress {
     // at 100×). AQE's initialPartitionNum scales the starting width for
     // the scaled dir and coalesces small stages back down, so base-dir
     // timings keep their exact round-8 config.
-    val scaledParts = math.min(1024, cpus.toInt * copies)
+    // cap 256: partitions must track DATA, not copies×cpus unboundedly —
+    // an uncapped 100×32=1024 initial width made every map task write
+    // 1024 tiny blocks for a ~2 GB corpus and tripled the shuffle-heavy
+    // ngram join (178 s vs 58 s at 32); 256 keeps per-task state small
+    // (≈8 MB compressed input each) without drowning in block overhead
+    val scaledParts = math.min(256, cpus.toInt * copies)
     def partitionsFor(dir: String): Unit =
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
