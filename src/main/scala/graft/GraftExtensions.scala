@@ -92,6 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => LshBucket(exprs(0), exprs(1), exprs(2))),
       ("minhash_sig", "minhash_sig(hashes, perms) - MinHash signature",
         exprs => MinHashSig(exprs(0), exprs(1))),
+      ("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |A intersect B| of sorted bigint arrays",
+        exprs => graft.functions.SortedIntersectSize(exprs(0), exprs(1))),
       ("ngrams_gen", "ngrams_gen(tokens, n) - generator of (pos, ngram) rows",
         exprs => NGramsGenerator(exprs(0), exprs(1))),
       ("misra_gries",

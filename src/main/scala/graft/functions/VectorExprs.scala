@@ -73,6 +73,28 @@ object VectorOps {
     bucket
   }
 
+  /** |A ∩ B| for two SORTED distinct long arrays by merge scan —
+    * O(m+n), zero allocation. The MinHash verify needs only the SIZE of
+    * the intersection (|A∪B| follows as |A|+|B|−|A∩B|);
+    * `array_intersect`+`array_union` built two per-row hash sets and
+    * materialized both result arrays per band meeting, which dominated
+    * the 100× wall-clock (58.5M meetings measured by MinhashProbe). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val m = a.numElements()
+    val n = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < m && j < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   final val MinHashP = 998244353L
 
   /** MinHash signature over shingle hashes (linear permutations mod P). */
@@ -96,6 +118,40 @@ object VectorOps {
     }
     sig
   }
+}
+
+/** `sorted_intersect_size(array<bigint>, array<bigint>) -> int`: merge-
+  * scan |A ∩ B| over two sorted distinct long arrays (VectorOps
+  * .sortedIntersectSize). The caller owns the sortedness invariant —
+  * Dedup.minhashBandFrame sorts `hs` at construction.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires (array<bigint>, array<bigint>)," +
+          s" got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any =
+    VectorOps.sortedIntersectSize(
+      aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VectorOps.sortedIntersectSize($a, $b);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `minhash_sig(array<bigint>, perms bigint) -> array<bigint>`: for each
@@ -236,11 +292,20 @@ object VectorExprs {
       "lsh_bucket", exprs => LshBucket(exprs(0), exprs(1), exprs(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
   }
 
   def minhashSig(spark: SparkSession, hashes: Column, perms: Int): Column = {
     register(spark)
     call_function("minhash_sig", hashes, lit(perms))
+  }
+
+  def sortedIntersectSize(spark: SparkSession, a: Column, b: Column)
+      : Column = {
+    register(spark)
+    call_function("sorted_intersect_size", a, b)
   }
 
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {

@@ -121,6 +121,86 @@ object Dedup extends QueryModule {
       (r * b, b, r)
     }
 
+  /** The MinHash band frame (doc_id, hs, band_id, bkey) shared by
+    * dedup_minhash_lsh and the ScaleStress band-occupancy probe.
+    *
+    * VERIFY INSIDE THE BAND JOIN (the dedup_embedding_cosine pattern):
+    * the shingle-hash set rides the band frame (N × bands rows —
+    * bounded, linear in N) and the exact-Jaccard filter sits directly
+    * in the join projection, so candidate PAIRS are never materialized
+    * to a shuffle — they stream through the codegen'd join stage and
+    * only survivors (≈ true pairs × ≤ bands multiplicity) reach the
+    * distinct. The previous id-only candidate set + two re-attach joins
+    * shuffled the full pair set plus two shingle arrays per pair:
+    * quadratic traffic in bucket occupancy, measured as the worst
+    * family ratio (43×) in the round-8 100× stress.
+    *
+    * Jaccard is computed over the SORTED DISTINCT shingle-HASH sets
+    * (sort_array(array_distinct(hs))), not the shingle strings, and the
+    * verify evaluates ONE zero-allocation merge scan per meeting
+    * (sorted_intersect_size; |A∪B| from the size identity). Measured on
+    * the 100× corpus (MinhashProbe, 500k docs, 58.5M meetings, max
+    * bucket occupancy 100): string-array verify 562 s → long-set hash
+    * verify 99 s → sorted merge-scan verify 23.8 s, identical pair
+    * output at every step. Identical-by-construction in the DuckDB
+    * oracle (same md5-mod hashes on both sides); vs string Jaccard the
+    * value differs only on mod-1000003 collisions (~|A||B|/1e6 ≈ 1e-2
+    * expected false intersections per candidate pair at 100-shingle
+    * docs).
+    *
+    * The frame is persisted (the signature pipeline feeds both sides of
+    * the band self-join, and Spark only reuses *shuffle* exchanges);
+    * callers release via clearCache. */
+  private[graft] def minhashBandFrame(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.VectorExprs
+    // N-adaptive banding, sized from the parquet footer (no Spark job
+    // at plan-construction); pinned 16-perm/4×4 below MinhashPinnedN so
+    // every oracled run bit-replays in DuckDB.
+    val (perms, bands, rows) = minhashConfig(
+      Tables.footerRowCount(s, s"$dir/documents.parquet"))
+    // sort_array: invisible to Jaccard (set semantics) and to the
+    // signature (min over a set), but it lets the verify compute
+    // |A∩B| by a zero-allocation merge scan (sorted_intersect_size)
+    // instead of array_intersect's per-meeting hash set + materialized
+    // result array — the verify was the 100× hot spot (MinhashProbe:
+    // 58.5M meetings, verify ≈ 80% of wall-clock).
+    val docs = docShingles(s, dir)
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(col("sh"), x =>
+          conv(substring(md5(x), 1, 12), 16, 10).cast("long") % 1000003L)))
+          .as("hs"))
+      .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), perms))
+      .persist()
+    docs.select(
+      col("doc_id"), col("hs"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band_id"),
+          // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
+          // engine-neutral band keys are what make the whole LSH
+          // pipeline oracle-replayable
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              _.cast("string")))).as("bkey"))))
+        .as("band"))
+      .select(col("doc_id"), col("hs"),
+        col("band.band_id"), col("band.bkey"))
+  }
+
+  /** Band-join meeting count (join rows BEFORE the Jaccard filter) —
+    * the quantity adaptive banding must hold ~linear in N. Column
+    * pruning drops `hs` from both sides here, so this also times the
+    * THIN band join (no verify payload) against the full query. */
+  private[graft] def minhashMeetings(s: SparkSession, dir: String): Long = {
+    val bf = minhashBandFrame(s, dir)
+    bf.as("x")
+      .join(bf.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .count()
+  }
+
   /** N-adaptive hyperplane-LSH sizing for embedding dedup → (bits,
     * tables). Pinned (8, 24) for n ≤ 8192 — exact-match proven against
     * the all-pairs oracle at sf0.01 AND sf0.1 (the jump at the cutoff
@@ -475,61 +555,16 @@ object Dedup extends QueryModule {
         SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
       (s, dir) => {
         import graft.functions.VectorExprs
-        // N-adaptive banding, sized from the parquet footer (no Spark
-        // job at plan-construction); pinned 16-perm/4×4 below
-        // MinhashPinnedN so every oracled run bit-replays in DuckDB.
-        val (perms, bands, rows) = minhashConfig(
-          Tables.footerRowCount(s, s"$dir/documents.parquet"))
-        // persisted: the signature pipeline feeds both sides of the band
-        // self-join, and Spark only reuses *shuffle* exchanges — without
-        // the persist the whole tokenize→shingle→minhash chain runs
-        // twice. Jaccard is computed over the DISTINCT shingle-HASH sets
-        // (array_distinct(hs)), not the shingle strings: the verify
-        // payload riding the band frame shrinks from ~2 KB of strings to
-        // 8-byte longs per shingle, and the per-meeting set intersect
-        // hashes longs instead of re-hashing every string — measured 5×
-        // end-to-end on the 100× corpus (562 s → see BENCH_scale100).
-        // Identical-by-construction in the DuckDB oracle (same md5-mod
-        // hashes on both sides); vs string Jaccard the value differs
-        // only on mod-1000003 collisions (~|A||B|/1e6 ≈ 1e-2 expected
-        // false intersections per candidate pair at 100-shingle docs).
-        val docs = docShingles(s, dir)
-          .select(col("doc_id"),
-            array_distinct(transform(col("sh"), x =>
-              conv(substring(md5(x), 1, 12), 16, 10).cast("long") % 1000003L))
-              .as("hs"))
-          .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), perms))
-          .persist()
-        // VERIFY INSIDE THE BAND JOIN (the dedup_embedding_cosine
-        // pattern, Dedup.scala round-8 rewrite): the shingle set rides
-        // the band frame (N × bands rows — bounded, linear in N) and the
-        // exact-Jaccard filter sits directly in the join projection, so
-        // candidate PAIRS are never materialized to a shuffle — they
-        // stream through the codegen'd join stage and only survivors
-        // (true pairs × ≤ bands multiplicity) reach the distinct. The
-        // previous id-only candidate set + two re-attach joins shuffled
-        // the full pair set plus two shingle arrays per pair: quadratic
-        // traffic in bucket occupancy, measured as the worst family
-        // ratio (43×) in the round-8 100× stress.
-        val bandFrame = docs.select(
-          col("doc_id"), col("hs"),
-          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-            struct(b.as("band_id"),
-              // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
-              // engine-neutral band keys are what make the whole LSH
-              // pipeline oracle-replayable
-              md5(concat_ws(",",
-                transform(slice(col("sig"), b * rows + 1, lit(rows)),
-                  _.cast("string")))).as("bkey"))))
-            .as("band"))
-          .select(col("doc_id"), col("hs"),
-            col("band.band_id"), col("band.bkey"))
+        val bandFrame = minhashBandFrame(s, dir)
         // no broadcast hint: the band table is per-doc (unbounded at
         // scale) — the equi-join shuffles on (band_id, bkey) and AQE
-        // broadcasts by itself when the input is actually small
-        val jac =
-          size(array_intersect(col("x.hs"), col("y.hs"))).cast("double") /
-            size(array_union(col("x.hs"), col("y.hs")))
+        // broadcasts by itself when the input is actually small.
+        // |A∪B| = |A|+|B|−|A∩B| (exact set identity, same arithmetic
+        // the oracle's sizes CTE uses), so ONE merge-scan per meeting.
+        val inter = VectorExprs.sortedIntersectSize(
+          s, col("x.hs"), col("y.hs"))
+        val jac = inter.cast("double") /
+          (size(col("x.hs")) + size(col("y.hs")) - inter)
         bandFrame.as("x")
           .join(bandFrame.as("y"),
             col("x.band_id") === col("y.band_id") &&
