@@ -122,4 +122,29 @@ object Tables {
   implicit class LineageOps(private val df: DataFrame) extends AnyVal {
     def truncated: DataFrame = truncateLineage(df)
   }
+
+  /** Run `body` (a BSP loop whose rounds execute eagerly inside) with
+    * the session shuffle width pinned to `width`, restoring prior
+    * values afterwards. Pins BOTH `spark.sql.shuffle.partitions` AND
+    * AQE's `coalescePartitions.initialPartitionNum`: whenever the
+    * latter is configured session-wide (the scale-stress harness does
+    * exactly that), AQE takes ITS value as the pre-coalesce width and
+    * silently ignores shuffle.partitions — so a loop that pinned only
+    * shuffle.partitions ran at the harness's 256, not the measured
+    * edges/1M it computed. */
+  def withLoopWidth[T](s: SparkSession, width: Long)(body: => T): T = {
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevInit = s.conf.getOption(initKey)
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
+    s.conf.set(initKey, width.toString)
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevInit match {
+        case Some(v) => s.conf.set(initKey, v)
+        case None => s.conf.unset(initKey)
+      }
+    }
+  }
 }

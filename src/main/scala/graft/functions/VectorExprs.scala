@@ -130,11 +130,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // containsNull = false REQUIRED: the merge scan getLong()s every
+      // slot, and a null slot would silently read as garbage instead of
+      // failing. Every in-repo producer (sort_array over a non-null
+      // collect) yields containsNull=false; a general SQL caller with a
+      // nullable-element array must fail at analysis, not corrupt counts.
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_size requires (array<bigint>, array<bigint>)," +
-          s" got (${l.sql}, ${r.sql})")
+        s"sorted_intersect_size requires (array<bigint not null>, " +
+          s"array<bigint not null>) — sorted, null-free elements — " +
+          s"got (${l.sql}, ${r.sql})")
     }
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType

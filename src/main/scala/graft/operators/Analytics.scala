@@ -40,9 +40,6 @@ object Analytics extends QueryModule {
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val TsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
 
-  /** Undirected bipartite part↔supplier graph from lineitem:
-    * node ids: part → 2·l_partkey, supplier → 2·l_suppkey+1 (disjoint
-    * integer node space, no string keys in the shuffle). */
   /** Rows of a BSP-loop frame one task should own (the Dedup
     * .componentsLoop discipline): loops re-shuffle every round, so the
     * width floor (8) keeps test-scale graphs from drowning in task
@@ -50,6 +47,9 @@ object Analytics extends QueryModule {
     * before any single task owns an OOM-sized slice. */
   private val LoopRowsPerTask = 1000000L
 
+  /** Undirected bipartite part↔supplier graph from lineitem:
+    * node ids: part → 2·l_partkey, supplier → 2·l_suppkey+1 (disjoint
+    * integer node space, no string keys in the shuffle). */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val e0 = t(s, dir, "lineitem")
       .select((col("l_partkey") * 2).as("src"),
@@ -63,6 +63,63 @@ object Analytics extends QueryModule {
       |             FROM lineitem),
       |e AS (SELECT src, dst FROM e0
       |      UNION ALL SELECT dst, src FROM e0)""".stripMargin
+
+  /** Degree-ordered oriented edge list of the one-ship-year co-supplier
+    * graph — the triangle query's candidate structure, shared with the
+    * ScaleStress wedge probe so the "growth is join width, not blow-up"
+    * claim is MEASURED (wedges_base/wedges_scaled in the artifact), not
+    * argued from plan shape.
+    *
+    * One ship-year scope: the per-part pair enumeration is the
+    * quadratic step (C(suppliers-per-part, 2) rows per part — same
+    * shape as the n-gram dedup candidate join), so a motif query
+    * scopes its snapshot; the filter reaches the parquet scan.
+    * (degree, id) rank per vertex, then re-orient each undirected edge
+    * from lower to higher rank — two equi-joins on the edge list
+    * against the |V|-row degree table; wedge fan-out is then bounded
+    * by arboricity O(√m), not by hub degree. */
+  private[graft] def orientedCoSupplierEdges(
+      s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+      .distinct()
+    val und = ps.as("a")
+      .join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+      .select(col("a.sup").as("u"), col("b.sup").as("v"))
+      .distinct()
+      .truncated // reused: degree count (both endpoints) + reorient
+    val deg = und.select(col("u").as("vid"))
+      .unionByName(und.select(col("v").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("d"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    und
+      .join(deg.select(col("vid").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("vid").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+        when(uFirst, col("v")).otherwise(col("u")).as("hi"))
+      .truncated // reused 3×: wedge build (2 sides) + closure
+  }
+
+  /** (oriented wedges, closed wedges) — the probe quantities behind the
+    * triangle query's scale ratio. */
+  private[graft] def triangleWedgeStats(
+      s: SparkSession, dir: String): (Long, Long) = {
+    val e = orientedCoSupplierEdges(s, dir)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+        col("e2.hi").as("c"))
+      .truncated
+    val closed = wedges.join(e.as("e3"),
+      col("a") === col("e3.lo") && col("c") === col("e3.hi"),
+      "left_semi").count()
+    (wedges.count(), closed)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -239,21 +296,21 @@ object Analytics extends QueryModule {
         // BSP loop hygiene (same shape as Dedup.componentsLoop): truncate
         // lineage each round with localCheckpoint — without it the final
         // plan re-derives every prior round.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          // loop shuffle width from the MEASURED edge count (the
-          // componentsLoop discipline): the old fixed-8 pin OOM'd the
-          // rank hashAgg in the 100× stress — 8 tasks each owning 1/8 of
-          // a 100×-edge join is a memory bug, not a tuning choice. The
-          // count is free off the materialized checkpoint; the 8-task
-          // floor keeps per-round task-launch overhead negligible on
-          // test-scale graphs.
-          val e = edges(s, dir)
-          val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-          // edge list with out-degree attached once, reused every round
-          val eDeg = e.join(deg, "src").truncated
-          s.conf.set("spark.sql.shuffle.partitions",
-            math.max(8L, eDeg.count() / LoopRowsPerTask).toString)
+        // Loop shuffle width from the MEASURED edge count (the
+        // componentsLoop discipline): the old fixed-8 pin OOM'd the
+        // rank hashAgg in the 100× stress — 8 tasks each owning 1/8 of
+        // a 100×-edge join is a memory bug, not a tuning choice. The
+        // count is free off the materialized checkpoint; the 8-task
+        // floor keeps per-round task-launch overhead negligible on
+        // test-scale graphs. withLoopWidth pins AQE's
+        // initialPartitionNum too, or the harness's session-wide value
+        // would override the measured width.
+        val e = edges(s, dir)
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        // edge list with out-degree attached once, reused every round
+        val eDeg = e.join(deg, "src").truncated
+        Tables.withLoopWidth(s,
+          math.max(8L, eDeg.count() / LoopRowsPerTask)) {
           val n = eDeg.select("src").distinct().count()
           val tele = ((SCALE * 15) / 100) / n
           var ranks = eDeg.select(col("src").as("node")).distinct()
@@ -274,7 +331,7 @@ object Analytics extends QueryModule {
             col("r").as("rank_scaled"))
             .orderBy(col("rank_scaled").desc, col("node"))
             .limit(20)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       }),
 
     // ---- BFS minimum-hop distance: 4 frontier rounds from nation-0
@@ -306,13 +363,11 @@ object Analytics extends QueryModule {
         // once per later round (exponential recomputation); with it each
         // superstep reads materialized leaves — the BSP barrier made
         // explicit. Loop shuffle width sized from the measured edge
-        // count like componentsLoop (floor 8).
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          val e = edges(s, dir).truncated
-          // measured-width loop sizing — see graph_pagerank_3iter
-          s.conf.set("spark.sql.shuffle.partitions",
-            math.max(8L, e.count() / LoopRowsPerTask).toString)
+        // count like componentsLoop (floor 8); withLoopWidth pins AQE's
+        // initialPartitionNum alongside shuffle.partitions.
+        val e = edges(s, dir).truncated
+        // measured-width loop sizing — see graph_pagerank_3iter
+        Tables.withLoopWidth(s, math.max(8L, e.count() / LoopRowsPerTask)) {
           val seeds = t(s, dir, "supplier")
             .filter(col("s_nationkey") === 0)
             .select((col("s_suppkey") * 2 + 1).as("node"))
@@ -337,7 +392,7 @@ object Analytics extends QueryModule {
               .as("node_type"),
             col("min_hop"))
             .orderBy("node")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       }),
 
     // ---- triangle counting (graph motif matching) on the co-supplier
@@ -372,36 +427,7 @@ object Analytics extends QueryModule {
         SELECT 'n_triangles', CAST(count(*) AS BIGINT) FROM tri
         ORDER BY metric"""),
       (s, dir) => {
-        // one ship-year scope: the per-part pair enumeration is the
-        // quadratic step (C(suppliers-per-part, 2) rows per part — same
-        // shape as the n-gram dedup candidate join), so a motif query
-        // scopes its snapshot; the filter reaches the parquet scan
-        val ps = t(s, dir, "lineitem")
-          .filter(col("l_shipdate") >= lit("1996-01-01") &&
-            col("l_shipdate") < lit("1997-01-01"))
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
-          .distinct()
-        val und = ps.as("a")
-          .join(ps.as("b"),
-            col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
-          .select(col("a.sup").as("u"), col("b.sup").as("v"))
-          .distinct()
-          .truncated // reused: degree count (both endpoints) + reorient
-        // (degree, id) rank per vertex, then re-orient each undirected
-        // edge from lower to higher rank — two equi-joins on the edge
-        // list against the |V|-row degree table
-        val deg = und.select(col("u").as("vid"))
-          .unionByName(und.select(col("v").as("vid")))
-          .groupBy("vid").agg(count(lit(1)).as("d"))
-        val uFirst = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val e = und
-          .join(deg.select(col("vid").as("u"), col("d").as("du")), "u")
-          .join(deg.select(col("vid").as("v"), col("d").as("dv")), "v")
-          .select(
-            when(uFirst, col("u")).otherwise(col("v")).as("lo"),
-            when(uFirst, col("v")).otherwise(col("u")).as("hi"))
-          .truncated // reused 3×: wedge build (2 sides) + closure
+        val e = orientedCoSupplierEdges(s, dir)
         val wedges = e.as("e1")
           .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
           .select(col("e1.lo").as("a"), col("e1.hi").as("b"),

@@ -167,38 +167,67 @@ object Dedup extends QueryModule {
     // 58.5M meetings, verify ≈ 80% of wall-clock).
     val docs = docShingles(s, dir)
       .select(col("doc_id"),
+        // coalesce(…, 0): never fires (shingles are non-null strings by
+        // construction) but it makes the lambda PROVABLY non-nullable,
+        // so `hs` types as array<bigint not null> — which the strict
+        // sorted_intersect_size type check (null slots would getLong
+        // garbage) requires at analysis time
         sort_array(array_distinct(transform(col("sh"), x =>
-          conv(substring(md5(x), 1, 12), 16, 10).cast("long") % 1000003L)))
+          coalesce(
+            conv(substring(md5(x), 1, 12), 16, 10).cast("long") % 1000003L,
+            lit(0L)))))
           .as("hs"))
       .withColumn("sig", VectorExprs.minhashSig(s, col("hs"), perms))
       .persist()
+    // `pre` = the band keys of all EARLIER bands (slice of length
+    // band_id): a true pair's bands agree in up to `bands` places, and
+    // without it the Jaccard merge scan ran once per agreeing band
+    // (round-9 residual: ≤ b× verify multiplicity). A meeting now
+    // verifies only in its MINIMAL agreeing band — the `pre` arrays of
+    // the two sides disagree everywhere — making each surviving pair
+    // structurally unique (no dedup shuffle needed downstream). Cost:
+    // avg (b−1)/2 extra 32-char keys per band row, repaid at the first
+    // multi-band duplicate; the prefix comparison is O(band_id) string
+    // equality per meeting vs O(|hs|) merge scan per skipped verify.
     docs.select(
       col("doc_id"), col("hs"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band_id"),
-          // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
-          // engine-neutral band keys are what make the whole LSH
-          // pipeline oracle-replayable
-          md5(concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, lit(rows)),
-              _.cast("string")))).as("bkey"))))
-        .as("band"))
+      // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
+      // engine-neutral band keys are what make the whole LSH
+      // pipeline oracle-replayable
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            _.cast("string"))))).as("bkeys"))
       .select(col("doc_id"), col("hs"),
-        col("band.band_id"), col("band.bkey"))
+        posexplode(col("bkeys")).as(Seq("band_id", "bkey")),
+        col("bkeys"))
+      .select(col("doc_id"), col("hs"), col("band_id"), col("bkey"),
+        slice(col("bkeys"), lit(1), col("band_id")).as("pre"))
   }
+
+  /** Meeting is in its minimal agreeing band ⟺ every earlier band key
+    * pair disagrees. Evaluated on ≤ bands−1 string slots per meeting —
+    * orders cheaper than the per-meeting Jaccard merge scan it gates. */
+  private[graft] def firstAgreeingBand: Column =
+    !exists(zip_with(col("x.pre"), col("y.pre"), (a, b) => a === b),
+      identity)
 
   /** Band-join meeting count (join rows BEFORE the Jaccard filter) —
     * the quantity adaptive banding must hold ~linear in N. Column
     * pruning drops `hs` from both sides here, so this also times the
     * THIN band join (no verify payload) against the full query. */
-  private[graft] def minhashMeetings(s: SparkSession, dir: String): Long = {
+  private[graft] def minhashMeetings(s: SparkSession, dir: String,
+      gated: Boolean = false): Long = {
     val bf = minhashBandFrame(s, dir)
-    bf.as("x")
+    val met = bf.as("x")
       .join(bf.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .count()
+    // gated = the meetings that actually reach the Jaccard merge scan
+    // after the minimal-agreeing-band filter — the probe's measure of
+    // verify multiplicity (raw/gated ≈ avg agreeing bands per pair).
+    (if (gated) met.filter(firstAgreeingBand) else met).count()
   }
 
   /** N-adaptive hyperplane-LSH sizing for embedding dedup → (bits,
@@ -335,6 +364,26 @@ object Dedup extends QueryModule {
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 
+  /** Posting-list co-occurrence count (inverted-index join rows BEFORE
+    * the pair aggregate) for dedup_ngram_jaccard — the canary probe's
+    * measure of how the df cap behaves under planted dense clusters: a
+    * 1000-member near-identical cluster pushes every shared gram's df
+    * to ~1000 ≫ DfCap, so dfCapped DROPS those postings and the
+    * detector goes (deliberately, and now measurably) blind to the
+    * cluster — the cost trade the cap buys; MinHash, with no df cap,
+    * is the detector that owns dense clusters. */
+  private[graft] def ngramMeetings(s: SparkSession, dir: String): Long = {
+    val docs = docShingles(s, dir, requireNonEmpty = false)
+    val ex = dfCapped(
+      docs.select(col("doc_id"),
+        explode(transform(col("sh"), xxhash64(_))).as("bg")),
+      "bg", DfCap)
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+  }
+
   /** Connected components of an undirected pair graph: per round, (1) min
     * over neighbor labels, then (2) pointer-jump lbl := label(lbl). Plain
     * propagation alone needs O(diameter) rounds — a long duplicate CHAIN
@@ -362,11 +411,10 @@ object Dedup extends QueryModule {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").truncated
+    // withLoopWidth pins AQE's initialPartitionNum too — a session-wide
+    // harness value would otherwise override the measured width.
     val loopWidth = math.max(8L, edges.count() / RowsPerLoopTask)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
-    try componentsLoop(edges)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    Tables.withLoopWidth(s, loopWidth)(componentsLoop(edges))
   }
 
   private def componentsLoop(edges: DataFrame): DataFrame = {
@@ -570,10 +618,13 @@ object Dedup extends QueryModule {
             col("x.band_id") === col("y.band_id") &&
               col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
-          .filter(jac >= 0.2)
+          // minimal-agreeing-band gate FIRST (cheap prefix compare),
+          // Jaccard merge scan only on the one surviving meeting per
+          // pair — which also makes pairs structurally unique, so the
+          // old post-verify .distinct() shuffle is gone entirely.
+          .filter(firstAgreeingBand && jac >= 0.2)
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
             round(jac, 6).as("jaccard"))
-          .distinct()
           .orderBy("id_a", "id_b")
       }),
 

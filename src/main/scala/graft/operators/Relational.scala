@@ -547,7 +547,8 @@ object Relational extends QueryModule {
           SELECT event_id, cents,
                  CAST(count(cents) OVER tw AS DOUBLE) AS cnt,
                  CAST(sum(cents) OVER tw AS DOUBLE) AS s,
-                 CAST(sum(cents * cents) OVER tw AS DOUBLE) AS ss
+                 CAST(sum(cents * cents) OVER tw AS DOUBLE) AS ss,
+                 min(cents) OVER tw < max(cents) OVER tw AS spread
           FROM e
           WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
                         ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
@@ -557,7 +558,8 @@ object Relational extends QueryModule {
                  AS is_outlier
         FROM (
           SELECT event_id,
-                 CASE WHEN cnt >= 20 AND (cnt * ss - s * s) > 0 THEN
+                 CASE WHEN cnt >= 20 AND spread
+                       AND (cnt * ss - s * s) > 0 THEN
                    (cents - s / cnt)
                      / sqrt((cnt * ss - s * s) / (cnt * (cnt - 1.0)))
                  END AS z
@@ -612,17 +614,27 @@ object Relational extends QueryModule {
             count(col("cents")).over(tw).cast("double").as("cnt"),
             sum(col("cents")).over(tw).cast("double").as("s"),
             sum(col("cents") * col("cents")).over(tw).cast("double")
-              .as("ss"))
+              .as("ss"),
+            (min(col("cents")).over(tw) < max(col("cents")).over(tw))
+              .as("spread"))
           .filter(!col("__carry"))
           // zero-variance guard (100× stress finding): a trailing frame
           // of 100 IDENTICAL values has sd = 0 — ANSI division throws
-          // where the score is simply undefined. The variance numerator
-          // is exact integer arithmetic in double, so `> 0` is a clean
-          // test; zero-variance windows emit NULL like warm-up rows.
-          // CASE branches are lazy on both engines, so the division
-          // never evaluates when the guard fails.
+          // where the score is simply undefined. Two conjuncts, both
+          // evaluated identically by the oracle (its SQL casts
+          // cnt/s/ss to DOUBLE too, so the float test is bit-identical
+          // cross-engine even past 2^53 where it stops being exact):
+          //  - `spread` (exact integer min<max over the frame, immune
+          //    to overflow at any magnitude) kills the all-identical
+          //    frame where fl(cnt·ss)−fl(s·s) can round to a spurious
+          //    positive and emit a garbage huge z on BOTH engines;
+          //  - the float `> 0` protects the division when cancellation
+          //    rounds a tiny true variance down to ≤ 0.
+          // Either failing emits NULL like warm-up rows; CASE branches
+          // are lazy on both engines, so the division never evaluates
+          // when the guard fails.
           .withColumn("z",
-            when(col("cnt") >= 20 &&
+            when(col("cnt") >= 20 && col("spread") &&
                 (col("cnt") * col("ss") - col("s") * col("s")) > 0,
               (col("cents") - col("s") / col("cnt")) /
                 sqrt((col("cnt") * col("ss") - col("s") * col("s")) /

@@ -94,6 +94,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash verify fires once per pair: output is duplicate-free without a distinct") {
+    // the minimal-agreeing-band gate makes each surviving pair
+    // structurally unique (the old plan needed a .distinct() shuffle to
+    // collapse per-band repeats); a regression in the gate would
+    // resurface here as duplicated (id_a, id_b) rows
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    val n = lsh.count()
+    val distinctPairs = lsh.select("id_a", "id_b").distinct().count()
+    assert(n == distinctPairs,
+      s"minhash emitted $n rows but only $distinctPairs distinct pairs")
+    // and the gate only dedups — it must not LOSE pairs: every raw band
+    // meeting above threshold corresponds to a surviving pair
+    val gatedMeetings =
+      operators.Dedup.minhashMeetings(spark, sf, gated = true)
+    val rawMeetings = operators.Dedup.minhashMeetings(spark, sf)
+    assert(gatedMeetings <= rawMeetings)
+    assert(gatedMeetings >= n,
+      s"gated meetings $gatedMeetings < surviving pairs $n — gate dropped" +
+        " a first agreement")
+    spark.catalog.clearCache()
+  }
+
   test("embedding-cosine near-dup pairs are true high-cosine pairs") {
     val found = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
     // every reported pair really has cosine >= 0.95 (the verify step is

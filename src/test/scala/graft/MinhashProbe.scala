@@ -39,12 +39,14 @@ object MinhashProbe {
     }
     val meetings = timed("thin band join (meetings)")(
       operators.Dedup.minhashMeetings(spark, dir))
+    val gated = timed("first-band gated meetings")(
+      operators.Dedup.minhashMeetings(spark, dir, gated = true))
     spark.catalog.clearCache()
     val pairs = timed("full verify query") {
       SparkEntry.queries("dedup_minhash_lsh")(spark, dir).count()
     }
     println(s"[probe] band rows=$nBand maxBucket=$maxBucket " +
-      s"meetings=$meetings pairs=$pairs")
+      s"meetings=$meetings gated=$gated pairs=$pairs")
     spark.stop()
   }
 }

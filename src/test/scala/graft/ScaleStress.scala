@@ -166,6 +166,50 @@ object ScaleStress {
     k
   }
 
+  /** Dense-cluster canary for the TEXT detectors (round-9 verdict item
+    * 4 — the embedding canary's sibling): ~1% of the scaled docs are
+    * replaced by members of k 1000-member near-identical clusters, each
+    * member its cluster center's text plus three member-unique tail
+    * tokens (pairwise trigram Jaccard ≈ 0.9, far above both detectors'
+    * 0.2 threshold). The axes being measured: MinHash band meetings are
+    * quadratic in CLUSTER size (all members land in one bucket per
+    * band) — the gate must collapse the ×bands multiplicity to one
+    * verify per pair; the n-gram df cap (every cluster-shared gram's df
+    * ≈ 1000 ≫ 64) must go measurably BLIND to the cluster (postings
+    * dropped), the recall trade the cap deliberately makes. Only
+    * documents is written; doc count and ids are unchanged. */
+  def buildTextClustered(spark: SparkSession, scaledDir: String,
+      outDir: String): Long = {
+    Files.createDirectories(Paths.get(outDir))
+    val docs = spark.read.parquet(s"$scaledDir/documents.parquet")
+    val n = docs.count()
+    val k = math.max(1L, n / 100 / 1000)
+    val target = s"$outDir/documents.parquet"
+    val exists =
+      try spark.read.parquet(target).count() == n
+      catch { case _: Throwable => false }
+    if (!exists) {
+      val centers = docs.filter(col("doc_id") >= 0 && col("doc_id") < k)
+        .select(col("doc_id").as("cid"), col("text").as("center"))
+      docs
+        .withColumn("cid",
+          when(pmod(col("doc_id"), lit(100)) === 17,
+            pmod(floor(col("doc_id") / 100), lit(k)).cast("long"))
+            .otherwise(lit(-1L)))
+        .join(broadcast(centers), Seq("cid"), "left")
+        .withColumn("text",
+          when(col("cid") >= 0,
+            concat(col("center"), lit(" mv"), col("doc_id"), lit("a mv"),
+              col("doc_id"), lit("b mv"), col("doc_id"), lit("c")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")))
+        .drop("cid", "center")
+        .repartition(32)
+        .write.mode("overwrite").parquet(target)
+    }
+    k
+  }
+
   /** The stressed families: every candidate-generating dedup/sim/text
     * query whose input is the documents or embeddings table. */
   val Stressed: Seq[String] = Seq(
@@ -186,7 +230,14 @@ object ScaleStress {
     "join_asof_event_quotes", "ts_zscore_outliers",
     "window_sessionize_by_gap", "graph_pagerank_3iter",
     "graph_triangle_count", "ml_forest_bagged", "ml_pca_power_iter",
-    "stream_join_left_outer", "agg_salted_two_phase")
+    "stream_join_left_outer", "agg_salted_two_phase",
+    // snapshot/storage family (round-10 mandate — the one family that
+    // previously argued from plan shape only above sf0.1): manifest
+    // commit + bucket rewrite, changelog latest-wins, SCD2 interval
+    // build, and the 64-file compaction rewrite, all over the scaled
+    // orders/events
+    "snapshot_merge_into", "cdc_apply_changelog",
+    "scd2_dimension_build", "compact_small_files")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -328,6 +379,79 @@ object ScaleStress {
         println(s"[scale] emb_candidates ERROR ${errors("emb_candidates")}")
         ""
       }
+    // triangle wedge probe (round-9 verdict item 3): measure the wedge
+    // and closed-wedge counts behind graph_triangle_count's scale ratio,
+    // so "growth is join width bounded by degree orientation" is a
+    // number in the artifact, not prose. Expected shape: edges grow
+    // ~copies× (per-copy disjoint subgraphs), wedges ~copies× too
+    // (degree distribution per copy unchanged), and ratio_time ≈
+    // wedges_scaled/wedges_base within constant factors.
+    val wedgeJson =
+      try {
+        ensureAlive()
+        partitionsFor(baseDir)
+        val (wb, cb) = operators.Analytics.triangleWedgeStats(spark, baseDir)
+        partitionsFor(scaledDir)
+        val (ws, cs) = operators.Analytics.triangleWedgeStats(spark, scaledDir)
+        println(s"[scale] triangle wedges: base=$wb closed=$cb " +
+          s"scaled=$ws closed=$cs")
+        s""","triangle_wedges":{"wedges_base":$wb,"closed_base":$cb,""" +
+          s""""wedges_scaled":$ws,"closed_scaled":$cs}"""
+      } catch { case e: Throwable =>
+        errors("triangle_wedges") = e.toString.takeWhile(_ != '\n').take(200)
+        println(s"[scale] triangle_wedges ERROR ${errors("triangle_wedges")}")
+        ""
+      }
+    // text-detector dense-cluster canary (round-9 verdict item 4): band
+    // meetings raw vs first-band-gated for MinHash, posting meetings for
+    // the df-capped n-gram join, on the plain scaled corpus vs the
+    // clustered one; plus both clustered queries end-to-end. The claims
+    // under measurement: gated/pairs ≈ 1 (one verify per true pair even
+    // when every member of a 1000-doc cluster shares every band), and
+    // ngram meetings clustered ≈ ngram meetings scaled (the cap DROPS
+    // cluster-saturated grams — detector blind to the cluster, linear
+    // cost held).
+    val textCanaryJson =
+      try {
+        ensureAlive()
+        val tcDir = s"$scaledDir-textclustered"
+        val k = buildTextClustered(spark, scaledDir, tcDir)
+        def mh(d: String, gated: Boolean): Long = {
+          partitionsFor(if (d == baseDir) baseDir else scaledDir)
+          val c = operators.Dedup.minhashMeetings(spark, d, gated = gated)
+          spark.catalog.clearCache(); c
+        }
+        def ng(d: String): Long = {
+          partitionsFor(if (d == baseDir) baseDir else scaledDir)
+          val c = operators.Dedup.ngramMeetings(spark, d)
+          spark.catalog.clearCache(); c
+        }
+        val mScaled = mh(scaledDir, gated = false)
+        val mClu = mh(tcDir, gated = false)
+        val mCluGated = mh(tcDir, gated = true)
+        val ngScaled = ng(scaledDir)
+        val ngClu = ng(tcDir)
+        val (tMh, pairsMh) = timed("dedup_minhash_lsh", tcDir)
+        val (tNg, pairsNg) = timed("dedup_ngram_jaccard", tcDir)
+        println(s"[scale] text canary (k=$k): minhash meetings " +
+          s"scaled=$mScaled clustered=$mClu gated=$mCluGated " +
+          s"pairs=$pairsMh (${tMh}s); ngram meetings scaled=$ngScaled " +
+          s"clustered=$ngClu pairs=$pairsNg (${tNg}s)")
+        s""","text_canary":{"clusters":$k,""" +
+          s""""minhash_meetings_scaled":$mScaled,""" +
+          s""""minhash_meetings_clustered":$mClu,""" +
+          s""""minhash_meetings_clustered_gated":$mCluGated,""" +
+          s""""minhash_clustered_pairs":$pairsMh,""" +
+          s""""minhash_clustered_sec":$tMh,""" +
+          s""""ngram_meetings_scaled":$ngScaled,""" +
+          s""""ngram_meetings_clustered":$ngClu,""" +
+          s""""ngram_clustered_pairs":$pairsNg,""" +
+          s""""ngram_clustered_sec":$tNg}"""
+      } catch { case e: Throwable =>
+        errors("text_canary") = e.toString.takeWhile(_ != '\n').take(200)
+        println(s"[scale] text_canary ERROR ${errors("text_canary")}")
+        ""
+      }
     val loadAfter = loadavg()
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) =>
@@ -336,7 +460,8 @@ object ScaleStress {
     }.mkString("{", ",", "}")
     val json =
       s"""{"base":"$baseDir","copies":$copies,""" +
-      s""""queries":{${rowsOut.result()}},"errors":$errJson$candJson,""" +
+      s""""queries":{${rowsOut.result()}},"errors":$errJson$candJson""" +
+      s"""$wedgeJson$textCanaryJson,""" +
       s""""load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors},""" +
       s""""heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},""" +

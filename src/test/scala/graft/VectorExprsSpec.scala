@@ -30,6 +30,49 @@ class VectorExprsSpec extends SparkSpec {
     assert(z.collect().forall(_.isNullAt(0)))
   }
 
+  test("sorted_intersect_size rejects nullable-element arrays at analysis") {
+    GraftExtensions.register(spark)
+    // a bare array() literal with a null slot types as containsNull=true;
+    // getLong on a null slot would read garbage, so the expression must
+    // refuse at analysis instead of producing a wrong count
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT sorted_intersect_size(array(1L, CAST(NULL AS BIGINT))," +
+          " array(1L, 2L))").collect()
+    }
+    assert(e.getMessage.contains("sorted_intersect_size") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+    // the non-null fast path still works through SQL
+    val ok = spark.sql(
+      """SELECT sorted_intersect_size(
+           array_sort(array_distinct(array(3L, 1L, 2L))),
+           array_sort(array_distinct(array(2L, 3L, 9L)))) AS c""")
+      .collect()(0).getInt(0)
+    assert(ok == 2)
+  }
+
+  test("withLoopWidth pins and restores both shuffle width confs") {
+    val initKey =
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // case 1: initialPartitionNum previously unset → must be unset again
+    spark.conf.unset(initKey)
+    Tables.withLoopWidth(spark, 17L) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "17")
+      assert(spark.conf.get(initKey) == "17")
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevParts)
+    assert(spark.conf.getOption(initKey).isEmpty)
+    // case 2: a harness-style session-wide value must win back after
+    spark.conf.set(initKey, "256")
+    Tables.withLoopWidth(spark, 9L) {
+      assert(spark.conf.get(initKey) == "9",
+        "measured loop width must override the session-wide AQE width")
+    }
+    assert(spark.conf.get(initKey) == "256")
+    spark.conf.unset(initKey)
+  }
+
   test("lsh_bucket expression == HOF lshBucket for both configs in use") {
     for (bits <- Seq(4, 8)) {
       val tables = explode(sequence(lit(0), lit(7))).as("tbl")
