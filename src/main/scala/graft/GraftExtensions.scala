@@ -95,6 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("sorted_intersect_size",
         "sorted_intersect_size(a, b) - |A intersect B| of sorted bigint arrays",
         exprs => graft.functions.SortedIntersectSize(exprs(0), exprs(1))),
+      ("positional_any_equal",
+        "positional_any_equal(a, b) - exists i: a[i] = b[i] (bigint arrays)",
+        exprs => graft.functions.PositionalAnyEqual(exprs(0), exprs(1))),
       ("ngrams_gen", "ngrams_gen(tokens, n) - generator of (pos, ngram) rows",
         exprs => NGramsGenerator(exprs(0), exprs(1))),
       ("misra_gries",

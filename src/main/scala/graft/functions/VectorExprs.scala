@@ -95,6 +95,23 @@ object VectorOps {
     c
   }
 
+  /** ∃i: a[i] == b[i] over two equal-length long arrays — the MinHash
+    * first-agreeing-band gate's primitive. A previous implementation as
+    * `exists(zip_with(a, b, _ === _), identity)` was catastrophically
+    * slower NOT because of the per-element work but because interpreted
+    * higher-order lambdas exclude the whole join stage from whole-stage
+    * codegen — the minhash band join ran 8× slower end-to-end. This is
+    * a primitive while loop inside the codegen'd stage. */
+  def positionalAnyEqual(a: ArrayData, b: ArrayData): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return true
+      i += 1
+    }
+    false
+  }
+
   final val MinHashP = 998244353L
 
   /** MinHash signature over shingle hashes (linear permutations mod P). */
@@ -157,6 +174,39 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `positional_any_equal(array<bigint>, array<bigint>) -> boolean`:
+  * true iff some position holds the same value in both arrays
+  * (VectorOps.positionalAnyEqual). Null-free element types required for
+  * the same getLong reason as sorted_intersect_size. */
+case class PositionalAnyEqual(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"positional_any_equal requires (array<bigint not null>, " +
+          s"array<bigint not null>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "positional_any_equal"
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any =
+    VectorOps.positionalAnyEqual(
+      aAny.asInstanceOf[ArrayData], bAny.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VectorOps.positionalAnyEqual($a, $b);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PositionalAnyEqual =
     copy(left = newLeft, right = newRight)
 }
 
@@ -301,6 +351,9 @@ object VectorExprs {
     reg.createOrReplaceTempFunction(
       "sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "positional_any_equal",
+      exprs => PositionalAnyEqual(exprs(0), exprs(1)), "scala_udf")
   }
 
   def minhashSig(spark: SparkSession, hashes: Column, perms: Int): Column = {
@@ -312,6 +365,12 @@ object VectorExprs {
       : Column = {
     register(spark)
     call_function("sorted_intersect_size", a, b)
+  }
+
+  def positionalAnyEqual(spark: SparkSession, a: Column, b: Column)
+      : Column = {
+    register(spark)
+    call_function("positional_any_equal", a, b)
   }
 
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {

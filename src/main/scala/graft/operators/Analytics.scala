@@ -106,15 +106,19 @@ object Analytics extends QueryModule {
   }
 
   /** (oriented wedges, closed wedges) — the probe quantities behind the
-    * triangle query's scale ratio. */
+    * triangle query's scale ratio. The wedge frame must STREAM through
+    * the join exactly as the query streams it — a first cut
+    * localCheckpointed it for reuse and a 100× graph's 1.7B wedges
+    * filled the disk (40+ GB of block-manager store); recomputing the
+    * join for the second aggregate costs two scans of the small edge
+    * list, not a materialization of the quadratic intermediate. */
   private[graft] def triangleWedgeStats(
       s: SparkSession, dir: String): (Long, Long) = {
     val e = orientedCoSupplierEdges(s, dir)
-    val wedges = e.as("e1")
+    def wedges = e.as("e1")
       .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
       .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
         col("e2.hi").as("c"))
-      .truncated
     val closed = wedges.join(e.as("e3"),
       col("a") === col("e3.lo") && col("c") === col("e3.hi"),
       "left_semi").count()

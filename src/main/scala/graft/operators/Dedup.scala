@@ -202,15 +202,25 @@ object Dedup extends QueryModule {
         posexplode(col("bkeys")).as(Seq("band_id", "bkey")),
         col("bkeys"))
       .select(col("doc_id"), col("hs"), col("band_id"), col("bkey"),
-        slice(col("bkeys"), lit(1), col("band_id")).as("pre"))
+        // 64-bit hashes of the earlier keys, not the 32-char keys
+        // themselves: ~4× lighter through the persisted frame and the
+        // band shuffle, and the gate compares longs. A spurious prefix
+        // collision (2^-64 per slot — same exposure class as the
+        // xxhash64 posting keys in the n-gram index) would gate a pair
+        // out at its true first band.
+        transform(slice(col("bkeys"), lit(1), col("band_id")), xxhash64(_))
+          .as("pre"))
   }
 
-  /** Meeting is in its minimal agreeing band ⟺ every earlier band key
-    * pair disagrees. Evaluated on ≤ bands−1 string slots per meeting —
-    * orders cheaper than the per-meeting Jaccard merge scan it gates. */
-  private[graft] def firstAgreeingBand: Column =
-    !exists(zip_with(col("x.pre"), col("y.pre"), (a, b) => a === b),
-      identity)
+  /** Meeting is in its minimal agreeing band ⟺ every earlier band-key
+    * pair disagrees. MUST stay a codegen'd primitive: the first cut
+    * used `exists(zip_with(...))`, and a single interpreted
+    * higher-order lambda in the join condition dropped the ENTIRE band
+    * join out of whole-stage codegen — measured 8× on the band join
+    * end-to-end, swamping the multiplicity it saved. */
+  private[graft] def firstAgreeingBand(s: SparkSession): Column =
+    !graft.functions.VectorExprs.positionalAnyEqual(
+      s, col("x.pre"), col("y.pre"))
 
   /** Band-join meeting count (join rows BEFORE the Jaccard filter) —
     * the quantity adaptive banding must hold ~linear in N. Column
@@ -227,7 +237,7 @@ object Dedup extends QueryModule {
     // gated = the meetings that actually reach the Jaccard merge scan
     // after the minimal-agreeing-band filter — the probe's measure of
     // verify multiplicity (raw/gated ≈ avg agreeing bands per pair).
-    (if (gated) met.filter(firstAgreeingBand) else met).count()
+    (if (gated) met.filter(firstAgreeingBand(s)) else met).count()
   }
 
   /** N-adaptive hyperplane-LSH sizing for embedding dedup → (bits,
@@ -622,7 +632,7 @@ object Dedup extends QueryModule {
           // Jaccard merge scan only on the one surviving meeting per
           // pair — which also makes pairs structurally unique, so the
           // old post-verify .distinct() shuffle is gone entirely.
-          .filter(firstAgreeingBand && jac >= 0.2)
+          .filter(firstAgreeingBand(s) && jac >= 0.2)
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
             round(jac, 6).as("jaccard"))
           .orderBy("id_a", "id_b")

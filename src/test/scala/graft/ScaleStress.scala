@@ -327,6 +327,10 @@ object ScaleStress {
     // one family without re-timing the whole suite)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_STRESS_PROBES=off skips the wedge/canary probes (for
+    // targeted re-measurement sessions via SPARK_GRAFT_STRESS_ONLY)
+    val probesOn =
+      !sys.env.get("SPARK_GRAFT_STRESS_PROBES").contains("off")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val rowsOut = new StringBuilder
     var first = true
@@ -358,6 +362,7 @@ object ScaleStress {
     // into a pair shuffle because the verify rides inside the join.
     val candJson =
       try {
+        if (!probesOn) throw new RuntimeException("probes off")
         ensureAlive()
         val clusteredDir = s"$scaledDir-clustered"
         val k = buildClustered(spark, scaledDir, clusteredDir)
@@ -388,6 +393,7 @@ object ScaleStress {
     // wedges_scaled/wedges_base within constant factors.
     val wedgeJson =
       try {
+        if (!probesOn) throw new RuntimeException("probes off")
         ensureAlive()
         partitionsFor(baseDir)
         val (wb, cb) = operators.Analytics.triangleWedgeStats(spark, baseDir)
@@ -413,6 +419,7 @@ object ScaleStress {
     // cost held).
     val textCanaryJson =
       try {
+        if (!probesOn) throw new RuntimeException("probes off")
         ensureAlive()
         val tcDir = s"$scaledDir-textclustered"
         val k = buildTextClustered(spark, scaledDir, tcDir)
