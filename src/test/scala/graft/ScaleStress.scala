@@ -64,7 +64,9 @@ object ScaleStress {
         .drop("cp")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val embBase = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    if (!upToDate(s"$outDir/embeddings.parquet",
+        embBase.count() * copies)) embBase
       .crossJoin(cps)
       .withColumn("vec_id", col("vec_id") + col("cp") * lit(10000000L))
       .withColumn("embedding",
