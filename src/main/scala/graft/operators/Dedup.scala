@@ -128,9 +128,10 @@ object Dedup extends QueryModule {
     * the shingle-hash set rides the band frame (N × bands rows —
     * bounded, linear in N) and the exact-Jaccard filter sits directly
     * in the join projection, so candidate PAIRS are never materialized
-    * to a shuffle — they stream through the codegen'd join stage and
-    * only survivors (≈ true pairs × ≤ bands multiplicity) reach the
-    * distinct. The previous id-only candidate set + two re-attach joins
+    * to a shuffle — they stream through the codegen'd join stage, and
+    * with the minimal-agreeing-band gate each true pair survives
+    * EXACTLY ONCE (no downstream distinct at all).
+    * The previous id-only candidate set + two re-attach joins
     * shuffled the full pair set plus two shingle arrays per pair:
     * quadratic traffic in bucket occupancy, measured as the worst
     * family ratio (43×) in the round-8 100× stress.
