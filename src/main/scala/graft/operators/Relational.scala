@@ -545,25 +545,29 @@ object Relational extends QueryModule {
           FROM events),
         w AS (
           SELECT event_id, cents,
-                 CAST(count(cents) OVER tw AS DOUBLE) AS cnt,
-                 CAST(sum(cents) OVER tw AS DOUBLE) AS s,
-                 CAST(sum(cents * cents) OVER tw AS DOUBLE) AS ss,
-                 min(cents) OVER tw < max(cents) OVER tw AS spread
+                 count(cents) OVER tw AS cnt,
+                 sum(cents) OVER tw AS s,
+                 sum(cents * cents) OVER tw AS ss
           FROM e
           WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
-                        ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+                        ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+        g AS (
+          SELECT event_id, cents, cnt, s, ss,
+                 CAST(cnt AS DECIMAL(3,0)) * CAST(ss AS DECIMAL(19,0))
+                   - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
+                   AS num
+          FROM w)
         SELECT event_id,
                round(z, 4) AS zscore,
                CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 3.0 END
                  AS is_outlier
         FROM (
           SELECT event_id,
-                 CASE WHEN cnt >= 20 AND spread
-                       AND (cnt * ss - s * s) > 0 THEN
-                   (cents - s / cnt)
-                     / sqrt((cnt * ss - s * s) / (cnt * (cnt - 1.0)))
+                 CASE WHEN cnt >= 20 AND num > 0 THEN
+                   (cents - CAST(s AS DOUBLE) / cnt)
+                     / sqrt(CAST(num AS DOUBLE) / (cnt * (cnt - 1.0)))
                  END AS z
-          FROM w)
+          FROM g)
         ORDER BY event_id"""),
       (s, dir) => {
         val base = t(s, dir, "events")
@@ -611,34 +615,41 @@ object Relational extends QueryModule {
         ranged.withColumn("__carry", lit(false))
           .unionByName(carry)
           .select(col("event_id"), col("cents"), col("__carry"),
-            count(col("cents")).over(tw).cast("double").as("cnt"),
-            sum(col("cents")).over(tw).cast("double").as("s"),
-            sum(col("cents") * col("cents")).over(tw).cast("double")
-              .as("ss"),
-            (min(col("cents")).over(tw) < max(col("cents")).over(tw))
-              .as("spread"))
+            count(col("cents")).over(tw).as("cnt"),
+            sum(col("cents")).over(tw).as("s"),
+            sum(col("cents") * col("cents")).over(tw).as("ss"))
           .filter(!col("__carry"))
           // zero-variance guard (100× stress finding): a trailing frame
           // of 100 IDENTICAL values has sd = 0 — ANSI division throws
-          // where the score is simply undefined. Two conjuncts, both
-          // evaluated identically by the oracle (its SQL casts
-          // cnt/s/ss to DOUBLE too, so the float test is bit-identical
-          // cross-engine even past 2^53 where it stops being exact):
-          //  - `spread` (exact integer min<max over the frame, immune
-          //    to overflow at any magnitude) kills the all-identical
-          //    frame where fl(cnt·ss)−fl(s·s) can round to a spurious
-          //    positive and emit a garbage huge z on BOTH engines;
-          //  - the float `> 0` protects the division when cancellation
-          //    rounds a tiny true variance down to ≤ 0.
-          // Either failing emits NULL like warm-up rows; CASE branches
-          // are lazy on both engines, so the division never evaluates
-          // when the guard fails.
+          // where the score is simply undefined. The guard is the exact
+          // variance numerator num = cnt·ss − s² computed in DECIMAL
+          // from the BIGINT window sums (cnt ≤ 100 → DECIMAL(3,0);
+          // products stay ≤ ~1e18, well inside the DECIMAL(38) result
+          // type both engines derive). num = 0 exactly iff the frame is
+          // constant (Cauchy–Schwarz equality), so ONE exact conjunct
+          // replaces round-10's min/max spread guard — two extra
+          // O(frame) sliding-window aggregates that an in-session A/B
+          // measured at a consistent 1.23× on the whole query
+          // (AB_ZSCORE_r11.json; ABZscore3.scala) — AND the float
+          // `> 0` test, whose cancellation hole (tiny true variance
+          // rounding to ≤ 0) an exact integer test cannot have. The
+          // division consumes CAST(num AS DOUBLE): num ≥ 1 when the
+          // guard passes, so the sqrt argument is strictly positive.
+          // DuckDB runs the identical decimal algebra (sums arrive as
+          // HUGEINT there; the DECIMAL casts align both engines), so
+          // guard decisions and z doubles stay bit-compatible.
+          .withColumn("num",
+            col("cnt").cast("decimal(3,0)") *
+              col("ss").cast("decimal(19,0)") -
+              col("s").cast("decimal(18,0)") *
+              col("s").cast("decimal(18,0)"))
           .withColumn("z",
-            when(col("cnt") >= 20 && col("spread") &&
-                (col("cnt") * col("ss") - col("s") * col("s")) > 0,
-              (col("cents") - col("s") / col("cnt")) /
-                sqrt((col("cnt") * col("ss") - col("s") * col("s")) /
-                  (col("cnt") * (col("cnt") - 1.0)))))
+            when(col("cnt") >= 20 && col("num") > 0,
+              (col("cents") -
+                col("s").cast("double") / col("cnt").cast("double")) /
+                sqrt(col("num").cast("double") /
+                  (col("cnt").cast("double") *
+                    (col("cnt").cast("double") - 1.0)))))
           .select(col("event_id"), round(col("z"), 4).as("zscore"),
             when(col("z").isNull, lit(null).cast("boolean"))
               .otherwise(abs(col("z")) > 3.0).as("is_outlier"))
