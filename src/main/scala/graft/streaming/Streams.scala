@@ -302,16 +302,33 @@ object Streams extends QueryModule {
         // least() skips NULLs, so a side with zero events — the extreme
         // sparse-side case this guard exists for — would silently bypass
         // a least()-based check (and an empty table would NPE on getTime).
-        val cutoff = bounds.getTimestamp(0)
-        require(cutoff != null, "stream_join_left_outer: events is empty")
-        for ((idx, side) <- Seq(1 -> "view", 2 -> "purchase"))
-          require(!bounds.isNullAt(idx),
-            s"stream_join_left_outer: no '$side' events at all — that " +
-              "side's watermark lags infinitely; the 1-day cutoff " +
-              "cannot reproduce batch left-join semantics")
-        val sideMax = Seq(bounds.getTimestamp(1), bounds.getTimestamp(2))
-          .minBy(_.getTime)
-        val lagMs = cutoff.getTime - sideMax.getTime
+        // Collected timestamps arrive as java.sql.Timestamp OR
+        // java.time.Instant depending on the session's
+        // datetime.java8API.enabled — which a HiveServer2 JDBC session
+        // flips to true on the SHARED session under
+        // thriftServer.singleSession (EP2_PARITY_r11 finding), so a
+        // type-pinned getTimestamp would ClassCastException when this
+        // query runs alongside the serve endpoint.
+        def epochMs(idx: Int): Option[Long] =
+          if (bounds.isNullAt(idx)) None
+          else Some(bounds.get(idx) match {
+            case t: java.sql.Timestamp => t.getTime
+            case t: java.time.Instant  => t.toEpochMilli
+            case other => throw new IllegalStateException(
+              s"unexpected timestamp class ${other.getClass}")
+          })
+        val cutoffMs = epochMs(0).getOrElse(
+          throw new IllegalArgumentException(
+            "stream_join_left_outer: events is empty"))
+        val cutoff = new java.sql.Timestamp(cutoffMs)
+        val sideMs = Seq(1 -> "view", 2 -> "purchase").map {
+          case (idx, side) => epochMs(idx).getOrElse(throw
+            new IllegalArgumentException(
+              s"stream_join_left_outer: no '$side' events at all — " +
+                "that side's watermark lags infinitely; the 1-day " +
+                "cutoff cannot reproduce batch left-join semantics"))
+        }
+        val lagMs = cutoffMs - sideMs.min
         require(lagMs <= 22L * 3600 * 1000 + 1800 * 1000,
           s"stream_join_left_outer: a join side's max event time lags the " +
             s"global max by ${lagMs / 60000} min > 22.5h; the 1-day " +
