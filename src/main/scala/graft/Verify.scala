@@ -144,15 +144,34 @@ object Verify {
     // not an approximation.
     if (only.isEmpty) try {
       val bounds = approxBoundRows(spark, sfDir)
+      // JSON has no NaN/Infinity literal: a non-finite value (e.g. an
+      // exact percentile over an unexpectedly empty group) emitted via
+      // raw interpolation would make the downstream json.load throw
+      // and silently void the whole artifact. Emit null AND grade the
+      // row as out-of-bound — a non-finite sketch value is a failure,
+      // not a formatting nuisance.
+      def num(d: Double): String =
+        if (java.lang.Double.isFinite(d)) d.toString else "null"
       val bj = bounds.map { case (qn, m, v, lo, hi, ok) =>
-        s"""{"query": ${q(qn)}, "metric": ${q(m)}, "value": $v, """ +
-          s""""lo": $lo, "hi": $hi, "within": $ok}"""
+        val okF = ok && Seq(v, lo, hi).forall(java.lang.Double.isFinite)
+        s"""{"query": ${q(qn)}, "metric": ${q(m)}, "value": ${num(v)}, """ +
+          s""""lo": ${num(lo)}, "hi": ${num(hi)}, "within": $okF}"""
       }.mkString("[", ",\n ", "]")
       Files.writeString(Paths.get(s"$outDir/approx_bounds.json"), bj)
-      val out = bounds.filter(!_._6)
-      if (out.nonEmpty) System.err.println(
-        s"[verify] APPROX OUT OF BOUND: " + out.map(r =>
-          s"${r._1}/${r._2}=${r._3} not in [${r._4},${r._5}]").mkString("; "))
+      val out = bounds.filter(r =>
+        !r._6 || !Seq(r._3, r._4, r._5).forall(java.lang.Double.isFinite))
+      if (out.nonEmpty) {
+        // stderr alone is too quiet for a gate (ApproxBoundsSpec only
+        // covers sf0.01): leave a machine-visible failure marker next
+        // to the artifact, the same channel _FAILED_QUERIES.txt uses
+        System.err.println(
+          s"[verify] APPROX OUT OF BOUND: " + out.map(r =>
+            s"${r._1}/${r._2}=${r._3} not in [${r._4},${r._5}]").mkString("; "))
+        Files.writeString(Paths.get(s"$outDir/_APPROX_OUT_OF_BOUND.txt"),
+          out.map(r => s"${r._1}/${r._2}=${r._3} not in [${r._4},${r._5}]")
+            .mkString("", "\n", "\n"))
+        ()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] approx-bounds pass failed: $e")
     }

@@ -205,10 +205,20 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("hs"), col("band_id"), col("bkey"),
         // 64-bit hashes of the earlier keys, not the 32-char keys
         // themselves: ~4× lighter through the persisted frame and the
-        // band shuffle, and the gate compares longs. A spurious prefix
-        // collision (2^-64 per slot — same exposure class as the
-        // xxhash64 posting keys in the n-gram index) would gate a pair
-        // out at its true first band.
+        // band shuffle, and the gate compares longs. Accepted loss
+        // mode, quantified: a spurious hash collision in an earlier
+        // slot makes the gate believe an earlier band agreed, so the
+        // meeting is suppressed at its REAL first agreeing band — and
+        // since the colliding band's true keys differ, the pair never
+        // meets there either: the pair is DROPPED, not mis-banded
+        // (unlike the old per-band .distinct() plan, which had no such
+        // mode). Expected losses = meetings × avg(band_id) × 2⁻⁶⁴ —
+        // at the 100× canary's 86.9M meetings × ≤8 slots that is
+        // ~4·10⁻¹¹ expected lost pairs per run, the same exposure
+        // class as the xxhash64 posting keys the n-gram index already
+        // accepts. If zero-loss were required, gate on the 32-char
+        // bkey slices themselves (~4× wider shuffle rows on the
+        // hottest join — not worth 2⁻⁶⁴ here).
         transform(slice(col("bkeys"), lit(1), col("band_id")), xxhash64(_))
           .as("pre"))
   }
