@@ -1209,6 +1209,15 @@ object Relational extends QueryModule {
     // final agg on the (bounded) key space merges partials. Result is
     // identical to the direct agg (integer sums are associative-exact),
     // which is exactly what the oracle checks.
+    // Salt width 64, not 16 (round-11 Zipf canary finding): with 3
+    // return flags, 16 salts give only 48 (key,salt) cells — hashed
+    // into 32 tasks, colliding hot cells stacked the largest task at
+    // 3.09× the median under a Zipf(1.1) key (57% on the hottest
+    // flag). 64 salts → 192 cells ≈ 6/task, and the law of large
+    // numbers pulls the max task inside the ~2× bound
+    // (BENCH_scale*_zipf artifacts, pre/post). Cost: the partial agg
+    // carries 192 groups instead of 48 — both trivially small; the
+    // final merge agg is unchanged.
     Q(
       "agg_salted_two_phase",
       Some("""
@@ -1220,7 +1229,7 @@ object Relational extends QueryModule {
         val salted = t(s, dir, "lineitem")
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100).cast("long").as("cents"),
-            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)).as("salt"))
+            pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(64)).as("salt"))
           .groupBy("l_returnflag", "salt")
           .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
         salted.groupBy("l_returnflag")

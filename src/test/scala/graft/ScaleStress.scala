@@ -326,6 +326,12 @@ object ScaleStress {
     val outJson = args.lift(2).getOrElse("/root/repo/BENCH_scale10.json")
     val scaledDir = s"${Tables.scratchRoot}/scale$copies"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // spill counters (constrained-heap smoke mandate: a memory-bounded
+    // run must show WHERE pressure lands, not just survive) — same
+    // cheap task-end listener Bench.scala uses; re-registered on every
+    // session rebuild since listeners die with their context
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
     def mkSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -335,17 +341,42 @@ object ScaleStress {
         .config("spark.sql.extensions", classOf[GraftExtensions].getName)
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              spillMem.addAndGet(m.memoryBytesSpilled)
+              spillDisk.addAndGet(m.diskBytesSpilled)
+            }
+          }
+        })
       s
     }
     var spark = mkSession()
     // one query's executor OOM can take the whole SparkContext down in
     // local mode (observed: graph_triangle_count at 100× killed the
     // remaining 6 families with "stopped SparkContext") — rebuild
-    // between queries so each family's verdict is its own
+    // between queries so each family's verdict is its own.
+    // The rebuild must WAIT for the dying context to finish stopping:
+    // SparkContext.stop() flips isStopped at entry but clears the
+    // process-wide activeContext only at exit, so a getOrCreate issued
+    // mid-stop hands back the same dying context wrapped in a fresh
+    // SparkSession and every later query reads "Cannot call methods on
+    // a stopped SparkContext" (observed: the 8 GB smoke's winnowing OOM
+    // cascaded into the two graph rows exactly this way).
     def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
       println("[scale] SparkContext died — rebuilding session")
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      spark = mkSession()
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      var rebuilt = false
+      while (!rebuilt && System.nanoTime() < deadline) {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = mkSession()
+        rebuilt = !spark.sparkContext.isStopped
+        if (!rebuilt) Thread.sleep(2000)
+      }
+      if (!rebuilt) sys.error("SparkContext rebuild failed for 5 minutes")
     }
     // Production partitioning model: a copies× corpus on a real cluster
     // runs with ~copies× the shuffle tasks (partition count follows
@@ -393,9 +424,10 @@ object ScaleStress {
     // the committed ratio carries its own error bar; every sample plus
     // the spread lands in the artifact either way.
     def timedSamples(name: String, dir: String)
-        : (Double, Long, Seq[Double]) = {
+        : (Double, Long, Seq[Double], Double) = {
       partitionsFor(dir)
       var rows = -1L
+      val spill0 = spillMem.get() + spillDisk.get()
       def once(): Double = {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)
@@ -408,10 +440,12 @@ object ScaleStress {
       var times = Seq(once(), once())
       if (times.max / times.min > 1.3)
         times = times ++ Seq(once(), once())
-      (times.min, rows, times)
+      val spillMb = math.round(
+        (spillMem.get() + spillDisk.get() - spill0) / 1e6 * 10) / 10.0
+      (times.min, rows, times, spillMb)
     }
     def timed(name: String, dir: String): (Double, Long) = {
-      val (t, r, _) = timedSamples(name, dir); (t, r)
+      val (t, r, _, _) = timedSamples(name, dir); (t, r)
     }
     // warmup: absorb codegen/reader first-touch on an untimed pass
     try { SparkEntry.queries("dedup_exact")(spark, baseDir)
@@ -422,10 +456,12 @@ object ScaleStress {
     // one family without re-timing the whole suite)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // SPARK_GRAFT_STRESS_PROBES=off skips the wedge/canary probes (for
-    // targeted re-measurement sessions via SPARK_GRAFT_STRESS_ONLY)
-    val probesOn =
-      !sys.env.get("SPARK_GRAFT_STRESS_PROBES").contains("off")
+    // SPARK_GRAFT_STRESS_PROBES=off skips all wedge/canary probes;
+    // =zipf runs ONLY the Zipf-skew canary (targeted re-measurement
+    // after a salting change, without paying the emb/text canaries)
+    val probeMode =
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_PROBES", "all")
+    val probesOn = probeMode == "all"
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val rowsOut = new StringBuilder
     var first = true
@@ -434,18 +470,19 @@ object ScaleStress {
       val entry =
         try {
           ensureAlive()
-          val (t1, r1, s1) = timedSamples(name, baseDir)
-          val (tN, rN, sN) = timedSamples(name, scaledDir)
+          val (t1, r1, s1, sp1) = timedSamples(name, baseDir)
+          val (tN, rN, sN, spN) = timedSamples(name, scaledDir)
           val ratio = math.round(tN / t1 * 100) / 100.0
           val spread = math.round((sN.max - sN.min) / sN.min * 100) / 100.0
           println(f"[scale] $name%-28s base=$t1%7.3fs ${copies}x=$tN%7.3fs " +
             f"ratio=$ratio%6.2f spread=$spread%5.2f  " +
-            f"rows $r1%8d -> $rN%9d")
+            f"rows $r1%8d -> $rN%9d  spill ${sp1}%.1f/${spN}%.1f MB")
           s""""$name":{"t_base":$t1,"t_scaled":$tN,"ratio":$ratio,""" +
             s""""rows_base":$r1,"rows_scaled":$rN,""" +
             s""""samples_base":[${s1.mkString(",")}],""" +
             s""""samples_scaled":[${sN.mkString(",")}],""" +
-            s""""spread_scaled":$spread}"""
+            s""""spread_scaled":$spread,""" +
+            s""""spill_mb_base":$sp1,"spill_mb_scaled":$spN}"""
         } catch { case e: Throwable =>
           errors(name) = e.toString.takeWhile(_ != '\n').take(200)
           println(s"[scale] $name ERROR ${errors(name)}")
@@ -571,7 +608,8 @@ object ScaleStress {
     // non-empty task.
     val zipfJson =
       try {
-        if (!probesOn) throw new RuntimeException("probes off")
+        if (probeMode != "all" && probeMode != "zipf")
+          throw new RuntimeException("probes off")
         ensureAlive()
         val zDir = s"$scaledDir-zipf"
         buildZipf(spark, scaledDir, zDir)
@@ -609,8 +647,10 @@ object ScaleStress {
         }
         val joinSide = side("events", "event_type",
           pmod(hash(col("event_id")), lit(16)), "join_skew_salted_dim")
+        // salt widths mirror the query bodies (join S=16, agg S=64 —
+        // widened by this canary's own round-11 finding)
         val aggSide = side("lineitem", "l_returnflag",
-          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(64)),
           "agg_salted_two_phase")
         s""","zipf_canary":{"zipf_s":1.1,"tasks_p":$p,""" +
           s"""$joinSide,$aggSide}"""
