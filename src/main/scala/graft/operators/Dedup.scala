@@ -275,6 +275,27 @@ object Dedup extends QueryModule {
     * (vec_id, vec, tbl, bucket) — shared by dedup_embedding_cosine and
     * the ScaleStress candidate-occurrence probe. The corpus is
     * persisted; callers release via clearCache. */
+  /** N-adaptive cell count for the semantic-cell dedup. Pinned 16 for
+    * n ≤ [[SemCellsPinnedN]] — the config every DuckDB-oracled run
+    * bit-replays (embeddings × 6/5 planted: sf0.01 = 600, sf0.1 =
+    * 2400). Above it, cells grow linearly with N to hold expected cell
+    * occupancy ≈ 150 (the base-dir value): with a CONSTANT cell count
+    * the within-cell pair stream grows quadratically in N — the same
+    * fixed-granularity scale-killer the minhash banding and LSH bucket
+    * sizing already correct for — while occupancy-proportional k keeps
+    * it ~linear (SemDeDup runs k ≈ 100k at billions of embeddings for
+    * exactly this reason). Centroids are the k lowest-id base vectors,
+    * so the quantizer stays deterministic and oracle-replayable at any
+    * pinned dir. */
+  private[graft] val SemCellsPinnedN = 8192L
+  private[graft] def semCellCount(n: Long): Long =
+    if (n <= SemCellsPinnedN) 16L
+    // integer ceil-div, NOT math.ceil(...).toInt: the double path
+    // rounds above 2^53 and an Int result clamps at 2^31-1 (≈3.2e11
+    // vectors), silently re-creating the fixed-granularity quadratic —
+    // the PropertySpec occupancy band caught exactly that clamp
+    else (n + 149L) / 150L
+
   /** The planted-canary embedding corpus (vec_id, vec): base vectors ∪
     * deterministic near-dup copies (each vec_id % 5 == 0 row re-issued
     * as id + 10^7 with its tail half scaled by 1 + (id%7+1)/4, planted
@@ -733,14 +754,15 @@ object Dedup extends QueryModule {
     // space, then look for duplicates ONLY within a cluster). The other
     // decomposition of the same problem dedup_embedding_cosine solves
     // with hyperplane-LSH: here a deterministic coarse quantizer (the
-    // 16 lowest-id base vectors as cell centroids, the sim_ivf_probe
-    // quantizer) partitions the corpus, and the exact-cosine pairing
-    // runs as a cell-partitioned self-join — ONE equi-join shuffle on
-    // the cell id, quadratic only within a cell, never across cells.
+    // k lowest-id base vectors as cell centroids — the sim_ivf_probe
+    // quantizer, k N-adaptive via semCellCount, pinned 16 at oracled
+    // dirs) partitions the corpus, and the exact-cosine pairing runs
+    // as a cell-partitioned self-join — ONE equi-join shuffle on the
+    // cell id, quadratic only within a cell, never across cells.
     // At 100 TB this is the decomposition that needs NO per-vector
     // table explosion (LSH pays N×tables bucket rows; SemDeDup pays
-    // N×k broadcast-join cosines and k is a constant knob ∝ N/target
-    // cell size — the paper runs k≈100k on billions of embeddings).
+    // N×k broadcast-join cosines with k ∝ N/target-occupancy — the
+    // paper runs k≈100k on billions of embeddings).
     // The deliberate recall trade, visible in the oracle: pairs whose
     // members quantize into DIFFERENT cells are invisible (DedupSpec
     // pins measured cell-recall vs the LSH detector's pair set on the
@@ -778,8 +800,12 @@ object Dedup extends QueryModule {
       (s, dir) => {
         import graft.functions.VectorExprs
         val allv = embPlantedCorpus(s, dir)
+        // footer-sized like embLshConfig: order-of-magnitude N at
+        // plan-construction time, no Spark job (EXPLAIN stays job-free)
+        val k = semCellCount(
+          Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5)
         val cents = t(s, dir, "embeddings")
-          .filter(col("vec_id") < 16)
+          .filter(col("vec_id") < k)
           .select(col("vec_id").as("cell"),
             col("embedding").cast("array<double>").as("cv"))
         val w = Window.partitionBy("vec_id")

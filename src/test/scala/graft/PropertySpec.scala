@@ -245,6 +245,28 @@ class PropertySpec extends SparkSpec {
       assert(minhashConfig(a)._3 <= minhashConfig(b)._3) }
   }
 
+  test("adaptive semantic-cell count: pinned branch, bounded occupancy, " +
+      "monotone growth") {
+    import operators.Dedup.{semCellCount, SemCellsPinnedN}
+    // every DuckDB-oracled dir bit-replays the pinned 16-cell quantizer
+    for (n <- Seq(1L, 600L, 2400L, SemCellsPinnedN))
+      assert(semCellCount(n) == 16, s"n=$n")
+    val ns = sample(Gen.listOfN(200,
+      Gen.chooseNum(SemCellsPinnedN + 1, 1000000000000L)), 889L)
+    for (n <- ns) {
+      val k = semCellCount(n)
+      // expected occupancy n/k stays in a constant band — the property
+      // that keeps the within-cell pair stream ~linear in N (a fixed k
+      // would make it quadratic, the same scale-killer the LSH bucket
+      // and minhash band sizing already correct for)
+      val occ = n.toDouble / k
+      assert(occ > 75 && occ <= 150.5, s"n=$n k=$k occ=$occ")
+    }
+    val sorted = ns.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(semCellCount(a) <= semCellCount(b)) }
+  }
+
   test("partitioned parquet write -> read is an identity on rows") {
     for (trial <- 1 to 3) {
       val rows = sample(Gen.listOfN(20,

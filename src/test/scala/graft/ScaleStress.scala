@@ -291,6 +291,7 @@ object ScaleStress {
   val Stressed: Seq[String] = Seq(
     "dedup_exact", "dedup_exact_hash", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_semantic_cells",
     "dedup_cluster_keepers", "dedup_winnowing_join",
     "dedup_incremental_corpus",
     "sim_ann_hyperplane", "sim_ann_multiprobe", "sim_ivf_probe",
