@@ -403,6 +403,102 @@ object Curation extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // ---- DSIR-style importance resampling (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): select
+    // source documents that look like a TARGET distribution (here the
+    // 'en' shard) by importance weights over HASHED n-gram features —
+    // unigrams + bigrams hashed into B=1024 buckets, per-bucket
+    // add-1-smoothed log-likelihood ratio ln(p_target/p_source), per-doc
+    // weight = Σ feature ratios, then Gumbel-top-k resampling (the
+    // without-replacement sampler the paper uses). Everything is
+    // engine-neutral by construction: md5-hashed buckets, ratios floored
+    // to integer micros (BIGINT sums are order-independent; float += is
+    // not), Gumbel noise from the Knuth-hash uniform the weighted-A-Res
+    // sampler already uses. Scale: the bucket LMs are B-row aggregates
+    // (map-side combined, broadcast back — the LM is a CONSTANT-size
+    // model no matter the corpus), the per-doc weight is one shuffle on
+    // doc_id, and the top-100 is TakeOrderedAndProject — at 100 TB the
+    // corpus is read once and nothing non-constant is broadcast. ----
+    Q(
+      "curate_dsir_resample", {
+        val md5b = (1 to 12).map { k =>
+          val coef = math.pow(16, (12 - k).toDouble).toLong
+          s"(strpos('0123456789abcdef', substr(md5(f), $k, 1)) - 1) * $coef"
+        }.mkString(" + ")
+        Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        feats AS (
+          SELECT doc_id, lang,
+                 unnest(list_concat(ts,
+                   list_transform(range(1, len(ts)),
+                     i -> ts[i] || ' ' || ts[i+1]))) AS f
+          FROM toks),
+        fb AS (SELECT doc_id, lang, ($md5b) % 1024 AS b FROM feats),
+        lmc AS (SELECT b, count(*) AS cs,
+                       count(*) FILTER (WHERE lang = 'en') AS ct
+                FROM fb GROUP BY b),
+        tot AS (SELECT sum(cs) AS tots, sum(ct) AS tott FROM lmc),
+        lm AS (
+          SELECT b,
+                 CAST(floor(ln(((ct + 1.0) / (tott + 1024.0))
+                     / ((cs + 1.0) / (tots + 1024.0))) * 1000000)
+                   AS BIGINT) AS lr
+          FROM lmc CROSS JOIN tot),
+        w AS (
+          SELECT fb.doc_id, fb.lang, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(lm.lr) AS BIGINT) AS weight_micro
+          FROM fb JOIN lm ON fb.b = lm.b GROUP BY fb.doc_id, fb.lang)
+        SELECT doc_id, lang, n_feats, weight_micro,
+               weight_micro + CAST(floor(-ln(-ln(
+                 ((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0))
+                 * 1000000) AS BIGINT) AS key_micro
+        FROM w ORDER BY key_micro DESC, doc_id LIMIT 100""")
+      },
+      (s, dir) => {
+        val n = size(col("ts"))
+        val bigrams = zip_with(
+          slice(col("ts"), lit(1), greatest(n - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(n - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))
+        val fb = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            tokens(col("text")).as("ts"))
+          .select(col("doc_id"), col("lang"),
+            explode(concat(col("ts"), bigrams)).as("f"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("f")), 1, 12), 16, 10).cast("long")
+              % 1024L).as("b"))
+        // both LM sides from ONE corpus pass (conditional count), and
+        // the normalizing totals from the ≤ B-row LM frame — the scaled
+        // corpus is read exactly twice (LM fit + weight scoring), which
+        // is the DSIR minimum without caching the exploded features
+        val lmc = fb.groupBy("b").agg(count(lit(1)).as("cs"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+        val tot = lmc.agg(sum("cs").as("tots"), sum("ct").as("tott"))
+        // the bucket LM is ≤ B rows by construction — broadcast is safe
+        // at ANY corpus size (this is the point of hashed features)
+        val lm = lmc.crossJoin(broadcast(tot))
+          .select(col("b"),
+            floor(log(((col("ct") + lit(1.0)) /
+                (col("tott") + lit(1024.0))) /
+              ((col("cs") + lit(1.0)) / (col("tots") + lit(1024.0))))
+              * 1e6).cast("long").as("lr"))
+        val u = ((col("doc_id") * 2654435761L) % 4294967296L + 1) /
+          lit(4294967297.0)
+        fb.join(broadcast(lm), "b")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_feats"), sum("lr").as("weight_micro"))
+          .select(col("doc_id"), col("lang"), col("n_feats"),
+            col("weight_micro"),
+            (col("weight_micro") +
+              floor(-log(-log(u)) * 1e6).cast("long")).as("key_micro"))
+          .orderBy(col("key_micro").desc, col("doc_id"))
+          .limit(100)
+      }),
+
     // ---- Domain-mixture rebalancing: draw a 200-doc training mix at
     // target per-language proportions (en .30 / de .20 / fr .20 / es .15 /
     // zh .15 — the corpus itself is ~42% en), choosing WITHIN each

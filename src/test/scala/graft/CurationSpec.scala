@@ -224,4 +224,35 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sameElements(again), "sampling not reproducible")
   }
+
+  test("DSIR resample: constant-size LM broadcast, top-k plan, target pull") {
+    val df = run("curate_dsir_resample")
+    val plan = df.queryExecution.executedPlan.toString
+    // the hashed-feature LM (<= 1024 buckets) rides a broadcast join; the
+    // corpus-size side never broadcasts
+    assert(plan.contains("BroadcastHashJoin"), "bucket LM must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "Gumbel-top-k must be TakeOrderedAndProject, not global sort")
+    val rows = df.collect()
+    assert(rows.length == 100, "resample draws exactly k=100")
+    // importance weights must pull toward the target distribution: the
+    // 'en' shard IS the target, so selected docs skew en vs the corpus
+    // (~42% en) and mean en weight dominates mean non-en weight
+    val en = rows.filter(_.getString(1) == "en")
+    assert(en.length > rows.length / 2,
+      s"target-language share not boosted: ${en.length}/100")
+    val meanEn = en.map(_.getLong(3).toDouble).sum / en.length
+    val other = rows.filter(_.getString(1) != "en")
+    if (other.nonEmpty) {
+      val meanOther = other.map(_.getLong(3).toDouble).sum / other.length
+      assert(meanEn > meanOther,
+        s"en mean weight $meanEn <= non-en mean $meanOther")
+    }
+    // weights are per-doc sums of per-feature log-ratios: n_feats >= 1
+    rows.foreach(r => assert(r.getLong(2) >= 1L))
+    // deterministic replay (hash-derived Gumbel noise, no Spark rand())
+    val again = run("curate_dsir_resample").collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)),
+      "resample not reproducible")
+  }
 }

@@ -297,7 +297,7 @@ object ScaleStress {
     "sim_ann_hyperplane", "sim_ann_multiprobe", "sim_ivf_probe",
     "sim_pq_adc", "sim_bruteforce_topk",
     "text_winnowing_fingerprints", "text_heavy_hitters",
-    "text_bpe_encode", "curate_unigram_logprob",
+    "text_bpe_encode", "curate_unigram_logprob", "curate_dsir_resample",
     // retrieval/ranking tier (round-10 verdict item 3 — the last
     // LLM-pipeline family arguing from plan shape only): tf-idf + BM25
     // scoring over the scaled docs and the RRF fusion of both rankers
