@@ -418,7 +418,8 @@ object Curation extends QueryModule {
     // (map-side combined, broadcast back — the LM is a CONSTANT-size
     // model no matter the corpus), the per-doc weight is one shuffle on
     // doc_id, and the top-100 is TakeOrderedAndProject — at 100 TB the
-    // corpus is read once and nothing non-constant is broadcast. ----
+    // corpus is read exactly twice (LM fit + scoring) and nothing
+    // non-constant is broadcast. ----
     Q(
       "curate_dsir_resample", {
         val md5b = (1 to 12).map { k =>
@@ -497,6 +498,94 @@ object Curation extends QueryModule {
               floor(-log(-log(u)) * 1e6).cast("long")).as("key_micro"))
           .orderBy(col("key_micro").desc, col("doc_id"))
           .limit(100)
+      }),
+
+    // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    // "CCNet: Extracting High Quality Monolingual Datasets from Web
+    // Crawl Data"): score every document by its average conditional
+    // bigram negative log-likelihood under a corpus bigram LM
+    // (add-1-smoothed P(w2|w1) = (c12+1)/(c1+V)), then split the corpus
+    // into head/middle/tail perplexity terciles — the bucket CCNet
+    // keeps/reweights/drops. Engine-neutral by the house discipline:
+    // per-bigram log-probs floored to integer micros (order-independent
+    // BIGINT sums), the per-doc average via IEEE double division + floor
+    // (identical on both engines), tercile edges via exact integer
+    // comparisons on the global rank. Scale: the bigram LM is
+    // CORPUS-SIZED, so unlike DSIR's hashed LM it must NOT broadcast —
+    // scoring is a shuffle equi-join on (w1,w2), size-gated by AQE; c1
+    // and V are derived FROM the c12 aggregate (no extra corpus pass —
+    // the corpus is read exactly twice: LM fit + scoring); the tercile
+    // rank goes through the range-partitioned globalRowNumber (TeraSort
+    // shape, no single-partition window); the only broadcasts are 1-row
+    // frames (V, n_docs). ----
+    Q(
+      "curate_ccnet_ppl_buckets",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        big AS (
+          SELECT doc_id, w1, ts[i + 1] AS w2
+          FROM (SELECT doc_id, ts, unnest(ts) AS w1,
+                       generate_subscripts(ts, 1) AS i
+                FROM toks)
+          WHERE i < len(ts)),
+        c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1),
+        vsz AS (SELECT count(*) AS v FROM c1),
+        lm AS (
+          SELECT w1, w2,
+                 CAST(floor(ln((n12 + 1.0) / (n1 + v)) * 1000000)
+                   AS BIGINT) AS lp
+          FROM c12 JOIN c1 USING (w1) CROSS JOIN vsz),
+        perdoc AS (
+          SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*))
+                   AS BIGINT) AS nll_micro
+          FROM big b JOIN lm USING (w1, w2) GROUP BY b.doc_id),
+        nd AS (SELECT count(*) AS n FROM perdoc),
+        ranked AS (
+          SELECT doc_id, n_bigrams, nll_micro,
+                 row_number() OVER (ORDER BY nll_micro, doc_id) AS rn
+          FROM perdoc)
+        SELECT doc_id, n_bigrams, nll_micro,
+               CASE WHEN (rn - 1) * 3 < n THEN 'head'
+                    WHEN (rn - 1) * 3 < 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked CROSS JOIN nd ORDER BY doc_id"""),
+      (s, dir) => {
+        val n = size(col("ts"))
+        val big = docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(col("ts"), lit(1), greatest(n - 1, lit(0))),
+            slice(col("ts"), lit(2), greatest(n - 1, lit(0))))).as("p"))
+          .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        // the conditional denominator and the smoothing vocab both come
+        // from the c12 frame, not another corpus pass
+        val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
+        val vsz = c1.agg(count(lit(1)).as("v"))
+        val lm = c12.join(c1, "w1").crossJoin(broadcast(vsz))
+          .select(col("w1"), col("w2"),
+            floor(log((col("n12") + lit(1.0)) / (col("n1") + col("v")))
+              * 1e6).cast("long").as("lp"))
+        val perdoc = big.join(lm, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lps"))
+          .select(col("doc_id"), col("n_bigrams"),
+            floor((-col("lps")).cast("double") / col("n_bigrams"))
+              .cast("long").as("nll_micro"))
+        val nd = perdoc.agg(count(lit(1)).as("n"))
+        globalRowNumber(perdoc,
+          Seq(col("nll_micro"), col("doc_id")), "rn")
+          .crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+            when((col("rn") - 1) * 3 < col("n"), "head")
+              .when((col("rn") - 1) * 3 < col("n") * 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
       }),
 
     // ---- Domain-mixture rebalancing: draw a 200-doc training mix at

@@ -255,4 +255,37 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)),
       "resample not reproducible")
   }
+
+  test("CCNet ppl buckets: tercile split exact, ranks respect NLL order") {
+    val rows = run("curate_ccnet_ppl_buckets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val byBucket = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"bucket labels: ${byBucket.keySet}")
+    // exact tercile arithmetic from the rank formula, not "roughly a third"
+    val head = (0 until n).count(i => i * 3 < n)
+    val mid = (0 until n).count(i => i * 3 >= n && i * 3 < 2 * n)
+    assert(byBucket("head") == head && byBucket("middle") == mid,
+      s"tercile sizes: $byBucket expected ($head, $mid, ${n - head - mid})")
+    // buckets are contiguous NLL ranges: every head NLL <= every middle
+    // NLL <= every tail NLL (ties can't cross because rank ties break on
+    // doc_id within an identical NLL value, staying inside the same or
+    // adjacent bucket only at equal NLL)
+    def nlls(b: String) = rows.filter(_._4 == b).map(_._3)
+    assert(nlls("head").max <= nlls("middle").min,
+      "head/middle NLL ranges overlap")
+    assert(nlls("middle").max <= nlls("tail").min,
+      "middle/tail NLL ranges overlap")
+    // smoothed conditional bigram probs are strictly < 1 on this corpus
+    rows.foreach { case (_, nb, nll, _) =>
+      assert(nb >= 1L && nll > 0L, s"degenerate row nb=$nb nll=$nll")
+    }
+    // docs with fewer than two tokens have no bigrams and are excluded
+    val nDocsWithBigram = SparkEntry.queries("curate_unigram_logprob")(
+      spark, sf).filter(col("n_tokens") >= 2).count()
+    assert(n == nDocsWithBigram.toInt,
+      s"scored $n docs, corpus has $nDocsWithBigram with >=2 tokens")
+  }
 }
