@@ -766,10 +766,10 @@ object Dedup extends QueryModule {
     // The deliberate recall trade, visible in the oracle: pairs whose
     // members quantize into DIFFERENT cells are invisible (DedupSpec
     // pins measured cell-recall vs the LSH detector's pair set on the
-    // same planted corpus). Assignment is a rank-1 window over the
-    // k-way broadcast cross join — WindowGroupLimit prunes to one row
-    // per vector per map task BEFORE the shuffle, so the assignment
-    // shuffle carries N rows, not N×k. ----
+    // same planted corpus). Assignment is a max_by hash aggregate over
+    // the k-way broadcast cross join — partial aggregation consumes the
+    // N×k stream inside one codegen stage (no sort, no spill), so the
+    // assignment shuffle carries N rows, not N×k. ----
     Q(
       "dedup_semantic_cells",
       Some("""
@@ -808,15 +808,30 @@ object Dedup extends QueryModule {
           .filter(col("vec_id") < k)
           .select(col("vec_id").as("cell"),
             col("embedding").cast("array<double>").as("cv"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("cell_cos").desc, col("cell"))
+        // argmax-cell via max_by over the k-way broadcast cross join,
+        // NOT a rank-1 window: the window form sorts the FULL N×k
+        // exploded stream (each row dragging the 64-dim vector) —
+        // measured 801 GB memory-spill / 70 s at the 100× corpus
+        // (240k vecs × 1600 cells). With a hash aggregate the cross
+        // join + codegen cosine + partial max_by fuse into ONE
+        // whole-stage pipeline: the N×k stream is consumed map-side as
+        // it is produced (k broadcast rows per input row), nothing is
+        // materialized or sorted, and only N (vec_id, cell) rows reach
+        // the shuffle. max_by on struct(cos, -cell) replays the window
+        // tie-break exactly (highest cosine, then lowest cell — Spark
+        // orders NaN greatest in both forms). The vector is NOT carried
+        // through the exploded stream; it rejoins on vec_id (an N-row
+        // equi-join, trivial next to the 1000× heavier sorted explode).
+        val asg = allv
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cell"),
+            VectorExprs.cosine(s, col("vec"), col("cv")).as("cell_cos"))
+          .groupBy("vec_id")
+          .agg(max_by(col("cell"),
+            struct(col("cell_cos"), (-col("cell")).as("nc"))).as("cell"))
         // persisted: both sides of the cell self-join would otherwise
         // re-run the k-way assignment
-        val lists = allv.crossJoin(broadcast(cents))
-          .withColumn("cell_cos",
-            VectorExprs.cosine(s, col("vec"), col("cv")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+        val lists = allv.join(asg, "vec_id")
           .select(col("vec_id"), col("vec"), col("cell"))
           .persist()
         lists.as("x")
