@@ -298,6 +298,7 @@ object ScaleStress {
     "sim_pq_adc", "sim_bruteforce_topk",
     "text_winnowing_fingerprints", "text_heavy_hitters",
     "text_bpe_encode", "curate_unigram_logprob", "curate_dsir_resample",
+    "curate_ccnet_ppl_buckets",
     // retrieval/ranking tier (round-10 verdict item 3 — the last
     // LLM-pipeline family arguing from plan shape only): tf-idf + BM25
     // scoring over the scaled docs and the RRF fusion of both rankers
