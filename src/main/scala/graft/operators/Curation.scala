@@ -942,5 +942,146 @@ object Curation extends QueryModule {
             col("a.off").cast("long").as("neg_rank"),
             col("n.doc_id").as("neg_id"))
           .orderBy("doc_id", "neg_rank")
+      }),
+
+    // ---- Temperature-based multilingual mixture sampling (the
+    // α-sampling of Conneau & Lample 2019 / XLM-R: resample languages
+    // with q_l ∝ p_l^α, α=0.3, flattening the head so low-resource
+    // languages are up-weighted relative to their corpus share). Target
+    // size T = ⌊2N/5⌋ docs; each doc in language l is kept with rate
+    // r_l = min(1, T·q_l/n_l), decided by a salted Knuth-hash uniform so
+    // the draw is deterministic and engine-portable. The keep test is
+    // PURE INTEGER arithmetic (hash·10⁶ floor-divided by 2³² vs an
+    // integer micro-rate) — the only floats are the 5-row rate table's
+    // p^α, computed identically as exp(α·ln p) on both engines. Scale:
+    // the language census is one map-side-combined agg to ≤ #langs rows,
+    // the rate table broadcasts (languages are bounded, not
+    // corpus-sized), and the resample itself is a stateless filter scan —
+    // corpus read exactly twice (census + filter), nothing shuffles the
+    // data rows. ----
+    Q(
+      "curate_temperature_mixture",
+      Some("""
+        WITH lc AS (SELECT lang, count(*) AS cnt
+                    FROM documents GROUP BY lang),
+        tot AS (SELECT sum(cnt) AS n FROM lc),
+        sc AS (SELECT lang, cnt,
+                      exp(0.3 * ln(cnt / CAST(n AS DOUBLE))) AS s,
+                      n
+               FROM lc CROSS JOIN tot),
+        z AS (SELECT sum(s) AS zs FROM sc),
+        rates AS (
+          SELECT lang,
+                 least(1000000, CAST(floor(
+                   ((n * 2) // 5) * s / (zs * cnt) * 1000000)
+                   AS BIGINT)) AS rate_micro
+          FROM sc CROSS JOIN z)
+        SELECT d.doc_id, d.lang, r.rate_micro
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ((d.doc_id * 2654435761 + 104729) % 4294967296)
+                * 1000000 // 4294967296 < r.rate_micro
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val lc = docs(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("cnt"))
+        val tot = lc.agg(sum("cnt").as("n"))
+        // p_l^α spelled exp(α·ln p) on BOTH engines so the two libms see
+        // the same formulation; the result lands in an integer micro-rate
+        // before any comparison
+        val sc = lc.crossJoin(broadcast(tot))
+          .select(col("lang"), col("cnt"), col("n"),
+            exp(lit(0.3) * log(col("cnt") / col("n").cast("double")))
+              .as("s"))
+        val z = sc.agg(sum("s").as("zs"))
+        val rates = sc.crossJoin(broadcast(z))
+          .select(col("lang"),
+            least(lit(1000000L),
+              floor(floor(col("n") * 2 / 5) * col("s") /
+                (col("zs") * col("cnt")) * 1e6).cast("long"))
+              .as("rate_micro"))
+        // the rate table is ≤ #languages rows — broadcast is safe at any
+        // corpus size; the keep test below is integer-only (no float
+        // boundary can flip between engines)
+        docs(s, dir).join(broadcast(rates), "lang")
+          .filter(
+            expr("((doc_id * 2654435761L + 104729L) % 4294967296L)" +
+              " * 1000000L div 4294967296L") < col("rate_micro"))
+          .select(col("doc_id"), col("lang"), col("rate_micro"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Keyword-taxonomy topic tagging: classify every document into
+    // a small controlled taxonomy by dictionary keyword hits (the
+    // FlashText/dictionary-tagger shape every corpus-annotation pipeline
+    // runs before domain-mixture decisions). Per doc: count keyword
+    // occurrences per topic, assign the topic with the most hits,
+    // ties broken toward the lower topic_id — the argmax is a max_by
+    // HASH AGGREGATE on an integer key (cnt·100 − topic_id, unique per
+    // doc because topic_id is), not a rank-1 window (the same lesson as
+    // dedup_semantic_cells: WindowGroupLimit still sorts; max_by
+    // doesn't). Docs with zero keyword hits drop out (inner join) — the
+    // untagged remainder is the complement, cheaper left as absence.
+    // Scale: the taxonomy is a constant-size literal dim (broadcast),
+    // the token explode shuffles doc-keyed aggregates only — no
+    // corpus-sized state anywhere. ----
+    Q(
+      "curate_taxonomy_tags",
+      Some("""
+        WITH dict AS (
+          SELECT * FROM (VALUES
+            (0, 'storage',   'table'),  (0, 'storage',   'row'),
+            (0, 'storage',   'column'), (0, 'storage',   'part'),
+            (0, 'storage',   'key'),
+            (1, 'execution', 'scan'),   (1, 'execution', 'filter'),
+            (1, 'execution', 'join'),   (1, 'execution', 'agg'),
+            (1, 'execution', 'group'),  (1, 'execution', 'sort'),
+            (1, 'execution', 'merge'),  (1, 'execution', 'hash'),
+            (2, 'streaming', 'stream'), (2, 'streaming', 'window'),
+            (2, 'streaming', 'batch'),
+            (3, 'workload',  'fast'),   (3, 'workload',  'slow'),
+            (3, 'workload',  'small'),  (3, 'workload',  'big'))
+            d(topic_id, topic, kw)),
+        hits AS (
+          SELECT t.doc_id, d.topic_id, d.topic, count(*) AS cnt
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS tok
+                FROM documents) t
+          JOIN dict d ON t.tok = d.kw
+          GROUP BY 1, 2, 3)
+        SELECT doc_id,
+               arg_max(topic, cnt * 100 - topic_id) AS topic,
+               CAST(arg_max(cnt, cnt * 100 - topic_id) AS BIGINT)
+                 AS topic_hits,
+               CAST(sum(cnt) AS BIGINT) AS total_hits
+        FROM hits GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val dict = s.createDataFrame(Seq(
+          (0, "storage", "table"), (0, "storage", "row"),
+          (0, "storage", "column"), (0, "storage", "part"),
+          (0, "storage", "key"),
+          (1, "execution", "scan"), (1, "execution", "filter"),
+          (1, "execution", "join"), (1, "execution", "agg"),
+          (1, "execution", "group"), (1, "execution", "sort"),
+          (1, "execution", "merge"), (1, "execution", "hash"),
+          (2, "streaming", "stream"), (2, "streaming", "window"),
+          (2, "streaming", "batch"),
+          (3, "workload", "fast"), (3, "workload", "slow"),
+          (3, "workload", "small"), (3, "workload", "big")))
+          .toDF("topic_id", "topic", "kw")
+        // argmax key: unique per doc (one row per topic_id), max picks
+        // highest count then LOWEST topic_id — both max_by calls land on
+        // the same row, so topic and topic_hits stay consistent
+        val key = col("cnt") * 100 - col("topic_id")
+        docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .join(broadcast(dict), col("tok") === col("kw"))
+          .groupBy("doc_id", "topic_id", "topic")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(max_by(col("topic"), key).as("topic"),
+            max_by(col("cnt"), key).cast("long").as("topic_hits"),
+            sum("cnt").cast("long").as("total_hits"))
+          .orderBy("doc_id")
       }))
 }

@@ -755,6 +755,54 @@ object TextAnalysis extends QueryModule {
             .as("zipf_alpha"),
           count(lit(1)).cast("long").as("n_terms"),
           max(col("f")).cast("long").as("top_freq"))
+      }),
+
+    // ---- Per-document token-distribution Shannon entropy, a standard
+    // repetitiveness/quality signal (low entropy ⇒ the doc is dominated
+    // by few repeated tokens; used alongside the Gopher repetition
+    // rules). Computed as H = ln n − (Σ c·ln c)/n over the per-doc term
+    // frequencies, which needs only (count, Σ c·ln c) — no per-doc
+    // probability vector. Engine-portability: the Σ c·ln c side is
+    // floored to integer NANOS PER TERM before summing (BIGINT sums are
+    // order-independent; the two engines may visit terms in any order),
+    // and the final H combines those exact integers with one ln and one
+    // division — identical IEEE doubles on both sides. Deliberately
+    // explode + two doc-keyed hash aggregates, NOT nested array HOFs
+    // (array_distinct/filter lambdas re-inline the tokenizer per
+    // distinct term under CollapseProject — the winnowing lesson) —
+    // every stage is codegen and shuffles only doc-keyed rows. ----
+    Q(
+      "text_token_entropy",
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(floor(
+                 ln(CAST(sum(c) AS DOUBLE)) * 1000000000
+                 - CAST(sum(CAST(floor(c * ln(c) * 1000000000) AS BIGINT))
+                        AS DOUBLE) / sum(c)) AS BIGINT) AS entropy_nano
+        FROM tf GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          .agg(
+            sum("c").cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_distinct"),
+            floor(
+              log(sum("c").cast("double")) * lit(1e9)
+                - sum(floor(col("c") * log(col("c")) * lit(1e9))
+                    .cast("long")).cast("double") / sum("c"))
+              .cast("long").as("entropy_nano"))
+          .orderBy("doc_id")
       })
   )
 

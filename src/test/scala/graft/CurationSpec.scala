@@ -256,6 +256,78 @@ class CurationSpec extends SparkSpec {
       "resample not reproducible")
   }
 
+  test("temperature mixture: α<1 flattens rates toward low-resource langs") {
+    val df = run("curate_temperature_mixture")
+    val plan = df.queryExecution.executedPlan.toString
+    // the ≤ #langs rate table rides a broadcast; the corpus never shuffles
+    assert(plan.contains("BroadcastHashJoin"), "rate table must broadcast")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // rates are valid probabilities in micros
+    val byLang = rows.groupBy(_._2).view.mapValues(_.head._3).toMap
+    byLang.values.foreach(r => assert(r > 0 && r <= 1000000L))
+    // per-lang rate is a constant
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1)
+    }
+    // α=0.3 flattening: keep-rate ∝ n_l^(α−1) is DECREASING in shard
+    // size, so every minority language out-rates 'en' (~42% of corpus)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang("en")
+    byLang.foreach { case (l, r) =>
+      if (corpus(l) < corpus("en"))
+        assert(r > enRate, s"$l rate $r should exceed en rate $enRate")
+    }
+    // realized sample size lands near the T = 2N/5 target (binomial
+    // spread: sd ≈ √(T·(1−r̄)) ≈ 11 at N=500 — a generous 5σ gate)
+    val target = corpus.values.sum * 2 / 5
+    assert(math.abs(rows.length - target) <= 55,
+      s"kept ${rows.length} vs target $target")
+    // deterministic replay (hash draw, no rand())
+    val again = run("curate_temperature_mixture").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+  }
+
+  test("taxonomy tags: argmax matches a per-doc reference, dict broadcasts") {
+    val df = run("curate_taxonomy_tags")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "taxonomy dict must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    // exact driver-side reference over the raw text: count topic keyword
+    // hits, argmax by (count desc, topic_id asc)
+    val dict = Map(
+      0 -> ("storage", Set("table", "row", "column", "part", "key")),
+      1 -> ("execution",
+        Set("scan", "filter", "join", "agg", "group", "sort", "merge",
+          "hash")),
+      2 -> ("streaming", Set("stream", "window", "batch")),
+      3 -> ("workload", Set("fast", "slow", "small", "big")))
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().flatMap { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        val hits = dict.toSeq.map { case (id, (topic, kws)) =>
+          (id, topic, toks.count(kws.contains).toLong)
+        }.filter(_._3 > 0)
+        if (hits.isEmpty) None
+        else {
+          val (_, topic, cnt) = hits.maxBy { case (id, _, c) => c * 100 - id }
+          Some(r.getLong(0) -> ((topic, cnt, hits.map(_._3).sum)))
+        }
+      }.toMap
+    assert(rows.keySet == ref.keySet, "tagged-doc sets differ")
+    rows.foreach { case (id, got) =>
+      assert(got == ref(id), s"doc $id: $got vs ${ref(id)}")
+    }
+  }
+
   test("CCNet ppl buckets: tercile split exact, ranks respect NLL order") {
     val rows = run("curate_ccnet_ppl_buckets").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

@@ -351,6 +351,7 @@ class PlanShapeSpec extends SparkSpec {
       "agg_bitmap_exact_distinct", // 1-row bitmap total × 1-row direct
       "curate_unigram_logprob", // broadcast 1-row corpus token total
       "curate_dsir_resample", // broadcast 1-row LM totals into ≤1024-row LM
+      "curate_temperature_mixture", // 1-row census total + 1-row α-norm
       "curate_ccnet_ppl_buckets", // broadcast 1-row V + 1-row doc count
       "text_bpe_merge_train", // broadcast 1-row chosen merge per round
       "text_bpe_encode") // same trained-merge broadcasts feed the dict

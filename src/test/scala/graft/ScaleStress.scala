@@ -299,6 +299,13 @@ object ScaleStress {
     "text_winnowing_fingerprints", "text_heavy_hitters",
     "text_bpe_encode", "curate_unigram_logprob", "curate_dsir_resample",
     "curate_ccnet_ppl_buckets",
+    // round-11 late additions: α-temperature resampling (two corpus
+    // passes + broadcast rate table), dictionary topic tagging
+    // (explode + broadcast join + doc-keyed argmax agg), per-doc token
+    // entropy (explode + two doc-keyed hash aggs) — all three are
+    // corpus-explode or scan shapes whose cost must stay linear in N
+    "curate_temperature_mixture", "curate_taxonomy_tags",
+    "text_token_entropy",
     // retrieval/ranking tier (round-10 verdict item 3 — the last
     // LLM-pipeline family arguing from plan shape only): tf-idf + BM25
     // scoring over the scaled docs and the RRF fusion of both rankers

@@ -40,4 +40,32 @@ class TextStatsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"vocabulary head should come from a bounded top-k:\n${plan.take(1500)}")
   }
+
+  test("token entropy matches an exact per-doc reference and stays in bounds") {
+    val rows = SparkEntry.queries("text_token_entropy")(spark, sf)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // exact reference: same integer-nano discipline, computed per doc on
+    // the driver from the raw text
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        val counts = toks.groupBy(identity).map(_._2.length.toLong)
+        val n = toks.length.toLong
+        val s = counts.map(c =>
+          math.floor(c * math.log(c.toDouble) * 1e9).toLong).sum
+        val h = math.floor(math.log(n.toDouble) * 1e9 - s.toDouble / n)
+        r.getLong(0) -> (n, counts.size.toLong, h.toLong)
+      }.toMap
+    assert(rows.keySet == ref.keySet)
+    rows.foreach { case (id, (n, d, e)) =>
+      assert((n, d, e) == ref(id), s"doc $id: ($n,$d,$e) vs ${ref(id)}")
+      // 0 <= H <= ln(distinct): uniform distribution is the maximum
+      assert(e >= 0 && e <= math.ceil(math.log(d.toDouble) * 1e9).toLong,
+        s"doc $id entropy $e outside [0, ln($d)]")
+    }
+    // the synthetic corpus is non-degenerate: entropies are not constant
+    assert(rows.values.map(_._3).toSet.size > 1)
+  }
 }
