@@ -658,6 +658,205 @@ object Similarity extends QueryModule {
             "CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END " +
               "AS BIGINT) AS correct")
           .orderBy("q_id")
+      }),
+
+    // ---- Ranking-quality evaluation (NDCG / precision / recall / MRR
+    // at k) for the lexical retrieval leg — the eval tier every
+    // retrieval pipeline runs before trusting a ranker (Järvelin &
+    // Kekäläinen 2002). Relevance is DETERMINISTIC binary: a doc is
+    // relevant iff it contains ALL query terms (conjunctive
+    // containment), so both engines agree on the label without any
+    // judgment data. Numeric discipline: each DCG term 1/ln(rank+1) is
+    // floored to integer NANOS before summing (the ln-DCG variant —
+    // same ordering as log2-DCG, constant factor off; integer sums are
+    // order-independent), precision/recall/MRR/NDCG are integer
+    // floor-divisions of exact BIGINTs. Scale: the corpus contributes
+    // one term-filtered agg + a top-20 (TakeOrderedAndProject) and a
+    // 1-row relevance census; every metric computes on ≤ 20×3 rows
+    // against broadcast 1-row totals. ----
+    Q(
+      "retrieval_ndcg_eval",
+      Some("""
+        WITH rel AS (
+          SELECT doc_id,
+                 list_contains(string_split(text, ' '), 'spark')
+                 AND list_contains(string_split(text, ' '), 'window')
+                 AND list_contains(string_split(text, ' '), 'slow') AS rel
+          FROM documents),
+        rtot AS (SELECT count(*) AS r FROM rel WHERE rel),
+        lex0 AS (SELECT doc_id, count(*) AS lex_tf
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents)
+                 WHERE term IN ('spark', 'window', 'slow') GROUP BY 1),
+        ranked AS (SELECT doc_id, lex_tf,
+                          row_number() OVER (ORDER BY lex_tf DESC, doc_id)
+                            AS rank
+                   FROM lex0 QUALIFY rank <= 20),
+        ks AS (SELECT unnest([5, 10, 20]) AS k),
+        m AS (SELECT k,
+                     CAST(count(*) FILTER (WHERE rel) AS BIGINT) AS hits,
+                     CAST(coalesce(sum(CASE WHEN rel THEN
+                       CAST(floor(1e9 / ln(rank + 1)) AS BIGINT) END), 0)
+                       AS BIGINT) AS dcg_nano,
+                     min(CASE WHEN rel THEN rank END) AS minrank
+              FROM ranked JOIN rel USING (doc_id) CROSS JOIN ks
+              WHERE rank <= k GROUP BY k),
+        i AS (SELECT k,
+                     CAST(list_aggregate(list_transform(
+                       range(1, least(k, r) + 1),
+                       x -> CAST(floor(1e9 / ln(x + 1)) AS BIGINT)), 'sum')
+                       AS BIGINT) AS idcg_nano,
+                     r
+              FROM ks CROSS JOIN rtot)
+        SELECT CAST(m.k AS BIGINT) AS k, hits,
+               CAST(hits * 1000000 // m.k AS BIGINT) AS precision_micro,
+               CAST(hits * 1000000 // i.r AS BIGINT) AS recall_micro,
+               dcg_nano, idcg_nano,
+               CAST(CASE WHEN idcg_nano > 0
+                    THEN dcg_nano * 1000000 // idcg_nano ELSE 0 END
+                 AS BIGINT) AS ndcg_micro,
+               CAST(coalesce(1000000 // minrank, 0) AS BIGINT) AS mrr_micro
+        FROM m JOIN i USING (k) ORDER BY k"""),
+      (s, dir) => {
+        val terms = Seq("spark", "window", "slow")
+        val d = Tables.load(s, dir, "documents")
+        val relFlag = terms
+          .map(w => array_contains(split(col("text"), " "), w))
+          .reduce(_ && _)
+        val rel = d.select(col("doc_id"), relFlag.as("rel"))
+        val rtot = rel.filter(col("rel")).agg(count(lit(1)).as("r"))
+        val ranked = Ranking.topKRanked(
+          d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+            .filter(col("term").isin(terms: _*))
+            .groupBy("doc_id").agg(count(lit(1)).as("lex_tf")),
+          20, "rank", col("lex_tf").desc, col("doc_id"))
+        val ks = s.createDataFrame(Seq(5, 10, 20).map(Tuple1(_))).toDF("k")
+        // 20 ranked rows × 3 cutoffs; relevance joins in via the
+        // broadcast 20-row frame, totals ride broadcast 1-row frames
+        val m = rel.join(broadcast(ranked), "doc_id")
+          .crossJoin(broadcast(ks))
+          .filter(col("rank") <= col("k"))
+          .groupBy("k")
+          .agg(
+            sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+            coalesce(sum(when(col("rel"),
+              floor(lit(1e9) / log(col("rank") + 1)))), lit(0L))
+              .as("dcg_nano"),
+            min(when(col("rel"), col("rank"))).as("minrank"))
+        m.crossJoin(broadcast(rtot))
+          .select(
+            col("k").cast("long").as("k"),
+            col("hits").cast("long").as("hits"),
+            expr("hits * 1000000 div k").as("precision_micro"),
+            expr("hits * 1000000 div r").as("recall_micro"),
+            col("dcg_nano").cast("long").as("dcg_nano"),
+            aggregate(
+              transform(
+                sequence(lit(1L), least(col("k").cast("long"), col("r"))),
+                x => floor(lit(1e9) / log(x.cast("double") + 1))),
+              lit(0L), (a, x) => a + x).as("idcg_nano"),
+            col("minrank"))
+          .select(
+            col("k"), col("hits"), col("precision_micro"),
+            col("recall_micro"), col("dcg_nano"), col("idcg_nano"),
+            when(col("idcg_nano") > 0,
+              expr("dcg_nano * 1000000 div idcg_nano")).otherwise(0L)
+              .cast("long").as("ndcg_micro"),
+            coalesce(expr("1000000 div minrank"), lit(0L))
+              .cast("long").as("mrr_micro"))
+          .orderBy("k")
+      }),
+
+    // ---- Ranker agreement: Kendall τ-a between the lexical and vector
+    // retrieval legs over the docs BOTH rank in their top-100 — the
+    // measurement that motivates reciprocal-rank fusion (low τ ⇒ the
+    // legs disagree ⇒ fusing them adds recall; the legs here are
+    // exactly retrieval_hybrid_rrf's). Both restricted rankings are
+    // total orders (deterministic doc_id tiebreaks), so the
+    // concordant/discordant pair counts are EXACT integers on both
+    // engines; τ = (C − D)/(n(n−1)/2) is emitted as a truncation-
+    // toward-zero micro ratio (sign split keeps Spark's `div` and
+    // DuckDB's `//` in agreement on negative values). Scale: each leg
+    // is agg + distributed top-k; the τ computation is a ≤100-row
+    // broadcast self-join (≤4,950 pairs) — nothing corpus-sized ever
+    // pairs up. ----
+    Q(
+      "retrieval_rank_correlation",
+      Some("""
+        WITH lex0 AS (SELECT doc_id, count(*) AS lex_tf
+                      FROM (SELECT doc_id,
+                              unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS term
+                            FROM documents)
+                      WHERE term IN ('spark', 'window', 'slow') GROUP BY 1),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY lex_tf DESC, doc_id) AS lr
+                FROM lex0 QUALIFY lr <= 100),
+        vec0 AS (SELECT vec_id AS doc_id,
+                        list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                           WHERE vec_id = 0)) AS cos
+                 FROM embeddings WHERE vec_id <> 0),
+        vec AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY cos DESC, doc_id) AS vr
+                FROM vec0 QUALIFY vr <= 100),
+        c AS (SELECT doc_id, lr, vr FROM lex JOIN vec USING (doc_id)),
+        p AS (SELECT CASE WHEN (a.lr < b.lr) = (a.vr < b.vr)
+                          THEN 1 ELSE 0 END AS con
+              FROM c a JOIN c b ON a.doc_id < b.doc_id)
+        SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_common,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(con), 0) AS BIGINT) AS concordant,
+               CAST(count(*) - coalesce(sum(con), 0) AS BIGINT)
+                 AS discordant,
+               CAST(CASE WHEN count(*) = 0 THEN 0
+                    WHEN coalesce(sum(con), 0) * 2 >= count(*)
+                    THEN (coalesce(sum(con), 0) * 2 - count(*)) * 1000000
+                         // count(*)
+                    ELSE -((count(*) - coalesce(sum(con), 0) * 2) * 1000000
+                           // count(*)) END AS BIGINT) AS tau_micro
+        FROM p"""),
+      (s, dir) => {
+        val lex = Ranking.topKRanked(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(split(col("text"), " ")).as("term"))
+            .filter(col("term").isin("spark", "window", "slow"))
+            .groupBy("doc_id").agg(count(lit(1)).as("lex_tf")),
+          100, "lr", col("lex_tf").desc, col("doc_id"))
+          .select("doc_id", "lr")
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"))
+        val vec = Ranking.topKRanked(
+          e.filter(col("vec_id") =!= 0)
+            .join(broadcast(q), col("q_id") =!= col("vec_id"))
+            .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("vec")))
+            .select(col("vec_id").as("doc_id"), col("cos")),
+          100, "vr", col("cos").desc, col("doc_id"))
+          .select("doc_id", "vr")
+        val c = lex.join(vec, "doc_id").select("doc_id", "lr", "vr")
+        val p = c.as("a")
+          .join(broadcast(c.as("b")), col("a.doc_id") < col("b.doc_id"))
+          .select(when((col("a.lr") < col("b.lr")) ===
+            (col("a.vr") < col("b.vr")), 1L).otherwise(0L).as("con"))
+        val nC = c.agg(count(lit(1)).as("n_common"))
+        p.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum("con"), lit(0L)).as("concordant"))
+          .crossJoin(broadcast(nC))
+          .select(
+            col("n_common").cast("long").as("n_common"),
+            col("n_pairs").cast("long").as("n_pairs"),
+            col("concordant").cast("long").as("concordant"),
+            (col("n_pairs") - col("concordant")).cast("long")
+              .as("discordant"),
+            when(col("n_pairs") === 0, 0L)
+              .when(col("concordant") * 2 >= col("n_pairs"),
+                expr("(concordant * 2 - n_pairs) * 1000000 div n_pairs"))
+              .otherwise(
+                -expr("(n_pairs - concordant * 2) * 1000000 div n_pairs"))
+              .cast("long").as("tau_micro"))
       })
   )
 }

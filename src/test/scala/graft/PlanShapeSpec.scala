@@ -352,6 +352,8 @@ class PlanShapeSpec extends SparkSpec {
       "curate_unigram_logprob", // broadcast 1-row corpus token total
       "curate_dsir_resample", // broadcast 1-row LM totals into ≤1024-row LM
       "curate_temperature_mixture", // 1-row census total + 1-row α-norm
+      "retrieval_ndcg_eval", // 3-row k dim × 20-row top-k × 1-row census
+      "retrieval_rank_correlation", // ≤100-row common set τ self-join
       "curate_ccnet_ppl_buckets", // broadcast 1-row V + 1-row doc count
       "text_bpe_merge_train", // broadcast 1-row chosen merge per round
       "text_bpe_encode") // same trained-merge broadcasts feed the dict
