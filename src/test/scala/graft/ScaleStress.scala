@@ -305,7 +305,8 @@ object ScaleStress {
     // entropy (explode + two doc-keyed hash aggs) — all three are
     // corpus-explode or scan shapes whose cost must stay linear in N
     "curate_temperature_mixture", "curate_taxonomy_tags",
-    "text_token_entropy",
+    "text_token_entropy", "retrieval_ndcg_eval",
+    "retrieval_rank_correlation",
     // retrieval/ranking tier (round-10 verdict item 3 — the last
     // LLM-pipeline family arguing from plan shape only): tf-idf + BM25
     // scoring over the scaled docs and the RRF fusion of both rankers
