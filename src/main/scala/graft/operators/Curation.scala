@@ -1083,5 +1083,164 @@ object Curation extends QueryModule {
             max_by(col("cnt"), key).cast("long").as("topic_hits"),
             sum("cnt").cast("long").as("total_hits"))
           .orderBy("doc_id")
+      }),
+
+    // ---- Gopher quality-rule battery (Rae et al. 2021 §A1.1): the
+    // published per-document filters as one pass — word-count bounds,
+    // mean-word-length bounds, ≥2 distinct stopwords, alphabetic-word
+    // fraction. Thresholds follow the paper except mean word length
+    // (published [3,10] recalibrated to [4.2,10] for the ~31-word
+    // synthetic vocab whose means span 3.7–5.1 — at [3,10] the rule
+    // would be decision-free here); the alpha rule passes everywhere on
+    // this corpus by construction (all-lowercase vocab) and is kept for
+    // rule-battery completeness. Every rule evaluates on EXACT integers
+    // (cross-multiplied or micro-floored ratios — no float boundary can
+    // flip between engines). Scale: one token explode feeding a single
+    // doc-keyed hash aggregate; all four rules derive from the same
+    // five partial aggregates — no second corpus pass, nothing
+    // corpus-wide. ----
+    Q(
+      "curate_gopher_rules",
+      Some("""
+        WITH a AS (
+          SELECT doc_id, count(*) AS nw,
+                 sum(length(tok)) AS total_chars,
+                 count(DISTINCT CASE WHEN tok IN ('the','a','of','and','is')
+                                     THEN tok END) AS n_stop,
+                 sum(CASE WHEN regexp_full_match(tok, '[a-z]+')
+                          THEN 1 ELSE 0 END) AS n_alpha
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS tok
+                FROM documents)
+          GROUP BY doc_id)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+               CAST(total_chars * 1000000 // nw AS BIGINT) AS mean_len_micro,
+               CAST(n_stop AS BIGINT) AS n_stop_distinct,
+               CAST(n_alpha * 1000000 // nw AS BIGINT) AS alpha_frac_micro,
+               nw BETWEEN 50 AND 100000 AS word_count_ok,
+               total_chars * 1000000 // nw BETWEEN 4200000 AND 10000000
+                 AS mean_len_ok,
+               n_stop >= 2 AS stopword_ok,
+               n_alpha * 1000000 // nw >= 800000 AS alpha_ok,
+               (nw BETWEEN 50 AND 100000)
+                 AND (total_chars * 1000000 // nw
+                        BETWEEN 4200000 AND 10000000)
+                 AND n_stop >= 2
+                 AND n_alpha * 1000000 // nw >= 800000 AS pass
+        FROM a ORDER BY doc_id"""),
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "is")
+        val a = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("nw"),
+            sum(length(col("tok"))).as("total_chars"),
+            countDistinct(when(col("tok").isInCollection(stop), col("tok")))
+              .as("n_stop"),
+            sum(when(col("tok").rlike("^[a-z]+$"), 1L).otherwise(0L))
+              .as("n_alpha"))
+        val meanMicro = expr("total_chars * 1000000 div nw")
+        val alphaMicro = expr("n_alpha * 1000000 div nw")
+        val r1 = col("nw").between(50, 100000)
+        val r2 = meanMicro.between(4200000L, 10000000L)
+        val r3 = col("n_stop") >= 2
+        val r4 = alphaMicro >= 800000L
+        a.select(
+          col("doc_id"),
+          col("nw").cast("long").as("n_words"),
+          meanMicro.as("mean_len_micro"),
+          col("n_stop").cast("long").as("n_stop_distinct"),
+          alphaMicro.as("alpha_frac_micro"),
+          r1.as("word_count_ok"), r2.as("mean_len_ok"),
+          r3.as("stopword_ok"), r4.as("alpha_ok"),
+          (r1 && r2 && r3 && r4).as("pass"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- Soft deduplication (He et al., ACL 2024 "SoftDedup":
+    // down-WEIGHT common data instead of dropping it): per-doc sampling
+    // weight combining (1) the bag-of-words near-duplicate cluster size
+    // — the text_fingerprint groups, so a doc duplicated k× contributes
+    // total mass ~1 instead of k — and (2) a commonness discount from
+    // the fraction of the doc's distinct trigram shingles shared with
+    // ≥1 other doc. Both signals and the blended weight are pure
+    // integer arithmetic (micro-floored ratios; the blend
+    // w·(2e6 − dup)/2e6 halves the weight of a fully-common doc).
+    // Scale: the fingerprint census is a 16-byte-keyed equi-join; the
+    // shingle side is explode → distinct → shingle-keyed df agg →
+    // doc-keyed stats — per-doc statistics only (no pair join), so
+    // posting lists never multiply and everything stays linear in
+    // corpus size. ----
+    Q(
+      "curate_softdedup_weights",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS ts
+                   FROM documents),
+        f AS (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(ts)), ' '))
+                       AS fp
+              FROM t),
+        cp AS (SELECT fp, count(*) AS copies FROM f GROUP BY 1),
+        sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' ||
+                        ts[i+2] AS s
+               FROM t, unnest(range(1, len(ts) - 1)) AS u(i)),
+        df AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+        st AS (SELECT doc_id, count(*) AS n_sh,
+                      sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup
+               FROM sh JOIN df USING (s) GROUP BY 1)
+        SELECT f.doc_id, CAST(cp.copies AS BIGINT) AS copies,
+               CAST(coalesce(st.n_sh, 0) AS BIGINT) AS n_shingles,
+               CAST(CASE WHEN coalesce(st.n_sh, 0) = 0 THEN 0
+                    ELSE st.dup * 1000000 // st.n_sh END AS BIGINT)
+                 AS dup_frac_micro,
+               CAST(1000000 // cp.copies AS BIGINT) AS weight_micro,
+               CAST((1000000 // cp.copies)
+                    * (2000000 - CASE WHEN coalesce(st.n_sh, 0) = 0 THEN 0
+                                 ELSE st.dup * 1000000 // st.n_sh END)
+                    // 2000000 AS BIGINT) AS effective_weight_micro
+        FROM f JOIN cp USING (fp) LEFT JOIN st ON f.doc_id = st.doc_id
+        ORDER BY f.doc_id"""),
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("ts"))
+        // identical recipe to text_fingerprint: md5 over the sorted
+        // distinct token set — the 16-byte near-dup cluster key
+        val f = t.select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(col("ts"))), " ")
+            .cast("binary")).as("fp"))
+        val cp = f.groupBy("fp").agg(count(lit(1)).as("copies"))
+        val sh = t.select(col("doc_id"), col("ts"))
+          .selectExpr("doc_id", "ngrams_gen(ts, 3)")
+          .select(col("doc_id"), col("ngram").as("s")).distinct()
+        val dfc = sh.groupBy("s").agg(count(lit(1)).as("c"))
+        val st = sh.join(dfc, "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup"))
+        val dupFrac = when(coalesce(col("n_sh"), lit(0L)) === 0, 0L)
+          .otherwise(expr("dup * 1000000 div n_sh"))
+        f.join(cp, "fp")
+          .join(st, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("copies").cast("long").as("copies"),
+            coalesce(col("n_sh"), lit(0L)).cast("long").as("n_shingles"),
+            dupFrac.cast("long").as("dup_frac"),
+            expr("1000000 div copies").cast("long").as("w"))
+          // the blend stays in BIGINT `div` arithmetic end-to-end —
+          // a double division here could round up across an integer
+          // boundary and diverge from the oracle's floor
+          .select(
+            col("doc_id"), col("copies"),
+            col("n_shingles"),
+            col("dup_frac").as("dup_frac_micro"),
+            col("w").as("weight_micro"),
+            expr("w * (2000000 - dup_frac) div 2000000")
+              .cast("long").as("effective_weight_micro"))
+          .orderBy("doc_id")
       }))
 }

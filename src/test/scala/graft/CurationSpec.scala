@@ -328,6 +328,75 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: every rule matches an exact replay and splits honestly") {
+    val rows = run("curate_gopher_rules").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8), r.getBoolean(9))).toMap
+    val stop = Set("the", "a", "of", "and", "is")
+    val ref = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val ts = r.getString(1).split(" ").filter(_.nonEmpty)
+        val nw = ts.length.toLong
+        val chars = ts.map(_.length.toLong).sum
+        val nStop = ts.filter(stop.contains).distinct.length.toLong
+        val nAlpha = ts.count(_.forall(c => c >= 'a' && c <= 'z')).toLong
+        val mean = chars * 1000000L / nw
+        val alpha = nAlpha * 1000000L / nw
+        val (r1, r2, r3, r4) = (nw >= 50 && nw <= 100000,
+          mean >= 4200000L && mean <= 10000000L, nStop >= 2,
+          alpha >= 800000L)
+        r.getLong(0) ->
+          (nw, mean, nStop, alpha, r1, r2, r3, r4, r1 && r2 && r3 && r4)
+      }.toMap
+    assert(rows.keySet == ref.keySet)
+    rows.foreach { case (id, got) =>
+      assert(got == ref(id), s"doc $id: $got vs ${ref(id)}")
+    }
+    // the battery must actually decide something on this corpus: the
+    // word-count, mean-length and stopword rules each split non-trivially
+    for (idx <- Seq(4, 5, 6)) {
+      val vals = rows.values.map(_.productElement(idx)).toSet
+      assert(vals.size == 2, s"rule at field $idx is decision-free")
+    }
+  }
+
+  test("softdedup weights: cluster mass conserved, commonness discounts") {
+    val rowsArr = run("curate_softdedup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val rows = rowsArr.map(t => t._1 -> t).toMap
+    assert(rows.size == 500)
+    // copies: every fingerprint cluster of size k carries k rows saying
+    // copies=k, and Σ 1/k over the cluster ≈ 1 (floor slack < k ulps)
+    val fp = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val key = r.getString(1).split(" ").filter(_.nonEmpty)
+          .distinct.sorted.mkString(" ")
+        r.getLong(0) -> key
+      }
+    val clusters = fp.groupBy(_._2).values.map(_.map(_._1).toSet)
+    clusters.foreach { ids =>
+      val k = ids.size.toLong
+      ids.foreach { id =>
+        assert(rows(id)._2 == k, s"doc $id copies ${rows(id)._2} != $k")
+        assert(rows(id)._5 == 1000000L / k)
+      }
+    }
+    // discount: effective = w·(2e6 − dup)/2e6 exactly, and a doc with
+    // MORE common shingles never out-weights an identical-copies doc
+    // with fewer
+    rowsArr.foreach { case (_, _, nSh, dup, w, eff) =>
+      assert(dup >= 0 && dup <= 1000000L)
+      if (nSh == 0) assert(dup == 0L)
+      assert(eff == w * (2000000L - dup) / 2000000L)
+      assert(eff >= w / 2 && eff <= w)
+    }
+    // the trigram-df signal is non-degenerate on this corpus
+    assert(rowsArr.map(_._4).distinct.length > 10)
+  }
+
   test("CCNet ppl buckets: tercile split exact, ranks respect NLL order") {
     val rows = run("curate_ccnet_ppl_buckets").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

@@ -307,6 +307,10 @@ object ScaleStress {
     "curate_temperature_mixture", "curate_taxonomy_tags",
     "text_token_entropy", "retrieval_ndcg_eval",
     "retrieval_rank_correlation",
+    // Gopher rule battery (one explode + one doc-keyed agg) and
+    // SoftDedup reweighting (fingerprint census join + shingle-df
+    // per-doc stats — per-doc statistics, never a pair join)
+    "curate_gopher_rules", "curate_softdedup_weights",
     // retrieval/ranking tier (round-10 verdict item 3 — the last
     // LLM-pipeline family arguing from plan shape only): tf-idf + BM25
     // scoring over the scaled docs and the RRF fusion of both rankers
