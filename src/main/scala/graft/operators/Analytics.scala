@@ -624,6 +624,69 @@ object Analytics extends QueryModule {
               .as("min_cents"),
             max(round(col("o_totalprice") * 100).cast("long"))
               .as("max_cents"))
-          .orderBy("bucket"))
+          .orderBy("bucket")),
+
+    // ---- Last-touch marketing attribution: each purchase is credited
+    // to the user's most recent preceding touch event (view / click /
+    // signup) within a 1-day lookback; purchases with no in-window
+    // touch are 'direct'. The carry is two IGNORE NULLS last_value
+    // windows over ONE (user_id, ts, event_id) ordering — both pick the
+    // same touch row because they null out on exactly the same rows, so
+    // no self-join of the event stream ever happens (the classic
+    // attribution anti-pattern at scale is purchases × touches). Share
+    // is an integer micro floor-division. Scale: one shuffle on
+    // user_id, then per-user sorted windows; output is bounded by the
+    // touch-type dimension. ----
+    Q(
+      "analytics_attribution_last_touch",
+      Some("""
+        WITH c AS (
+          SELECT event_type, ts,
+                 last_value(CASE WHEN event_type IN ('view','click','signup')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+                 last_value(CASE WHEN event_type IN ('view','click','signup')
+                                 THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        a AS (
+          SELECT CASE WHEN touch_ts IS NOT NULL
+                       AND touch_ts >= ts - INTERVAL 1 DAY
+                      THEN touch_type ELSE 'direct' END AS touch
+          FROM c WHERE event_type = 'purchase'),
+        g AS (SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases
+              FROM a GROUP BY 1),
+        tot AS (SELECT sum(n_purchases) AS t FROM g)
+        SELECT touch, n_purchases,
+               CAST(n_purchases * 1000000 // t AS BIGINT) AS share_micro
+        FROM g CROSS JOIN tot ORDER BY touch"""),
+      (s, dir) => {
+        val touches = Seq("view", "click", "signup")
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isTouch = col("event_type").isInCollection(touches)
+        val c = t(s, dir, "events")
+          .select(col("event_type"), col("ts"),
+            last(when(isTouch, col("event_type")), ignoreNulls = true)
+              .over(w).as("touch_type"),
+            last(when(isTouch, col("ts")), ignoreNulls = true)
+              .over(w).as("touch_ts"))
+        val g = c.filter(col("event_type") === "purchase")
+          .select(
+            when(col("touch_ts").isNotNull &&
+              col("touch_ts") >= col("ts") - expr("INTERVAL 1 DAY"),
+              col("touch_type")).otherwise("direct").as("touch"))
+          .groupBy("touch").agg(count(lit(1)).as("n_purchases"))
+        val tot = g.agg(sum("n_purchases").as("t"))
+        g.crossJoin(broadcast(tot))
+          .select(col("touch"),
+            col("n_purchases").cast("long").as("n_purchases"),
+            expr("n_purchases * 1000000 div t").cast("long")
+              .as("share_micro"))
+          .orderBy("touch")
+      })
   )
 }

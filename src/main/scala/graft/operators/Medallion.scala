@@ -560,6 +560,76 @@ object Medallion extends QueryModule {
                o_totalprice_distinct, o_totalprice_min, o_totalprice_max)
              AS (col_name, n, n_nulls, n_distinct, min_cents, max_cents)""")
           .orderBy("col_name")
+      }),
+
+    // ---- Robust outlier detection via median absolute deviation
+    // (Hampel filter) over per-customer total spend, grouped by market
+    // segment: flag customers with |spend − median| > 3·1.4826·MAD —
+    // the robust alternative to the z-score that a 1%-corrupted column
+    // cannot drag (mean/stddev can). The metric is a DERIVED
+    // per-entity aggregate (spend = Σ order cents per customer), which
+    // is where data-quality MAD checks actually run — raw uniform
+    // columns have no tail, entity aggregates do. Exactness: medians
+    // interpolate two selected values, so working in ×4 cents makes
+    // median(4·spend) integral (the midpoint of two multiples of 4 is
+    // even) and median(2·|4x−med4|) integral again; the 4.4478σ test
+    // cross-multiplies to the pure-integer 20000·d4 > 44478·mad8 — no
+    // float boundary can flip between engines. Scale: one custkey-keyed
+    // agg, one keyed join to the segment dim, two grouped medians, and
+    // a broadcast ≤#segments stats join; nothing wider than the
+    // customer table ever shuffles. ----
+    Q(
+      "quality_mad_outliers",
+      Some("""
+        WITH sp AS (SELECT o_custkey,
+                           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) * 4 AS x4
+                    FROM orders GROUP BY 1),
+        x AS (SELECT c.c_mktsegment AS grp, sp.x4
+              FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+        m AS (SELECT grp, CAST(median(x4) AS BIGINT) AS med4,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM x GROUP BY 1),
+        d AS (SELECT grp, med4, n, abs(x4 - med4) AS d4
+              FROM x JOIN m USING (grp)),
+        s AS (SELECT grp, CAST(median(2 * d4) AS BIGINT) AS mad8
+              FROM d GROUP BY 1)
+        SELECT d.grp, max(d.n) AS n_customers, max(d.med4) AS med4,
+               max(s.mad8) AS mad8,
+               CAST(count(*) FILTER (WHERE 20000 * d4 > 44478 * mad8)
+                 AS BIGINT) AS n_outliers,
+               CAST(max(d4) AS BIGINT) AS max_dev4
+        FROM d JOIN s USING (grp)
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val sp = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(round(col("o_totalprice") * 100).cast("long")) * 4)
+            .cast("long").as("x4"))
+        val x = sp.join(
+          t(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_mktsegment").as("grp")),
+          "o_custkey")
+          .select(col("grp"), col("x4"))
+        val m = x.groupBy("grp")
+          .agg(expr("median(x4)").cast("long").as("med4"),
+            count(lit(1)).as("n"))
+        val d = x.join(broadcast(m), "grp")
+          .select(col("grp"), col("med4"), col("n"),
+            abs(col("x4") - col("med4")).as("d4"))
+        val sMad = d.groupBy("grp")
+          .agg(expr("median(2 * d4)").cast("long").as("mad8"))
+        d.join(broadcast(sMad), "grp")
+          .groupBy("grp")
+          .agg(
+            max(col("n")).cast("long").as("n_customers"),
+            max(col("med4")).cast("long").as("med4"),
+            max(col("mad8")).cast("long").as("mad8"),
+            sum(when(lit(20000L) * col("d4") > lit(44478L) * col("mad8"),
+              1L).otherwise(0L)).cast("long").as("n_outliers"),
+            max(col("d4")).cast("long").as("max_dev4"))
+          .orderBy("grp")
       })
   )
 }

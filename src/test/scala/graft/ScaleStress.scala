@@ -332,7 +332,12 @@ object ScaleStress {
     // build, and the 64-file compaction rewrite, all over the scaled
     // orders/events
     "snapshot_merge_into", "cdc_apply_changelog",
-    "scd2_dimension_build", "compact_small_files")
+    "scd2_dimension_build", "compact_small_files",
+    // round-11 analytics/quality additions over the scaled
+    // events/orders: last-touch attribution (two IGNORE NULLS carries
+    // over one user partitioning) and MAD outliers (two grouped exact
+    // medians over per-customer aggregates)
+    "analytics_attribution_last_touch", "quality_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
