@@ -354,6 +354,7 @@ class PlanShapeSpec extends SparkSpec {
       "curate_temperature_mixture", // 1-row census total + 1-row α-norm
       "retrieval_ndcg_eval", // 3-row k dim × 20-row top-k × 1-row census
       "retrieval_rank_correlation", // ≤100-row common set τ self-join
+      "analytics_attribution_last_touch", // 1-row purchase total share
       "curate_ccnet_ppl_buckets", // broadcast 1-row V + 1-row doc count
       "text_bpe_merge_train", // broadcast 1-row chosen merge per round
       "text_bpe_encode") // same trained-merge broadcasts feed the dict
