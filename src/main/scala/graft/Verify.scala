@@ -99,6 +99,11 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    // mark this JVM as an oracle-comparison run: queries whose static
+    // oracle SQL pins a config constant (e.g. dedup_semantic_cells' 16
+    // centroids) assert the pinned regime holds and fail LOUDLY here
+    // instead of silently hash-mismatching against a diverged oracle
+    System.setProperty("graft.oracle.run", "true")
     // optional extra args: restrict to the named queries (dev iteration);
     // the driver always passes exactly (sfDir, outDir) → full run
     val only = args.drop(2).toSet

@@ -296,6 +296,57 @@ object Dedup extends QueryModule {
     // the PropertySpec occupancy band caught exactly that clamp
     else (n + 149L) / 150L
 
+  /** The cell-partitioned exact-cosine pair frame at an EXPLICIT cell
+    * count k — dedup_semantic_cells' body, parameterized so the
+    * ScaleStress recall/cost canary can sweep k; the registered query
+    * derives k via [[semCellCount]].
+    *
+    * Assignment is a single codegen projection: the codebook collapses
+    * to ONE broadcast row (collect_list of the k lowest-id base
+    * vectors — same k-row broadcast asymptotics as a per-row centroid
+    * frame, ~k·d·8 bytes, the SemDeDup codebook regime) and the native
+    * nearest_centroid expression does the argmax per input row. Two
+    * prior plans were measured failures at the 100× corpus (288k vecs
+    * × 1920 cells): rank-1 window → sorted the N×k vector-dragging
+    * stream, 801 GB spill; max_by hash agg → silently planned as
+    * SortAggregate (struct ordering buffer is not hash-aggregable), so
+    * it STILL sorted the N×k stream — 33 GB spill. The expression
+    * keeps the argmax inside the scan's whole-stage-codegen pipeline:
+    * per row it loops the thread-memoized decoded codebook (primitive
+    * arrays, no per-centroid allocation), emits ONE long, and replays
+    * the exact window/max_by semantics — full-precision cosine
+    * (bit-identical accumulation order to cosine_sim), highest cosine
+    * wins, ties to the lowest cell. No N×k stream exists; the only
+    * shuffle in the whole query is the cell self-join's. */
+  private[graft] def semCellPairs(s: SparkSession, dir: String, k: Long)
+      : DataFrame = {
+    import graft.functions.VectorExprs
+    val allv = embPlantedCorpus(s, dir)
+    val cb = t(s, dir, "embeddings")
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"),
+        col("embedding").cast("array<double>").as("cv"))
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cb"))
+    // persisted: both sides of the cell self-join would otherwise
+    // re-run the k·d argmax scan
+    val lists = allv.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("vec"),
+        VectorExprs.nearestCentroid(s, col("vec"), col("cb"))
+          .as("cell"))
+      .persist()
+    lists.as("x")
+      .join(lists.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos_sim",
+        round(VectorExprs.cosine(s, col("x.vec"), col("y.vec")), 6))
+      .filter(col("cos_sim") >= 0.95)
+      .select(col("x.cell").cast("long").as("cell"),
+        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("cos_sim"))
+      .orderBy("cell", "id_a", "id_b")
+  }
+
   /** The planted-canary embedding corpus (vec_id, vec): base vectors ∪
     * deterministic near-dup copies (each vec_id % 5 == 0 row re-issued
     * as id + 10^7 with its tail half scaled by 1 + (id%7+1)/4, planted
@@ -766,10 +817,16 @@ object Dedup extends QueryModule {
     // The deliberate recall trade, visible in the oracle: pairs whose
     // members quantize into DIFFERENT cells are invisible (DedupSpec
     // pins measured cell-recall vs the LSH detector's pair set on the
-    // same planted corpus). Assignment is a max_by hash aggregate over
-    // the k-way broadcast cross join — partial aggregation consumes the
-    // N×k stream inside one codegen stage (no sort, no spill), so the
-    // assignment shuffle carries N rows, not N×k. ----
+    // same planted corpus). Assignment is a single codegen projection:
+    // the codebook collapses to ONE broadcast row (collect_list of the
+    // k centroids) and a native nearest_centroid expression does the
+    // argmax per input row — the previous max_by-over-cross-join form
+    // looked like a hash aggregate but was silently planned as
+    // SortAggregate (max_by's struct ordering buffer is not
+    // UnsafeRow-mutable, so HashAggregateExec refuses it), sorting the
+    // full N×k exploded stream: 33 GB of measured sort spill at the
+    // 100× corpus. With the expression no N×k stream exists — the only
+    // shuffle in the whole query is the cell self-join's. ----
     Q(
       "dedup_semantic_cells",
       Some("""
@@ -798,53 +855,19 @@ object Dedup extends QueryModule {
         SELECT CAST(cell AS BIGINT) AS cell, id_a, id_b, cos_sim
         FROM p WHERE cos_sim >= 0.95 ORDER BY cell, id_a, id_b"""),
       (s, dir) => {
-        import graft.functions.VectorExprs
-        val allv = embPlantedCorpus(s, dir)
         // footer-sized like embLshConfig: order-of-magnitude N at
         // plan-construction time, no Spark job (EXPLAIN stays job-free)
         val k = semCellCount(
           Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5)
-        val cents = t(s, dir, "embeddings")
-          .filter(col("vec_id") < k)
-          .select(col("vec_id").as("cell"),
-            col("embedding").cast("array<double>").as("cv"))
-        // argmax-cell via max_by over the k-way broadcast cross join,
-        // NOT a rank-1 window: the window form sorts the FULL N×k
-        // exploded stream (each row dragging the 64-dim vector) —
-        // measured 801 GB memory-spill / 70 s at the 100× corpus
-        // (240k vecs × 1600 cells). With a hash aggregate the cross
-        // join + codegen cosine + partial max_by fuse into ONE
-        // whole-stage pipeline: the N×k stream is consumed map-side as
-        // it is produced (k broadcast rows per input row), nothing is
-        // materialized or sorted, and only N (vec_id, cell) rows reach
-        // the shuffle. max_by on struct(cos, -cell) replays the window
-        // tie-break exactly (highest cosine, then lowest cell — Spark
-        // orders NaN greatest in both forms). The vector is NOT carried
-        // through the exploded stream; it rejoins on vec_id (an N-row
-        // equi-join, trivial next to the 1000× heavier sorted explode).
-        val asg = allv
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cell"),
-            VectorExprs.cosine(s, col("vec"), col("cv")).as("cell_cos"))
-          .groupBy("vec_id")
-          .agg(max_by(col("cell"),
-            struct(col("cell_cos"), (-col("cell")).as("nc"))).as("cell"))
-        // persisted: both sides of the cell self-join would otherwise
-        // re-run the k-way assignment
-        val lists = allv.join(asg, "vec_id")
-          .select(col("vec_id"), col("vec"), col("cell"))
-          .persist()
-        lists.as("x")
-          .join(lists.as("y"),
-            col("x.cell") === col("y.cell") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .withColumn("cos_sim",
-            round(VectorExprs.cosine(s, col("x.vec"), col("y.vec")), 6))
-          .filter(col("cos_sim") >= 0.95)
-          .select(col("x.cell").cast("long").as("cell"),
-            col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-            col("cos_sim"))
-          .orderBy("cell", "id_a", "id_b")
+        // the oracle SQL hardcodes 16 centroids (the SemCellsPinnedN
+        // regime); if an oracle-dump run ever points at a dir where the
+        // N-adaptive count diverges, fail loudly instead of letting the
+        // two sides partition differently into a confusing hash mismatch
+        if (sys.props.get("graft.oracle.run").contains("true"))
+          require(k == 16,
+            s"dedup_semantic_cells: oracle SQL pins 16 centroids but " +
+              s"semCellCount gave $k for $dir — pinned-config violation")
+        semCellPairs(s, dir, k)
       }),
 
     // ---- the composed training-data curation pipeline: quality gate →

@@ -750,11 +750,18 @@ object Similarity extends QueryModule {
             expr("hits * 1000000 div k").as("precision_micro"),
             expr("hits * 1000000 div r").as("recall_micro"),
             col("dcg_nano").cast("long").as("dcg_nano"),
-            aggregate(
-              transform(
-                sequence(lit(1L), least(col("k").cast("long"), col("r"))),
-                x => floor(lit(1e9) / log(x.cast("double") + 1))),
-              lit(0L), (a, x) => a + x).as("idcg_nano"),
+            // r = 0 guard: Spark's sequence(1, 0) is the DESCENDING
+            // [1, 0] and the x = 0 term divides by ln(1) = 0 —
+            // Infinity whose floor overflows the nano sum — while the
+            // oracle's range(1, 1) is empty and sums to NULL. Gate the
+            // whole ideal-DCG on r > 0 so a corpus with zero relevant
+            // docs yields NULL idcg on both engines.
+            when(col("r") > 0,
+              aggregate(
+                transform(
+                  sequence(lit(1L), least(col("k").cast("long"), col("r"))),
+                  x => floor(lit(1e9) / log(x.cast("double") + 1))),
+                lit(0L), (a, x) => a + x)).as("idcg_nano"),
             col("minrank"))
           .select(
             col("k"), col("hits"), col("precision_micro"),

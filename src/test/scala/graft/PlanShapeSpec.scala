@@ -332,7 +332,7 @@ class PlanShapeSpec extends SparkSpec {
       "sim_bruteforce_topk", // broadcast bounded query set (the baseline)
       "ml_knn_classify", // same broadcast bounded query set + vote
       "sim_ivf_probe", // 16-centroid quantizer broadcast
-      "dedup_semantic_cells", // same 16-centroid quantizer broadcast
+      "dedup_semantic_cells", // 1-row collected-codebook broadcast
       "retrieval_hybrid_rrf", // broadcast single query embedding
       "sim_pq_adc", // broadcast 128-row codebook + 1280-row query LUT
       "ml_kmeans_fixed_iters", // broadcast 1-row (k=3 wide) centroid table

@@ -482,6 +482,13 @@ object ScaleStress {
       sys.env.getOrElse("SPARK_GRAFT_STRESS_PROBES", "all")
     val probesOn = probeMode == "all"
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // deliberately-disabled probes are NOT errors: they land in a
+    // separate `skipped` map so an artifact whose claim is "zero
+    // errors" never carries RuntimeExceptions as its way of saying
+    // "not measured" (round-11 verdict, missing #4)
+    val skipped = scala.collection.mutable.LinkedHashMap[String, String]()
+    case class ProbeSkipped(reason: String)
+      extends RuntimeException(reason)
     val rowsOut = new StringBuilder
     var first = true
     for (name <- (Stressed ++ StressedHeavy)
@@ -518,7 +525,7 @@ object ScaleStress {
     // into a pair shuffle because the verify rides inside the join.
     val candJson =
       try {
-        if (!probesOn) throw new RuntimeException("probes off")
+        if (!probesOn) throw ProbeSkipped("probes off")
         ensureAlive()
         val clusteredDir = s"$scaledDir-clustered"
         val k = buildClustered(spark, scaledDir, clusteredDir)
@@ -535,10 +542,69 @@ object ScaleStress {
         s""","emb_candidates":{"base":$occBase,"scaled":$occScaled,""" +
           s""""clustered":$occClu,"clusters":$k,""" +
           s""""clustered_query_sec":$tClu,"clustered_pairs":$rClu}"""
-      } catch { case e: Throwable =>
-        errors("emb_candidates") = e.toString.takeWhile(_ != '\n').take(200)
-        println(s"[scale] emb_candidates ERROR ${errors("emb_candidates")}")
-        ""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("emb_candidates") = r
+          println(s"[scale] emb_candidates skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("emb_candidates") = e.toString.takeWhile(_ != '\n').take(200)
+          println(s"[scale] emb_candidates ERROR ${errors("emb_candidates")}")
+          ""
+      }
+    // semantic-cell recall/cost canary (round-11 verdict, next-round
+    // #4): on the SAME planted-cluster embedding corpus the LSH canary
+    // uses, pin the cell detector's pair recall against the LSH
+    // detector's pair set (ground truth — it equals the exact >=0.95
+    // pair set by its miss-bound design) and sweep the cell count k:
+    // k is the knob that trades within-cell quadratic cost against
+    // cross-cell blindness, so the artifact records the whole curve
+    // (pairs found, matched, wall-clock) at k/2, k, 2k around the
+    // N-adaptive operating point. The LSH pair set is dumped to
+    // parquet once so each k-step joins against a scan, not a
+    // recomputation, and clearCache between steps keeps the
+    // vector-carrying persists from stacking.
+    val semCellJson =
+      try {
+        if (!probesOn) throw ProbeSkipped("probes off")
+        ensureAlive()
+        val clusteredDir = s"$scaledDir-clustered"
+        buildClustered(spark, scaledDir, clusteredDir)
+        partitionsFor(clusteredDir)
+        val lshPath = s"$clusteredDir-lshpairs.parquet"
+        SparkEntry.queries("dedup_embedding_cosine")(spark, clusteredDir)
+          .select("id_a", "id_b")
+          .write.mode("overwrite").parquet(lshPath)
+        spark.catalog.clearCache()
+        val lsh = spark.read.parquet(lshPath)
+        val nLsh = lsh.count()
+        val kAdapt = operators.Dedup.semCellCount(
+          Tables.footerRowCount(spark,
+            s"$clusteredDir/embeddings.parquet") * 6 / 5)
+        val cellRows = for (k <- Seq(kAdapt / 2, kAdapt, kAdapt * 2)) yield {
+          val t0 = System.nanoTime()
+          val sem = operators.Dedup.semCellPairs(spark, clusteredDir, k)
+            .select("id_a", "id_b")
+          val nSem = sem.count()
+          val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+          val matched = sem.join(lsh, Seq("id_a", "id_b")).count()
+          spark.catalog.clearCache()
+          println(f"[scale] semcell canary k=$k pairs=$nSem " +
+            f"matched=$matched/$nLsh " +
+            f"recall=${matched.toDouble / nLsh}%.3f ${sec}s")
+          s"""{"k":$k,"pairs":$nSem,"matched":$matched,"sec":$sec}"""
+        }
+        s""","semcell_canary":{"lsh_pairs":$nLsh,""" +
+          s""""k_adaptive":$kAdapt,"cells":[${cellRows.mkString(",")}]}"""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("semcell_canary") = r
+          println(s"[scale] semcell_canary skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("semcell_canary") = e.toString.takeWhile(_ != '\n').take(200)
+          println(s"[scale] semcell_canary ERROR ${errors("semcell_canary")}")
+          ""
       }
     // triangle wedge probe (round-9 verdict item 3): measure the wedge
     // and closed-wedge counts behind graph_triangle_count's scale ratio,
@@ -549,7 +615,7 @@ object ScaleStress {
     // wedges_scaled/wedges_base within constant factors.
     val wedgeJson =
       try {
-        if (!probesOn) throw new RuntimeException("probes off")
+        if (!probesOn) throw ProbeSkipped("probes off")
         ensureAlive()
         partitionsFor(baseDir)
         val (wb, cb) = operators.Analytics.triangleWedgeStats(spark, baseDir)
@@ -559,10 +625,15 @@ object ScaleStress {
           s"scaled=$ws closed=$cs")
         s""","triangle_wedges":{"wedges_base":$wb,"closed_base":$cb,""" +
           s""""wedges_scaled":$ws,"closed_scaled":$cs}"""
-      } catch { case e: Throwable =>
-        errors("triangle_wedges") = e.toString.takeWhile(_ != '\n').take(200)
-        println(s"[scale] triangle_wedges ERROR ${errors("triangle_wedges")}")
-        ""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("triangle_wedges") = r
+          println(s"[scale] triangle_wedges skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("triangle_wedges") = e.toString.takeWhile(_ != '\n').take(200)
+          println(s"[scale] triangle_wedges ERROR ${errors("triangle_wedges")}")
+          ""
       }
     // text-detector dense-cluster canary (round-9 verdict item 4): band
     // meetings raw vs first-band-gated for MinHash, posting meetings for
@@ -575,7 +646,7 @@ object ScaleStress {
     // cost held).
     val textCanaryJson =
       try {
-        if (!probesOn) throw new RuntimeException("probes off")
+        if (!probesOn) throw ProbeSkipped("probes off")
         ensureAlive()
         val tcDir = s"$scaledDir-textclustered"
         val k = buildTextClustered(spark, scaledDir, tcDir)
@@ -610,10 +681,15 @@ object ScaleStress {
           s""""ngram_meetings_clustered":$ngClu,""" +
           s""""ngram_clustered_pairs":$pairsNg,""" +
           s""""ngram_clustered_sec":$tNg}"""
-      } catch { case e: Throwable =>
-        errors("text_canary") = e.toString.takeWhile(_ != '\n').take(200)
-        println(s"[scale] text_canary ERROR ${errors("text_canary")}")
-        ""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("text_canary") = r
+          println(s"[scale] text_canary skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("text_canary") = e.toString.takeWhile(_ != '\n').take(200)
+          println(s"[scale] text_canary ERROR ${errors("text_canary")}")
+          ""
       }
     // Zipf-skew canary (round-10 verdict item 5): join_skew_salted_dim
     // and agg_salted_two_phase were only ever measured on near-uniform
@@ -628,7 +704,7 @@ object ScaleStress {
     val zipfJson =
       try {
         if (probeMode != "all" && probeMode != "zipf")
-          throw new RuntimeException("probes off")
+          throw ProbeSkipped("probes off")
         ensureAlive()
         val zDir = s"$scaledDir-zipf"
         buildZipf(spark, scaledDir, zDir)
@@ -673,10 +749,15 @@ object ScaleStress {
           "agg_salted_two_phase")
         s""","zipf_canary":{"zipf_s":1.1,"tasks_p":$p,""" +
           s"""$joinSide,$aggSide}"""
-      } catch { case e: Throwable =>
-        errors("zipf_canary") = e.toString.takeWhile(_ != '\n').take(200)
-        println(s"[scale] zipf_canary ERROR ${errors("zipf_canary")}")
-        ""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("zipf_canary") = r
+          println(s"[scale] zipf_canary skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("zipf_canary") = e.toString.takeWhile(_ != '\n').take(200)
+          println(s"[scale] zipf_canary ERROR ${errors("zipf_canary")}")
+          ""
       }
     val loadAfter = loadavg()
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
@@ -684,9 +765,14 @@ object ScaleStress {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") +
         "\""
     }.mkString("{", ",", "}")
+    val skipJson = skipped.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") +
+        "\""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"base":"$baseDir","copies":$copies,""" +
-      s""""queries":{${rowsOut.result()}},"errors":$errJson$candJson""" +
+      s""""queries":{${rowsOut.result()}},"errors":$errJson,""" +
+      s""""skipped":$skipJson$candJson$semCellJson""" +
       s"""$wedgeJson$textCanaryJson$zipfJson,""" +
       s""""load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors},""" +

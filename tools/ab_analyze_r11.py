@@ -1,12 +1,12 @@
 #!/usr/bin/env python3
 """Paired A/B analysis for the r10-vs-r11 bench adjudication.
 
-Reads target/ab/{r8,r9}_rep{1..3}.json (graft.Bench single-line JSON),
+Reads target/ab/{r10,r11}_rep{1..3}.json (graft.Bench single-line JSON),
 computes per-query min-over-reps for each body, the common-set ratio
-distribution, and a paired per-rep view (rep i of r8 vs rep i of r9,
+distribution, and a paired per-rep view (rep i of r10 vs rep i of r11,
 adjacent in time) that separates drift-over-session from a code delta.
 """
-import json, statistics, sys, glob, os
+import json, statistics
 
 OUT = "/root/repo/target/ab"
 
@@ -23,24 +23,24 @@ def main():
     reps = {}
     for body in ("r10", "r11"):
         reps[body] = [load(f"{OUT}/{body}_rep{i}.json") for i in (1, 2, 3)]
-    q8 = {}
-    q9 = {}
-    for body, dst in (("r10", q8), ("r11", q9)):
+    q10 = {}
+    q11 = {}
+    for body, dst in (("r10", q10), ("r11", q11)):
         for rep in reps[body]:
             for k, v in rep["queries"].items():
                 if v > 0:
                     dst.setdefault(k, []).append(v)
-    common = sorted(k for k in q8 if k in q9)
-    ratios = {k: min(q9[k]) / min(q8[k]) for k in common}
+    common = sorted(k for k in q10 if k in q11)
+    ratios = {k: min(q11[k]) / min(q10[k]) for k in common}
     med = statistics.median(ratios.values())
     print(f"common set: {len(common)} queries")
     print(f"min-over-3-reps median ratio r11/r10: {med:.3f}")
     srt = sorted(ratios.items(), key=lambda kv: kv[1])
     for k, r in srt[:5]:
-        print(f"  {r:5.2f} {k} ({min(q8[k]):.2f}->{min(q9[k]):.2f})")
+        print(f"  {r:5.2f} {k} ({min(q10[k]):.2f}->{min(q11[k]):.2f})")
     print("  ...")
     for k, r in srt[-5:]:
-        print(f"  {r:5.2f} {k} ({min(q8[k]):.2f}->{min(q9[k]):.2f})")
+        print(f"  {r:5.2f} {k} ({min(q10[k]):.2f}->{min(q11[k]):.2f})")
     # paired per-rep medians: each rep pair is adjacent in time, so a
     # box-load drift shows as rep-to-rep spread here while a code delta
     # shows as a consistent offset in every pair
