@@ -25,6 +25,53 @@ object Curation extends QueryModule {
   private def tokens(c: Column): Column =
     filter(split(c, " "), x => x =!= lit(""))
 
+  /** DuckDB fragment replaying Spark's
+    * conv(substring(md5(f), 1, 12), 16, 10) — the first 12 hex digits
+    * of md5 as a BIGINT (48 bits, exact on both engines). */
+  private val Md5Bucket12: String = (1 to 12).map { k =>
+    val coef = math.pow(16, (12 - k).toDouble).toLong
+    s"(strpos('0123456789abcdef', substr(md5(f), $k, 1)) - 1) * $coef"
+  }.mkString(" + ")
+
+  /** The DSIR hashed-feature stream (doc_id, lang, b): unigrams ∪
+    * bigrams md5-hashed into B = 1024 buckets — shared by the batch
+    * resampler, the incremental-LM variant and the streaming-parity
+    * spec. Constant bucket count is the point of hashed features: the
+    * LM state stays ≤ B rows at any corpus size. */
+  private[graft] def dsirFeatureBuckets(s: SparkSession, dir: String)
+      : DataFrame = dsirFeatureBucketsOf(docs(s, dir))
+
+  /** Same transform over an arbitrary (doc_id, lang, text) frame — the
+    * streaming-parity spec applies it per micro-batch. */
+  private[graft] def dsirFeatureBucketsOf(docsDf: DataFrame): DataFrame = {
+    val n = size(col("ts"))
+    val bigrams = zip_with(
+      slice(col("ts"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("ts"), lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    docsDf
+      .select(col("doc_id"), col("lang"),
+        tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("ts"), bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("f")), 1, 12), 16, 10).cast("long")
+          % 1024L).as("b"))
+  }
+
+  /** Per-batch DSIR LM partial state (batch, b, cs, ct) — the additive,
+    * checkpointable counts a continuously-running pipeline persists per
+    * ingest batch; prefix LMs merge these by re-aggregation, never by
+    * rescanning raw text. Batch = doc_id % 3 (deterministic,
+    * engine-replayable ingest split). */
+  private[graft] def dsirBatchState(s: SparkSession, dir: String)
+      : DataFrame =
+    dsirFeatureBuckets(s, dir)
+      .withColumn("batch", pmod(col("doc_id"), lit(3L)))
+      .groupBy("batch", "b")
+      .agg(count(lit(1)).as("cs"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+
   /** Scalable global row_number() OVER (ORDER BY keys): range-partition
     * on the sort keys (ordered partitions are the RangePartitioner
     * contract), sort within each partition, then add exclusive
@@ -422,10 +469,7 @@ object Curation extends QueryModule {
     // non-constant is broadcast. ----
     Q(
       "curate_dsir_resample", {
-        val md5b = (1 to 12).map { k =>
-          val coef = math.pow(16, (12 - k).toDouble).toLong
-          s"(strpos('0123456789abcdef', substr(md5(f), $k, 1)) - 1) * $coef"
-        }.mkString(" + ")
+        val md5b = Md5Bucket12
         Some(s"""
         WITH toks AS (
           SELECT doc_id, lang,
@@ -459,19 +503,7 @@ object Curation extends QueryModule {
         FROM w ORDER BY key_micro DESC, doc_id LIMIT 100""")
       },
       (s, dir) => {
-        val n = size(col("ts"))
-        val bigrams = zip_with(
-          slice(col("ts"), lit(1), greatest(n - 1, lit(0))),
-          slice(col("ts"), lit(2), greatest(n - 1, lit(0))),
-          (a, b) => concat_ws(" ", a, b))
-        val fb = docs(s, dir)
-          .select(col("doc_id"), col("lang"),
-            tokens(col("text")).as("ts"))
-          .select(col("doc_id"), col("lang"),
-            explode(concat(col("ts"), bigrams)).as("f"))
-          .select(col("doc_id"), col("lang"),
-            (conv(substring(md5(col("f")), 1, 12), 16, 10).cast("long")
-              % 1024L).as("b"))
+        val fb = dsirFeatureBuckets(s, dir)
         // both LM sides from ONE corpus pass (conditional count), and
         // the normalizing totals from the ≤ B-row LM frame — the scaled
         // corpus is read exactly twice (LM fit + weight scoring), which
@@ -498,6 +530,104 @@ object Curation extends QueryModule {
               floor(-log(-log(u)) * 1e6).cast("long")).as("key_micro"))
           .orderBy(col("key_micro").desc, col("doc_id"))
           .limit(100)
+      }),
+
+    // ---- incremental DSIR (the streaming/continuous form of the
+    // resampler above — round-11 verdict item 8): an LLM-data pipeline
+    // runs CONTINUOUSLY, so the hashed-ngram corpus LM must be
+    // maintainable as ingest batches arrive, not refit from scratch.
+    // The counts are additive, so the per-batch partial state
+    // (batch, bucket, cs, ct) — ≤ 3·B rows, the thing a streaming job
+    // checkpoints — merges into each cumulative prefix LM by
+    // RE-AGGREGATION of states (the agg_incremental_merge contract;
+    // raw text is never rescanned for the LM side). The output is the
+    // evolution audit: after each ingest prefix (batch 1; 1-2; 1-3),
+    // the top-10 docs-seen-so-far by importance weight under the LM
+    // fit on exactly the data seen so far — how the resampler's
+    // ranking converges as data arrives. Scale: the scoring stream is
+    // replicated once per CHECKPOINT (3, a constant), never per batch
+    // count growing with data; LM frames stay ≤ 3·B rows and
+    // broadcast; weight sums are integer micros (order-independent,
+    // engine-portable). StreamsSpec pins Trigger.AvailableNow parity:
+    // a file-source foreachBatch run maintaining the same additive
+    // state reproduces the prefix-3 ranking exactly. ----
+    Q(
+      "curate_dsir_incremental", {
+        val md5b = Md5Bucket12
+        Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        feats AS (
+          SELECT doc_id, lang,
+                 unnest(list_concat(ts,
+                   list_transform(range(1, len(ts)),
+                     i -> ts[i] || ' ' || ts[i+1]))) AS f
+          FROM toks),
+        fb AS (SELECT doc_id, lang, ($md5b) % 1024 AS b,
+                      doc_id % 3 AS batch
+               FROM feats),
+        bs AS (SELECT batch, b, count(*) AS cs,
+                      count(*) FILTER (WHERE lang = 'en') AS ct
+               FROM fb GROUP BY batch, b),
+        pfx AS (SELECT * FROM (VALUES (1), (2), (3)) p(prefix)),
+        lmp AS (SELECT prefix, b, sum(cs) AS cs, sum(ct) AS ct
+                FROM bs JOIN pfx ON batch < prefix GROUP BY prefix, b),
+        tot AS (SELECT prefix, sum(cs) AS tots, sum(ct) AS tott
+                FROM lmp GROUP BY prefix),
+        lm AS (
+          SELECT l.prefix, b,
+                 CAST(floor(ln(((ct + 1.0) / (tott + 1024.0))
+                     / ((cs + 1.0) / (tots + 1024.0))) * 1000000)
+                   AS BIGINT) AS lr
+          FROM lmp l JOIN tot USING (prefix)),
+        w AS (
+          SELECT lm.prefix, fb.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(lr) AS BIGINT) AS weight_micro
+          FROM fb JOIN lm ON fb.b = lm.b AND fb.batch < lm.prefix
+          GROUP BY lm.prefix, fb.doc_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY prefix
+                 ORDER BY weight_micro DESC, doc_id) AS rn FROM w)
+        SELECT CAST(prefix AS BIGINT) AS prefix, doc_id, n_feats,
+               weight_micro
+        FROM rk WHERE rn <= 10
+        ORDER BY prefix, weight_micro DESC, doc_id""")
+      },
+      (s, dir) => {
+        val fb = dsirFeatureBuckets(s, dir)
+          .withColumn("batch", pmod(col("doc_id"), lit(3L)))
+        val bs = dsirBatchState(s, dir)
+        val pfx = s.range(1L, 4L).select(col("id").as("prefix"))
+        // cumulative prefix LMs by merging the ≤3·B-row partial
+        // states — a bounded state-frame join, no corpus rescans
+        val lmp = bs.join(broadcast(pfx), col("batch") < col("prefix"))
+          .groupBy("prefix", "b")
+          .agg(sum("cs").as("cs"), sum("ct").as("ct"))
+        val tot = lmp.groupBy("prefix")
+          .agg(sum("cs").as("tots"), sum("ct").as("tott"))
+        val lm = lmp.join(broadcast(tot), "prefix")
+          .select(col("prefix"), col("b"),
+            floor(log(((col("ct") + lit(1.0)) /
+                (col("tott") + lit(1024.0))) /
+              ((col("cs") + lit(1.0)) / (col("tots") + lit(1024.0))))
+              * 1e6).cast("long").as("lr"))
+        // score docs-seen-so-far under each prefix LM: ONE corpus
+        // feature pass replicated per checkpoint (constant 3) via the
+        // broadcast ≤3·B-row LM, then doc-keyed partial aggregation
+        val w = fb.join(broadcast(lm),
+            fb("b") === lm("b") && col("batch") < col("prefix"))
+          .groupBy("prefix", "doc_id")
+          .agg(count(lit(1)).as("n_feats"),
+            sum("lr").as("weight_micro"))
+        val rw = Window.partitionBy("prefix")
+          .orderBy(col("weight_micro").desc, col("doc_id"))
+        w.withColumn("rn", row_number().over(rw))
+          .filter(col("rn") <= 10)
+          .select(col("prefix").cast("long").as("prefix"), col("doc_id"),
+            col("n_feats"), col("weight_micro"))
+          .orderBy(col("prefix"), col("weight_micro").desc, col("doc_id"))
       }),
 
     // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020,

@@ -351,6 +351,7 @@ class PlanShapeSpec extends SparkSpec {
       "agg_bitmap_exact_distinct", // 1-row bitmap total × 1-row direct
       "curate_unigram_logprob", // broadcast 1-row corpus token total
       "curate_dsir_resample", // broadcast 1-row LM totals into ≤1024-row LM
+      "curate_dsir_incremental", // 3-row prefix dim × ≤3·1024-row LM state
       "curate_temperature_mixture", // 1-row census total + 1-row α-norm
       "retrieval_ndcg_eval", // 3-row k dim × 20-row top-k × 1-row census
       "retrieval_rank_correlation", // ≤100-row common set τ self-join

@@ -315,7 +315,11 @@ object ScaleStress {
     // LLM-pipeline family arguing from plan shape only): tf-idf + BM25
     // scoring over the scaled docs and the RRF fusion of both rankers
     "text_tfidf_top_terms", "text_bm25_retrieval",
-    "retrieval_hybrid_rrf")
+    "retrieval_hybrid_rrf",
+    // round-12: incremental DSIR — the per-checkpoint corpus-scoring
+    // replication (constant 3×) and the state-merge joins must stay
+    // linear in N like the batch resampler
+    "curate_dsir_incremental")
 
   /** The shuffle-dominant join/window/time-series/graph/ML/streaming/agg
     * queries (round-9 mandate — these families previously had only

@@ -418,6 +418,72 @@ class StreamsSpec extends SparkSpec {
     assert(nullExtended == (21L to 40L).toSet,
       s"null-extended rows wrong: $nullExtended")
   }
+
+  test("incremental DSIR AvailableNow parity: a file-source run " +
+      "maintaining the additive LM state per micro-batch reproduces " +
+      "the batch query's prefix-3 ranking exactly") {
+    import org.apache.spark.sql.functions._
+    val base = Paths.get("/root/repo/target/scratch/dsir_incr")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    // the 3 ingest batches as separate file drops (doc_id % 3 — the
+    // same deterministic split the registered query uses)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    for (b <- 0 to 2)
+      docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        .coalesce(1).write.parquet(s"$base/in/b$b")
+    val stateDir = s"$base/state"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the ONLY thing persisted per micro-batch: the ≤B-row
+        // additive partial LM state of that batch's docs
+        operators.Curation.dsirFeatureBucketsOf(batch)
+          .groupBy("b")
+          .agg(count(lit(1)).as("cs"),
+            count(when(col("lang") === "en", 1)).as("ct"))
+          .write.mode("append").parquet(stateDir)
+        batches.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get == 3,
+      s"expected 3 micro-batches (one per file drop), got ${batches.get}" +
+        " — the incremental path was not exercised")
+    // merge the checkpointed states by re-aggregation (never rescanning
+    // text for the LM), score the full corpus, take the top-10 — this
+    // is an INDEPENDENT respelling of the prefix-3 leg of the query
+    val lmc = spark.read.parquet(stateDir)
+      .groupBy("b").agg(sum("cs").as("cs"), sum("ct").as("ct"))
+    val tot = lmc.agg(sum("cs").as("tots"), sum("ct").as("tott"))
+    val lm = lmc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(log(((col("ct") + lit(1.0)) / (col("tott") + lit(1024.0))) /
+          ((col("cs") + lit(1.0)) / (col("tots") + lit(1024.0))))
+          * 1e6).cast("long").as("lr"))
+    val streamed = operators.Curation.dsirFeatureBucketsOf(docs)
+      .join(broadcast(lm), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batchForm = SparkEntry.queries("curate_dsir_incremental")(spark, sf)
+      .filter(col("prefix") === 3)
+      .select("doc_id", "n_feats", "weight_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batchForm.toSeq,
+      s"streamed ${streamed.toSeq} != batch ${batchForm.toSeq}")
+  }
 }
 
 /** Event-time session processor for the timer spec: counts events per key,
