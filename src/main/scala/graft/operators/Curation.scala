@@ -1147,9 +1147,12 @@ object Curation extends QueryModule {
     // occurrences per topic, assign the topic with the most hits,
     // ties broken toward the lower topic_id — the argmax is a max_by
     // HASH AGGREGATE on an integer key (cnt·100 − topic_id, unique per
-    // doc because topic_id is), not a rank-1 window (the same lesson as
-    // dedup_semantic_cells: WindowGroupLimit still sorts; max_by
-    // doesn't). Docs with zero keyword hits drop out (inner join) — the
+    // doc because topic_id is), not a rank-1 window (WindowGroupLimit
+    // still sorts). The SCALAR key matters as much as max_by itself:
+    // max_by over a struct(cos, -cell) ordering silently planned as
+    // SortAggregate in dedup_semantic_cells (struct buffers are not
+    // hash-aggregable) — a packed integer key keeps this one a real
+    // hash aggregate. Docs with zero keyword hits drop out (inner join) — the
     // untagged remainder is the complement, cheaper left as absence.
     // Scale: the taxonomy is a constant-size literal dim (broadcast),
     // the token explode shuffles doc-keyed aggregates only — no

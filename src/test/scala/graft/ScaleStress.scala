@@ -481,7 +481,8 @@ object ScaleStress {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // SPARK_GRAFT_STRESS_PROBES=off skips all wedge/canary probes;
     // =zipf runs ONLY the Zipf-skew canary (targeted re-measurement
-    // after a salting change, without paying the emb/text canaries)
+    // after a salting change, without paying the emb/text canaries);
+    // =semcell runs ONLY the semantic-cell recall/cost canary
     val probeMode =
       sys.env.getOrElse("SPARK_GRAFT_STRESS_PROBES", "all")
     val probesOn = probeMode == "all"
@@ -570,7 +571,8 @@ object ScaleStress {
     // vector-carrying persists from stacking.
     val semCellJson =
       try {
-        if (!probesOn) throw ProbeSkipped("probes off")
+        if (probeMode != "all" && probeMode != "semcell")
+          throw ProbeSkipped("probes off")
         ensureAlive()
         val clusteredDir = s"$scaledDir-clustered"
         buildClustered(spark, scaledDir, clusteredDir)
