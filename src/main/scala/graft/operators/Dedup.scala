@@ -62,9 +62,15 @@ object Dedup extends QueryModule {
     * jaccard scan stage). Keep the guard only where an empty array would
     * reach an aggregate (minhash signatures). */
   private def docShingles(s: SparkSession, dir: String,
+      requireNonEmpty: Boolean = true): DataFrame =
+    docShinglesOf(s, t(s, dir, "documents"), requireNonEmpty)
+
+  /** Same shingling over an arbitrary (doc_id, text) frame — the unit the
+    * incremental minhash index ingests per micro-batch. */
+  private[graft] def docShinglesOf(s: SparkSession, docs: DataFrame,
       requireNonEmpty: Boolean = true): DataFrame = {
     graft.GraftExtensions.register(s)
-    val base = t(s, dir, "documents")
+    val base = docs
       .select(col("doc_id"),
         call_function("trigram_shingles", split(col("text"), " ")).as("sh"))
     if (requireNonEmpty) base.filter(size(col("sh")) > 0) else base
@@ -94,6 +100,49 @@ object Dedup extends QueryModule {
   /** Posting-list document-frequency cap shared by the inverted-index
     * pair joins (trigram jaccard here, winnowing in TextAnalysis). */
   private[graft] val DfCap = 64
+
+  /** DuckDB CTE chain replaying the full MinHash-LSH pipeline (16-perm
+    * pinned config) through the verified pair set `pairs(id_a, id_b,
+    * jaccard)` — shared by dedup_minhash_lsh and the incremental-index
+    * verdicts, which append their own CTEs after it. Every hash is
+    * md5-derived so the chain is engine-exact (see dedup_minhash_lsh's
+    * registration comment). */
+  private lazy val minhashPairsCtesSql = s"""
+        WITH docs AS ($docShinglesSql),
+        ex AS (SELECT doc_id, unnest(sh) AS sg FROM docs),
+        hh AS (SELECT DISTINCT doc_id,
+                      ${duckHexToLong("md5(sg)", 12)} % 1000003 AS h
+               FROM ex),
+        perms AS (SELECT unnest(range(0, 16)) AS i),
+        sigs AS (
+          SELECT doc_id, i,
+                 min((h * (2*i + 1) + 7*i + 13) % 998244353) AS v
+          FROM hh CROSS JOIN perms
+          GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id, i // 4 AS band_id,
+                 md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS bkey
+          FROM sigs GROUP BY doc_id, (i // 4)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.bkey = y.bkey
+           AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c
+          JOIN hh a ON a.doc_id = c.id_a
+          JOIN hh b ON b.doc_id = c.id_b AND b.h = a.h
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b,
+                 round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2)"""
 
   /** N-adaptive MinHash-LSH sizing → (perms, bands, rowsPerBand).
     *
@@ -154,19 +203,29 @@ object Dedup extends QueryModule {
     * callers release via clearCache. */
   private[graft] def minhashBandFrame(s: SparkSession, dir: String)
       : DataFrame = {
-    import graft.functions.VectorExprs
     // N-adaptive banding, sized from the parquet footer (no Spark job
     // at plan-construction); pinned 16-perm/4×4 below MinhashPinnedN so
     // every oracled run bit-replays in DuckDB.
     val (perms, bands, rows) = minhashConfig(
       Tables.footerRowCount(s, s"$dir/documents.parquet"))
+    minhashBandFrameOf(s, t(s, dir, "documents"), perms, bands, rows)
+  }
+
+  /** [[minhashBandFrame]] over an arbitrary (doc_id, text) frame at an
+    * EXPLICIT (perms, bands, rows) config — the per-micro-batch unit of
+    * the incremental index: the banding config must come from the whole
+    * corpus (not the batch) so every batch's band keys live in the same
+    * key space as the persisted postings they join against. */
+  private[graft] def minhashBandFrameOf(s: SparkSession, docs: DataFrame,
+      perms: Int, bands: Int, rows: Int): DataFrame = {
+    import graft.functions.VectorExprs
     // sort_array: invisible to Jaccard (set semantics) and to the
     // signature (min over a set), but it lets the verify compute
     // |A∩B| by a zero-allocation merge scan (sorted_intersect_size)
     // instead of array_intersect's per-meeting hash set + materialized
     // result array — the verify was the 100× hot spot (MinhashProbe:
     // 58.5M meetings, verify ≈ 80% of wall-clock).
-    val docs = docShingles(s, dir)
+    val sh = docShinglesOf(s, docs)
       .select(col("doc_id"),
         // coalesce(…, 0): never fires (shingles are non-null strings by
         // construction) but it makes the lambda PROVABLY non-nullable,
@@ -190,7 +249,7 @@ object Dedup extends QueryModule {
     // avg (b−1)/2 extra 32-char keys per band row, repaid at the first
     // multi-band duplicate; the prefix comparison is O(band_id) string
     // equality per meeting vs O(|hs|) merge scan per skipped verify.
-    docs.select(
+    sh.select(
       col("doc_id"), col("hs"),
       // md5 of the comma-joined slice, NOT Spark's murmur3 hash():
       // engine-neutral band keys are what make the whole LSH
@@ -232,6 +291,135 @@ object Dedup extends QueryModule {
   private[graft] def firstAgreeingBand(s: SparkSession): Column =
     !graft.functions.VectorExprs.positionalAnyEqual(
       s, col("x.pre"), col("y.pre"))
+
+  /** Exact Jaccard of a band-join meeting aliased `x`/`y` — ONE
+    * zero-allocation merge scan per meeting; |A∪B| from the size
+    * identity (same arithmetic as the oracle's sizes CTE). */
+  private def meetingJaccard(s: SparkSession): Column = {
+    val inter = graft.functions.VectorExprs.sortedIntersectSize(
+      s, col("x.hs"), col("y.hs"))
+    inter.cast("double") / (size(col("x.hs")) + size(col("y.hs")) - inter)
+  }
+
+  /** Gated, verified near-dup pairs (id_a < id_b, jaccard ≥ 0.2) over
+    * the whole corpus — the shared core of dedup_minhash_lsh and the
+    * incremental-index verdicts. Unordered; callers sort. The band
+    * frame is persisted by construction; callers release via
+    * clearCache. */
+  private[graft] def minhashPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val bandFrame = minhashBandFrame(s, dir)
+    // no broadcast hint: the band table is per-doc (unbounded at
+    // scale) — the equi-join shuffles on (band_id, bkey) and AQE
+    // broadcasts by itself when the input is actually small.
+    val jac = meetingJaccard(s)
+    bandFrame.as("x")
+      .join(bandFrame.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      // minimal-agreeing-band gate FIRST (cheap prefix compare),
+      // Jaccard merge scan only on the one surviving meeting per
+      // pair — which also makes pairs structurally unique, so the
+      // old post-verify .distinct() shuffle is gone entirely.
+      .filter(firstAgreeingBand(s) && jac >= 0.2)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        round(jac, 6).as("jaccard"))
+  }
+
+  /** The REAL online form of dedup_minhash_incremental (spec driver —
+    * StreamsSpec pins its parity with the registered batch-decomposed
+    * query): a file-source micro-batch stream over 3 file drops
+    * (doc_id % 3), foreachBatch maintaining a persisted band-postings
+    * index in parquet. Per batch: band-frame the arrivals (corpus-wide
+    * banding config — batch keys must live in the index's key space),
+    * meet them against index ∪ batch on (band_id, bkey), gate to the
+    * minimal agreeing band, Jaccard-verify, DIRECT each discovered pair
+    * by arrival key (batch · 2⁴⁰ + doc_id — in production an ingest
+    * sequence number), append the directed verdict contributions and
+    * the batch's postings. Each unordered pair is discovered exactly
+    * once — in the batch where its later-PROCESSED member arrives — and
+    * the akey direction makes the final verdict table independent of
+    * file-source processing order, so when processing order = arrival
+    * order (the production case) every verdict is final at ingest:
+    * append-mode semantics, nothing revised. Returns (verdict frame,
+    * micro-batch count). */
+  private[graft] def minhashIndexIngest(s: SparkSession, dir: String,
+      stateRoot: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val (perms, bands, rows) = minhashConfig(
+      Tables.footerRowCount(s, s"$dir/documents.parquet"))
+    for (b <- 0 to 2)
+      docs.filter(pmod(col("doc_id"), lit(3L)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/in/b$b")
+    val postDir = s"$stateRoot/postings"
+    val contribDir = s"$stateRoot/verdicts"
+    def akey(d: Column): Column =
+      pmod(d, lit(3L)) * lit(1099511627776L) + d
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stateRoot/in/*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val frame =
+          minhashBandFrameOf(s, batch, perms, bands, rows).persist()
+        val idx =
+          if (new java.io.File(postDir).exists) s.read.parquet(postDir)
+          else frame.limit(0)
+        // the parquet roundtrip (and the union with it) drops the
+        // arrays' containsNull=false, which the strict codegen
+        // primitives (sorted_intersect_size, positional_any_equal)
+        // require at analysis time — the coalesce never fires but
+        // makes the lambda provably non-nullable again
+        val un = idx.withColumn("in_index", lit(true))
+          .unionByName(frame.withColumn("in_index", lit(false)))
+          .select(col("doc_id"),
+            transform(col("hs"), x => coalesce(x, lit(0L))).as("hs"),
+            col("band_id"), col("bkey"),
+            transform(col("pre"), x => coalesce(x, lit(0L))).as("pre"),
+            col("in_index"))
+        val jac = meetingJaccard(s)
+        // new-vs-index meetings in either id order (the index doc is
+        // always the x side, seen once); new-vs-new once via id order
+        frame.as("y")
+          .join(un.as("x"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.bkey") === col("y.bkey") &&
+              (col("x.in_index") || col("x.doc_id") < col("y.doc_id")))
+          .filter(firstAgreeingBand(s) && jac >= 0.2)
+          .select(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"))
+          .select(
+            when(akey(col("xa")) < akey(col("ya")), col("ya"))
+              .otherwise(col("xa")).as("doc"),
+            when(akey(col("xa")) < akey(col("ya")), col("xa"))
+              .otherwise(col("ya")).as("blocker"))
+          .withColumn("bakey", akey(col("blocker")))
+          .write.mode("append").parquet(contribDir)
+        frame.write.mode("append").parquet(postDir)
+        frame.unpersist()
+        nBatches.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$stateRoot/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val contrib =
+      if (new java.io.File(contribDir).exists) s.read.parquet(contribDir)
+      else s.range(0).select(col("id").as("doc"), col("id").as("blocker"),
+        col("id").as("bakey"))
+    val v = contrib.groupBy("doc")
+      .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
+    val out = docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("batch"))
+      .join(v, col("doc_id") === col("doc"), "left")
+      .select(col("doc_id"), col("batch"), col("near_dup_of"),
+        col("near_dup_of").isNull.as("is_novel"))
+      .orderBy("doc_id")
+    (out, nBatches.get)
+  }
 
   /** Band-join meeting count (join rows BEFORE the Jaccard filter) —
     * the quantity adaptive banding must hold ~linear in N. Column
@@ -670,67 +858,83 @@ object Dedup extends QueryModule {
     Q(
       "dedup_minhash_lsh",
       Some(s"""
-        WITH docs AS ($docShinglesSql),
-        ex AS (SELECT doc_id, unnest(sh) AS sg FROM docs),
-        hh AS (SELECT DISTINCT doc_id,
-                      ${duckHexToLong("md5(sg)", 12)} % 1000003 AS h
-               FROM ex),
-        perms AS (SELECT unnest(range(0, 16)) AS i),
-        sigs AS (
-          SELECT doc_id, i,
-                 min((h * (2*i + 1) + 7*i + 13) % 998244353) AS v
-          FROM hh CROSS JOIN perms
-          GROUP BY doc_id, i),
-        bands AS (
-          SELECT doc_id, i // 4 AS band_id,
-                 md5(string_agg(v::VARCHAR, ',' ORDER BY i)) AS bkey
-          FROM sigs GROUP BY doc_id, (i // 4)),
-        cand AS (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM bands x JOIN bands y
-            ON x.band_id = y.band_id AND x.bkey = y.bkey
-           AND x.doc_id < y.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM hh GROUP BY doc_id),
-        inter AS (
-          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
-          FROM cand c
-          JOIN hh a ON a.doc_id = c.id_a
-          JOIN hh b ON b.doc_id = c.id_b AND b.h = a.h
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT id_a, id_b,
-                 round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
-                   AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2)
+        $minhashPairsCtesSql
         SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
+      (s, dir) => minhashPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // ---- incremental MinHash index with ingest-time verdicts: the
+    // ONLINE form of the detector above. Documents arrive in batches
+    // (doc_id % 3 — the batch convention curate_dsir_incremental set);
+    // the engine maintains a persisted band-postings index and each
+    // arriving doc is verdicted against everything that arrived BEFORE
+    // it (earlier batch, or same batch with a lower id) — a verdict is
+    // emitted once at ingest and never revised, which is what lets the
+    // streaming form run in append mode. NON-cascading by design: a
+    // doc that was itself flagged still enters the index (production
+    // pipelines index all seen docs so whole duplicate FAMILIES keep
+    // resolving to one blocker; the cascade variant — only keepers
+    // index — is dedup_cluster_keepers' connected components). The
+    // registered body is the batch-decomposed computation: the global
+    // gated pair set (batching-invariant — each unordered pair meets
+    // exactly once in its minimal agreeing band regardless of which
+    // batch discovered it) directed by arrival order, then a min_by
+    // hash aggregate picks the earliest blocker. Arrival order is ONE
+    // scalar BIGINT key (batch · 2⁴⁰ + doc_id): min_by over a scalar
+    // stays a hash aggregate — a struct ordering key would silently
+    // plan as SortAggregate (the dedup_semantic_cells lesson).
+    // StreamsSpec pins Trigger.AvailableNow parity: a real file-source
+    // foreachBatch run maintaining the postings index in parquet
+    // reproduces this frame exactly. Scale: per-day cost is the
+    // day's-batch × persisted-index band equi-join (the postings are
+    // bucketed by band key at 100 TB), never a whole-corpus rescan. ----
+    Q(
+      "dedup_minhash_incremental",
+      Some(s"""
+        $minhashPairsCtesSql,
+        arr AS (SELECT doc_id,
+                       (doc_id % 3) * 1099511627776 + doc_id AS akey
+                FROM documents),
+        dirn AS (
+          SELECT CASE WHEN a.akey < b.akey THEN p.id_b ELSE p.id_a END
+                   AS doc,
+                 CASE WHEN a.akey < b.akey THEN p.id_a ELSE p.id_b END
+                   AS blocker,
+                 CASE WHEN a.akey < b.akey THEN a.akey ELSE b.akey END
+                   AS bakey
+          FROM pairs p
+          JOIN arr a ON a.doc_id = p.id_a
+          JOIN arr b ON b.doc_id = p.id_b),
+        v AS (SELECT doc, arg_min(blocker, bakey) AS near_dup_of
+              FROM dirn GROUP BY doc)
+        SELECT d.doc_id, CAST(d.doc_id % 3 AS BIGINT) AS batch,
+               CAST(v.near_dup_of AS BIGINT) AS near_dup_of,
+               v.near_dup_of IS NULL AS is_novel
+        FROM documents d LEFT JOIN v ON v.doc = d.doc_id
+        ORDER BY d.doc_id"""),
       (s, dir) => {
-        import graft.functions.VectorExprs
-        val bandFrame = minhashBandFrame(s, dir)
-        // no broadcast hint: the band table is per-doc (unbounded at
-        // scale) — the equi-join shuffles on (band_id, bkey) and AQE
-        // broadcasts by itself when the input is actually small.
-        // |A∪B| = |A|+|B|−|A∩B| (exact set identity, same arithmetic
-        // the oracle's sizes CTE uses), so ONE merge-scan per meeting.
-        val inter = VectorExprs.sortedIntersectSize(
-          s, col("x.hs"), col("y.hs"))
-        val jac = inter.cast("double") /
-          (size(col("x.hs")) + size(col("y.hs")) - inter)
-        bandFrame.as("x")
-          .join(bandFrame.as("y"),
-            col("x.band_id") === col("y.band_id") &&
-              col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          // minimal-agreeing-band gate FIRST (cheap prefix compare),
-          // Jaccard merge scan only on the one surviving meeting per
-          // pair — which also makes pairs structurally unique, so the
-          // old post-verify .distinct() shuffle is gone entirely.
-          .filter(firstAgreeingBand(s) && jac >= 0.2)
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-            round(jac, 6).as("jaccard"))
-          .orderBy("id_a", "id_b")
+        val pairs = minhashPairs(s, dir)
+        val arr = t(s, dir, "documents").select(col("doc_id"),
+          (pmod(col("doc_id"), lit(3L)) * lit(1099511627776L) +
+            col("doc_id")).as("akey"))
+        val dirn = pairs
+          .join(arr.select(col("doc_id").as("id_a"),
+            col("akey").as("akey_a")), "id_a")
+          .join(arr.select(col("doc_id").as("id_b"),
+            col("akey").as("akey_b")), "id_b")
+          .select(
+            when(col("akey_a") < col("akey_b"), col("id_b"))
+              .otherwise(col("id_a")).as("doc"),
+            when(col("akey_a") < col("akey_b"), col("id_a"))
+              .otherwise(col("id_b")).as("blocker"),
+            least(col("akey_a"), col("akey_b")).as("bakey"))
+        val v = dirn.groupBy("doc")
+          .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("batch"))
+          .join(v, col("doc_id") === col("doc"), "left")
+          .select(col("doc_id"), col("batch"), col("near_dup_of"),
+            col("near_dup_of").isNull.as("is_novel"))
+          .orderBy("doc_id")
       }),
 
     // ---- embedding-cosine near-dup: hyperplane-LSH candidate buckets →

@@ -484,6 +484,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batchForm.toSeq,
       s"streamed ${streamed.toSeq} != batch ${batchForm.toSeq}")
   }
+
+  test("incremental MinHash index AvailableNow parity: a file-source " +
+      "run maintaining band postings in parquet reproduces the " +
+      "batch-decomposed ingest-time verdicts exactly") {
+    val base = Paths.get(s"${Tables.scratchRoot}/minhash_incr")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (streamedDf, batches) =
+      operators.Dedup.minhashIndexIngest(spark, sf, base.toString)
+    assert(batches == 3,
+      s"expected 3 micro-batches (one per file drop), got $batches — " +
+        "the incremental index path was not exercised")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    val streamed = rows(streamedDf)
+    val batchForm =
+      rows(SparkEntry.queries("dedup_minhash_incremental")(spark, sf))
+    assert(streamed == batchForm,
+      s"streamed verdicts diverge from the batch form: " +
+        s"${streamed.diff(batchForm).take(5)} vs " +
+        s"${batchForm.diff(streamed).take(5)}")
+    // the parity must not be vacuous: sf0.001 carries a real near-dup
+    // population (28 LSH pairs / 24 blocked docs)
+    val blocked = streamed.count(!_._4)
+    assert(blocked > 0, "no doc was ever blocked — vacuous parity")
+  }
 }
 
 /** Event-time session processor for the timer spec: counts events per key,
