@@ -345,7 +345,7 @@ object Dedup extends QueryModule {
     * append-mode semantics, nothing revised. Returns (verdict frame,
     * micro-batch count). */
   private[graft] def minhashIndexIngest(s: SparkSession, dir: String,
-      stateRoot: String): (DataFrame, Int) = {
+      stateRoot: String, scrambleOrder: Boolean = false): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val (perms, bands, rows) = minhashConfig(
@@ -353,6 +353,18 @@ object Dedup extends QueryModule {
     for (b <- 0 to 2)
       docs.filter(pmod(col("doc_id"), lit(3L)) === b)
         .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/in/b$b")
+    // scrambleOrder: force the file source to process b2, b0, b1 (the
+    // source orders by modification time) — the adversarial case for
+    // the order-independence claim above: pairs between b2 and b0/b1
+    // are then discovered by the EARLIER-akey member's batch, and only
+    // the akey direction keeps the verdict table identical
+    if (scrambleOrder) {
+      val now = System.currentTimeMillis()
+      for ((b, i) <- Seq(2 -> 0, 0 -> 1, 1 -> 2)) {
+        val d = new java.io.File(s"$stateRoot/in/b$b")
+        d.listFiles().foreach(_.setLastModified(now - 300000L + i * 60000L))
+      }
+    }
     val postDir = s"$stateRoot/postings"
     val contribDir = s"$stateRoot/verdicts"
     def akey(d: Column): Column =

@@ -512,6 +512,28 @@ class StreamsSpec extends SparkSpec {
     // population (28 LSH pairs / 24 blocked docs)
     val blocked = streamed.count(!_._4)
     assert(blocked > 0, "no doc was ever blocked — vacuous parity")
+
+    // order-independence (the scaladoc's claim, adversarially): force
+    // the file source to process b2, b0, b1 — cross-batch pairs are
+    // then discovered by the earlier-AKEY member's batch, and only the
+    // arrival-key direction keeps the verdict table identical
+    val base2 = Paths.get(s"${Tables.scratchRoot}/minhash_incr_scram")
+    if (Files.exists(base2)) {
+      Files.walk(base2).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (scrambledDf, batches2) = operators.Dedup.minhashIndexIngest(
+      spark, sf, base2.toString, scrambleOrder = true)
+    assert(batches2 == 3)
+    // guard against a vacuous pass: the source's committed offset log
+    // must show batch 0 actually consumed the b2 file drop
+    val firstOffset = new String(Files.readAllBytes(
+      base2.resolve("ckpt/sources/0/0")))
+    assert(firstOffset.contains("/b2/"),
+      s"mtime scramble did not reorder the file source: $firstOffset")
+    assert(rows(scrambledDf) == batchForm,
+      "scrambled processing order changed the verdict table — the " +
+        "akey direction is not doing its job")
   }
 }
 
