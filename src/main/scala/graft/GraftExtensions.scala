@@ -50,6 +50,15 @@ object GraftExtensions {
       "bloom_filter_agg", bloomAgg, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", bloomProbe, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_area",
+      exprs => graft.functions.ParseArea(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_number",
+      exprs => graft.functions.ParseNumber(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_price",
+      exprs => graft.functions.NormalizePrice(exprs.head), "scala_udf")
     registerStrategies(spark)
   }
 
@@ -132,7 +141,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.bloomAgg),
       ("might_contain",
         "might_contain(bloom, xxhash64(x)) - bloom membership probe",
-        GraftExtensions.bloomProbe))
+        GraftExtensions.bloomProbe),
+      ("parse_area",
+        "parse_area(str) - F1 area parse (first [0-9,.]+ run, commas stripped)",
+        exprs => graft.functions.ParseArea(exprs.head)),
+      ("parse_number",
+        "parse_number(str) - F2 int(float(str)) with truncation, else null",
+        exprs => graft.functions.ParseNumber(exprs.head)),
+      ("normalize_price",
+        "normalize_price(str) - F3 price in billions VND (ty/trieu units)",
+        exprs => graft.functions.NormalizePrice(exprs.head)))
     for ((name, usage, builder) <- fns)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     // whole-operator extension (SURVEY §2.6 (c)): the as-of join planner

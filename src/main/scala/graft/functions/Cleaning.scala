@@ -24,7 +24,15 @@ object Cleaning {
     * Quirks preserved: "80,5" -> 805.0 (comma stripped, not decimal);
     * "5,2 tỷ" -> 52.0.
     */
-  def parseArea(c: Column): Column = {
+  def parseArea(c: Column): Column = call_function("parse_area", c)
+
+  /** The functions-composition spelling of F1, kept as the semantic
+    * specification the native kernel is tested against (CleaningSpec).
+    * Not used in query bodies: each call site inlines this ~10-node
+    * tree and filter pushdown replicates the SOURCE expression into
+    * every leaf reference — p2_null_drop's plan grew past the JVM JIT
+    * thresholds and ran interpreted (see CleaningExprs.scala). */
+  private[graft] def parseAreaReference(c: Column): Column = {
     val m = regexp_extract(blankToNull(c), "[0-9,.]+", 0)
     // regexp_extract yields "" on no match; try_cast("") -> null, matching
     // the Python `return None` path; try_cast("5.2.3") -> null matches the
@@ -40,7 +48,10 @@ object Cleaning {
     * Guard with a strict numeric regex so inf/nan (Python: raises ->
     * null) don't leak through Spark's more permissive string->double cast.
     */
-  def parseNumber(c: Column): Column = {
+  def parseNumber(c: Column): Column = call_function("parse_number", c)
+
+  /** Composition spelling of F2 — specification only (see above). */
+  private[graft] def parseNumberReference(c: Column): Column = {
     val s = trim(blankToNull(c))
     val isNum = s.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
     // try_cast double->int nulls out values beyond Int range (Python's
@@ -57,7 +68,10 @@ object Cleaning {
     * contains "triệu" -> first number / 1000; else strip all non-digits,
     * empty -> null, else value / 1e9. Any parse failure -> null.
     */
-  def normalizePrice(c: Column): Column = {
+  def normalizePrice(c: Column): Column = call_function("normalize_price", c)
+
+  /** Composition spelling of F3 — specification only (see above). */
+  private[graft] def normalizePriceReference(c: Column): Column = {
     val s = lower(blankToNull(c))
     // try_cast: "" (no digits near "tỷ") and malformed tokens like ".."
     // must null out (Python except-path), not throw under ANSI.

@@ -83,4 +83,37 @@ class CleaningSpec extends SparkSpec {
     runNumber(garbage)
     runPrice(garbage)
   }
+
+  test("native kernels ≡ functions-composition reference on the truth " +
+      "table, the garbage set, and the bronzeish generator space") {
+    // the composition forms are the semantic spec (CleaningExprs.scala);
+    // any divergence is a kernel bug, whatever the truth table says
+    val inputs = Seq(
+      "80 m²", "80,5", "5,2 tỷ", "3.7", "  12.5 m² ", "", "   ", null,
+      "n/a", "5.2.3", "abc 42 def", "3", "-2.9", "  5  ", "x", "inf",
+      "nan", "1e2", "3000000000", "5 tỷ", "5.2 tỷ", "500 triệu",
+      "1.5 Tỷ", "2000000000", "2,000,000,000 đ", "thỏa thuận",
+      "..", "...", ".", "+-3", "1/2", "∞", "tỷ", "triệu x", "e5",
+      "--1", "0x1F", "١٢٣", "5.", ".5", ",,", "0.", "+.5e3", "1E-2",
+      // bronzeish generator shapes (p2/silver corpus)
+      "123 m²", "123,4 m²", "123.4", "123.4 tỷ", "123 triệu",
+      "123000000") ++
+      // a numeric sweep over the generator's modular space
+      (0 to 999 by 7).flatMap(k => Seq(s"$k m²", s"$k,${k % 10} m²",
+        s"$k.${k % 10}", s"$k.${k % 10} tỷ", s"$k triệu", s"${k}000000"))
+    val df = inputs.toDF("s")
+    val diverged = df.select(
+        col("s"),
+        Cleaning.parseArea(col("s")).as("a_n"),
+        Cleaning.parseAreaReference(col("s")).as("a_r"),
+        Cleaning.parseNumber(col("s")).as("n_n"),
+        Cleaning.parseNumberReference(col("s")).as("n_r"),
+        Cleaning.normalizePrice(col("s")).as("p_n"),
+        Cleaning.normalizePriceReference(col("s")).as("p_r"))
+      .filter(!(col("a_n") <=> col("a_r")) ||
+        !(col("n_n") <=> col("n_r")) || !(col("p_n") <=> col("p_r")))
+      .collect()
+    assert(diverged.isEmpty,
+      s"native != reference on: ${diverged.take(10).mkString("; ")}")
+  }
 }
