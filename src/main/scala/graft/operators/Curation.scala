@@ -1204,17 +1204,28 @@ object Curation extends QueryModule {
           .toDF("topic_id", "topic", "kw")
         // argmax key: unique per doc (one row per topic_id), max picks
         // highest count then LOWEST topic_id — both max_by calls land on
-        // the same row, so topic and topic_hits stay consistent
+        // the same row, so topic and topic_hits stay consistent.
+        // max_by returns the LONG topic_id, not the topic STRING: a
+        // string buffer field is not UnsafeRow-mutable, so max_by(topic,
+        // key) silently planned as SortAggregate (caught by the round-12
+        // PlanSmells audit — the scalar KEY alone is not enough, the
+        // VALUE must be fixed-width too). The name re-attaches from the
+        // 4-row topic dim AFTER the aggregate, a broadcast join on the
+        // already-collapsed per-doc frame.
         val key = col("cnt") * 100 - col("topic_id")
+        val topicDim = dict.select("topic_id", "topic").distinct()
         docs(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .join(broadcast(dict), col("tok") === col("kw"))
-          .groupBy("doc_id", "topic_id", "topic")
+          .groupBy("doc_id", "topic_id")
           .agg(count(lit(1)).as("cnt"))
           .groupBy("doc_id")
-          .agg(max_by(col("topic"), key).as("topic"),
+          .agg(max_by(col("topic_id"), key).as("topic_id"),
             max_by(col("cnt"), key).cast("long").as("topic_hits"),
             sum("cnt").cast("long").as("total_hits"))
+          .join(broadcast(topicDim), "topic_id")
+          .select(col("doc_id"), col("topic"), col("topic_hits"),
+            col("total_hits"))
           .orderBy("doc_id")
       }),
 

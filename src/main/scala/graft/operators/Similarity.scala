@@ -124,18 +124,29 @@ object Similarity extends QueryModule {
             .as("tb"))
           .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
         val q = buckets.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("vec").as("qv"),
+          .select(col("vec_id").as("q_id"),
             col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+        // dedupe on IDS ONLY, then re-attach vectors by id-keyed joins —
+        // the oracle's own shape (DISTINCT q_id, cand_id then JOIN e).
+        // The previous dropDuplicates carried both 64-dim vectors
+        // through the distinct: first(array) buffers are not
+        // UnsafeRow-mutable, so the multi-table candidate stream was
+        // SORTED dragging 2×512 B per row (PlanSmells audit catch).
+        // Id-only distinct is a 16 B/row hash aggregate, and column
+        // pruning drops the vectors from the bucket join entirely.
         val cand = buckets
           .join(broadcast(q),
             col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
               col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("qv"),
-            col("vec_id").as("cand_id"), col("vec").as("cv"))
-          .dropDuplicates("q_id", "cand_id")
+          .select(col("q_id"), col("vec_id").as("cand_id"))
+          .distinct()
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("cand_id"))
         cand
+          .join(e.select(col("vec_id").as("q_id"), col("vec").as("qv")),
+            "q_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("vec").as("cv")),
+            "cand_id")
           .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
           .select(col("q_id"), col("cand_id"),
             row_number().over(w).cast("long").as("rn"),
@@ -209,19 +220,26 @@ object Similarity extends QueryModule {
           (Seq(col("bucket")) ++
             (0 until 4).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)
         val q = buckets.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("vec").as("qv"),
+          .select(col("vec_id").as("q_id"),
             col("tbl").as("q_tbl"),
             explode(probeSet).as("q_bucket"))
+        // id-only distinct + vector re-attach, same rationale (and same
+        // oracle shape) as sim_ann_hyperplane above — multi-probe has
+        // 5× the meeting multiplicity, so the vector-dragging sort was
+        // 5× worse here
         val cand = buckets
           .join(broadcast(q),
             col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
               col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("qv"),
-            col("vec_id").as("cand_id"), col("vec").as("cv"))
-          .dropDuplicates("q_id", "cand_id")
+          .select(col("q_id"), col("vec_id").as("cand_id"))
+          .distinct()
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("cand_id"))
         cand
+          .join(e.select(col("vec_id").as("q_id"), col("vec").as("qv")),
+            "q_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("vec").as("cv")),
+            "cand_id")
           .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
           .select(col("q_id"), col("cand_id"),
             row_number().over(w).cast("long").as("rn"),
@@ -492,11 +510,10 @@ object Similarity extends QueryModule {
             SELECT d.vec_id, s.m, a.rk, ${d2m("d.vec", "a.avec")} AS d2
             FROM e d CROSS JOIN sub s CROSS JOIN anch a),
           codes AS (
-            SELECT vec_id, m, rk AS code FROM (
-              SELECT vec_id, m, rk,
-                     row_number() OVER (PARTITION BY vec_id, m
-                                        ORDER BY d2, rk) AS rn
-              FROM encd) WHERE rn = 1),
+            SELECT vec_id, m,
+                   min(CAST(round(d2 * 1e12) AS BIGINT) * 16 + rk) % 16
+                     AS code
+            FROM encd GROUP BY vec_id, m),
           qtab AS (
             SELECT q.vec_id AS q_id, s.m, a.rk,
                    CAST(round((${d2m("q.vec", "a.avec")}) * 1e12) AS BIGINT)
@@ -556,13 +573,22 @@ object Similarity extends QueryModule {
           .select((row_number().over(hw) - 1).as("rk"), col("vec").as("avec"))
         val anchSub = anch.crossJoin(
           s.range(8).select(col("id").cast("int").as("m")))
-        // encode: argmin codebook entry per (vector, subspace); struct
-        // min is the deterministic (d2, rk) lexicographic argmin
+        // encode: argmin codebook entry per (vector, subspace). ONE
+        // packed BIGINT key (round(d2·1e12)·16 + rk — the query's own
+        // fixed-point scale, already the cross-engine precedent via
+        // qd2): min(key) % 16 decodes the code. The previous
+        // min(struct(d2, rk)) was the deterministic argmin too, but a
+        // struct buffer is not UnsafeRow-mutable so it silently planned
+        // as SortAggregate over the N×8×16 encode stream (PlanSmells
+        // audit catch — same trap as dedup_semantic_cells). Ties now
+        // resolve identically on both engines: equal fixed-point d2 →
+        // lowest rk wins, packed into the integer order.
         val codes = e.crossJoin(broadcast(anchSub))
           .select(col("vec_id"), col("m"),
-            struct(d2m(col("vec"), col("avec")).as("d2"), col("rk")).as("p"))
+            (round(d2m(col("vec"), col("avec")) * 1e12).cast("long") * 16 +
+              col("rk")).as("pk"))
           .groupBy("vec_id", "m")
-          .agg(min("p").getField("rk").as("code"))
+          .agg((min("pk") % 16).as("code"))
         // per-query ADC lookup table, fixed-point (see header)
         val qtab = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"))
