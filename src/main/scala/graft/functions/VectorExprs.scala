@@ -115,15 +115,28 @@ object VectorOps {
   /** Per-thread decoded-codebook memo for [[nearestCentroid]]. The
     * codebook column is the SAME broadcast UnsafeArrayData bytes for
     * every row of the scan it joins into, so decoding it once per
-    * thread (keyed on the backing buffer identity) turns the per-row
-    * work into pure primitive-array loops — no per-centroid
-    * getStruct/getArray wrapper allocation on the N·k hot path. A key
-    * miss (interpreted eval over GenericArrayData, or a re-broadcast)
-    * just re-decodes; correctness never depends on a hit. */
+    * thread turns the per-row work into pure primitive-array loops — no
+    * per-centroid getStruct/getArray wrapper allocation on the N·k hot
+    * path. A key miss (interpreted eval over GenericArrayData, or a
+    * re-broadcast) just re-decodes; correctness never depends on a hit.
+    *
+    * Key = buffer identity (baseObject, baseOffset) PLUS byte length
+    * and a head/tail content fingerprint: nearest_centroid is a general
+    * session SQL function, and Spark REUSES backing buffers
+    * (UnsafeRowSerializer's deserialize buffer, UnsafeProjection's
+    * BufferHolder) — a per-row codebook argument written into a reused
+    * buffer would alias a prior identity-only key and silently return
+    * assignments from a stale decoded codebook. The fingerprint reads
+    * the first/last 8 bytes of the region, so any same-length rewrite
+    * that changes either boundary word misses; equal-content rewrites
+    * hitting is correct by definition. */
   private final class Codebook {
     var keyObj: AnyRef = null
     var keyOff: Long = -1L
     var keyLen: Int = -1
+    var keySize: Int = -1
+    var keyHead: Long = 0L
+    var keyTail: Long = 0L
     var cells: Array[Long] = null
     var vecs: Array[Array[Double]] = null
   }
@@ -139,14 +152,34 @@ object VectorOps {
     * replays DuckDB's row_number ORDER BY list_cosine_similarity DESC,
     * cell ASC at full double precision. NaN cosines (zero-norm sides)
     * never win (NaN > best is false); an empty/all-NaN codebook returns
-    * Long.MinValue, which the expression wrapper maps to SQL NULL. */
+    * Long.MinValue, which the expression wrapper maps to SQL NULL.
+    * DEGENERATE-VECTOR CONTRACT (differs from a raw ORDER BY DESC,
+    * which in DuckDB sorts NaN greatest): a zero-norm vector or
+    * centroid can never win assignment, and a vector whose every
+    * cosine is NaN gets NULL (its rows drop out of any cell join).
+    * Oracles must carry a matching `NOT isnan(...)` exclusion — the
+    * dedup_semantic_cells SQL does. */
   def nearestCentroid(vec: ArrayData, cb: ArrayData): Long = {
     val k = cb.numElements()
     val m = cbMemo.get()
+    def headTail(u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData)
+        : (Long, Long) = {
+      val sz = u.getSizeInBytes
+      val h = org.apache.spark.unsafe.Platform.getLong(
+        u.getBaseObject, u.getBaseOffset)
+      val t =
+        if (sz >= 8) org.apache.spark.unsafe.Platform.getLong(
+          u.getBaseObject, u.getBaseOffset + sz - 8)
+        else h
+      (h, t)
+    }
     val hit = cb match {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
         (m.keyObj eq u.getBaseObject) && m.keyOff == u.getBaseOffset &&
-          m.keyLen == k
+          m.keyLen == k && m.keySize == u.getSizeInBytes && {
+            val (h, t) = headTail(u)
+            m.keyHead == h && m.keyTail == t
+          }
       case _ => false
     }
     if (!hit) {
@@ -163,8 +196,12 @@ object VectorOps {
       m.vecs = vecs
       cb match {
         case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-          m.keyObj = u.getBaseObject; m.keyOff = u.getBaseOffset; m.keyLen = k
-        case _ => m.keyObj = null; m.keyOff = -1L; m.keyLen = -1
+          m.keyObj = u.getBaseObject; m.keyOff = u.getBaseOffset
+          m.keyLen = k; m.keySize = u.getSizeInBytes
+          val (h, t) = headTail(u)
+          m.keyHead = h; m.keyTail = t
+        case _ =>
+          m.keyObj = null; m.keyOff = -1L; m.keyLen = -1; m.keySize = -1
       }
     }
     val v = vec.toDoubleArray()

@@ -1058,11 +1058,20 @@ object Dedup extends QueryModule {
         allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
         cents AS (SELECT vec_id AS cell, vec AS cv FROM base WHERE vec_id < 16),
         asg AS (
+          -- NOT isnan: pin the kernel's degenerate-vector semantics.
+          -- nearest_centroid never lets a NaN cosine win (zero-norm
+          -- vector or centroid) and returns NULL when every cosine is
+          -- NaN, dropping the row from the pair join; DuckDB's ORDER BY
+          -- DESC sorts NaN greatest, so without this filter a zero-norm
+          -- side would WIN assignment here while vanishing there. The
+          -- filter removes NaN candidates before the window, so both
+          -- engines agree: NaN never wins, all-NaN rows drop out.
           SELECT a.vec_id, a.vec, c.cell,
                  row_number() OVER (PARTITION BY a.vec_id
                    ORDER BY list_cosine_similarity(a.vec, c.cv) DESC,
                             c.cell) AS rk
-          FROM allv a CROSS JOIN cents c),
+          FROM allv a CROSS JOIN cents c
+          WHERE NOT isnan(list_cosine_similarity(a.vec, c.cv))),
         lists AS (SELECT vec_id, vec, cell FROM asg WHERE rk = 1),
         p AS (SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b,
                      round(list_cosine_similarity(x.vec, y.vec), 6) AS cos_sim
