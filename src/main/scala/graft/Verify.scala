@@ -44,31 +44,54 @@ object Verify {
     *  - approx_percentile(accuracy=1000): rank error ≤ 1/accuracy →
     *    bracket at rank p ± 1% (10× the guarantee, room for ties);
     *  - seeded Bernoulli sample: CLT bracket |n − f·N| ≤ 4σ + 5.
-    * Returns (query, metric, value, lo, hi, within) rows. */
-  private[graft] def approxBoundRows(spark: SparkSession, sfDir: String)
+    * Returns (query, metric, value, lo, hi, within) rows.
+    *
+    * `runner` supplies each graded query's RESULT rows and defaults to
+    * the in-process DataFrame collect; ServeParity passes a JDBC runner
+    * so the values returned over the Thrift wire are graded under the
+    * SAME envelopes (the four sketch queries are exempt from EP2 hash
+    * parity because partial-agg merge order legally differs between the
+    * two executions — exempt must still mean bounded, not skipped).
+    * The engine-EXACT reference values always come from the in-process
+    * engine. `grade` restricts which queries are graded (the JDBC pass
+    * grades only its exempt set). */
+  private[graft] def approxBoundRows(spark: SparkSession, sfDir: String,
+      runner: String => Seq[Seq[Any]] = null,
+      grade: String => Boolean = _ => true)
       : Seq[(String, String, Double, Double, Double, Boolean)] = {
     import org.apache.spark.sql.functions._
     val rows =
       scala.collection.mutable.ArrayBuffer[(String, String, Double, Double, Double, Boolean)]()
     def add(q: String, m: String, v: Double, lo: Double, hi: Double): Unit =
       rows += ((q, m, v, lo, hi, v >= lo && v <= hi))
-    def run(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+    val run: String => Seq[Seq[Any]] =
+      if (runner != null) runner
+      else name => SparkEntry.queries(name)(spark, sfDir).collect()
+        .toSeq.map(_.toSeq)
+    def str(r: Seq[Any], i: Int): String = r(i).toString
+    def num(r: Seq[Any], i: Int): Double = r(i) match {
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble // hive-jdbc may hand back strings
+    }
     val orders = Tables.load(spark, sfDir, "orders")
 
-    val exactDistinct = orders.groupBy("o_orderstatus")
-      .agg(countDistinct(col("o_custkey")).as("e")).collect()
-      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    for (r <- run("agg_approx_count_distinct"))
-      add("agg_approx_count_distinct", s"custs[${r.getString(0)}]",
-        r.getLong(1).toDouble,
-        exactDistinct(r.getString(0)) * (1 - 0.15),
-        exactDistinct(r.getString(0)) * (1 + 0.15))
+    if (grade("agg_approx_count_distinct")) {
+      val exactDistinct = orders.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("e")).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      for (r <- run("agg_approx_count_distinct"))
+        add("agg_approx_count_distinct", s"custs[${str(r, 0)}]", num(r, 1),
+          exactDistinct(str(r, 0)) * (1 - 0.15),
+          exactDistinct(str(r, 0)) * (1 + 0.15))
+    }
 
-    val exactTotal = orders.agg(countDistinct(col("o_custkey")))
-      .collect()(0).getLong(0).toDouble
-    for (r <- run("agg_hll_sketch_union"))
-      add("agg_hll_sketch_union", "total_custs", r.getLong(0).toDouble,
-        exactTotal * (1 - 0.049), exactTotal * (1 + 0.049))
+    if (grade("agg_hll_sketch_union")) {
+      val exactTotal = orders.agg(countDistinct(col("o_custkey")))
+        .collect()(0).getLong(0).toDouble
+      for (r <- run("agg_hll_sketch_union"))
+        add("agg_hll_sketch_union", "total_custs", num(r, 0),
+          exactTotal * (1 - 0.049), exactTotal * (1 + 0.049))
+    }
 
     // exact rank-bracket quantiles per status (percentile = exact agg)
     def exactQ(lo: Double, hi: Double): Map[String, (Double, Double)] =
@@ -76,24 +99,31 @@ object Verify {
         .agg(expr(s"percentile(o_totalprice, $lo)").as("lo"),
           expr(s"percentile(o_totalprice, $hi)").as("hi")).collect()
         .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val kllBr = Map("p50" -> exactQ(0.47, 0.53), "p90" -> exactQ(0.87, 0.93),
-      "p99" -> exactQ(0.96, 1.0))
-    for (r <- run("agg_kll_quantiles"); (p, i) <- Seq("p50" -> 1, "p90" -> 2, "p99" -> 3)) {
-      val (lo, hi) = kllBr(p)(r.getString(0))
-      add("agg_kll_quantiles", s"$p[${r.getString(0)}]", r.getDouble(i), lo, hi)
+    if (grade("agg_kll_quantiles")) {
+      val kllBr = Map("p50" -> exactQ(0.47, 0.53), "p90" -> exactQ(0.87, 0.93),
+        "p99" -> exactQ(0.96, 1.0))
+      for (r <- run("agg_kll_quantiles");
+           (p, i) <- Seq("p50" -> 1, "p90" -> 2, "p99" -> 3)) {
+        val (lo, hi) = kllBr(p)(str(r, 0))
+        add("agg_kll_quantiles", s"$p[${str(r, 0)}]", num(r, i), lo, hi)
+      }
     }
-    val apBr = Map("p50" -> exactQ(0.49, 0.51), "p90" -> exactQ(0.89, 0.91))
-    for (r <- run("agg_approx_percentile"); (p, i) <- Seq("p50" -> 1, "p90" -> 2)) {
-      val (lo, hi) = apBr(p)(r.getString(0))
-      add("agg_approx_percentile", s"$p[${r.getString(0)}]",
-        r.getAs[Number](i).doubleValue(), lo, hi)
+    if (grade("agg_approx_percentile")) {
+      val apBr = Map("p50" -> exactQ(0.49, 0.51), "p90" -> exactQ(0.89, 0.91))
+      for (r <- run("agg_approx_percentile");
+           (p, i) <- Seq("p50" -> 1, "p90" -> 2)) {
+        val (lo, hi) = apBr(p)(str(r, 0))
+        add("agg_approx_percentile", s"$p[${str(r, 0)}]", num(r, i), lo, hi)
+      }
     }
 
-    val n = Tables.rowCount(spark, sfDir, "lineitem").toDouble
-    val sigma = math.sqrt(0.1 * 0.9 * n)
-    for (r <- run("sample_bernoulli_seeded"))
-      add("sample_bernoulli_seeded", "n_sampled", r.getLong(0).toDouble,
-        0.1 * n - 4 * sigma - 5, 0.1 * n + 4 * sigma + 5)
+    if (grade("sample_bernoulli_seeded")) {
+      val n = Tables.rowCount(spark, sfDir, "lineitem").toDouble
+      val sigma = math.sqrt(0.1 * 0.9 * n)
+      for (r <- run("sample_bernoulli_seeded"))
+        add("sample_bernoulli_seeded", "n_sampled", num(r, 0),
+          0.1 * n - 4 * sigma - 5, 0.1 * n + 4 * sigma + 5)
+    }
     rows.toSeq
   }
 
