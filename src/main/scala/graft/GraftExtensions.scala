@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("positional_any_equal",
         "positional_any_equal(a, b) - exists i: a[i] = b[i] (bigint arrays)",
         exprs => graft.functions.PositionalAnyEqual(exprs(0), exprs(1))),
+      // must be injected (not only temp-registered): foreachBatch
+      // micro-batch sessions are CLONES that inherit injected functions
+      // but not later createOrReplaceTempFunction calls — ivfIndexIngest
+      // cell-assigns inside foreachBatch and resolved nothing without this
+      ("nearest_centroid",
+        "nearest_centroid(vec, codebook) - argmax-cosine cell id",
+        exprs => graft.functions.NearestCentroid(exprs(0), exprs(1))),
       ("ngrams_gen", "ngrams_gen(tokens, n) - generator of (pos, ngram) rows",
         exprs => NGramsGenerator(exprs(0), exprs(1))),
       ("misra_gries",

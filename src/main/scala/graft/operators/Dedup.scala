@@ -433,6 +433,103 @@ object Dedup extends QueryModule {
     (out, nBatches.get)
   }
 
+  /** The REAL online form of sim_ivf_incremental (spec driver —
+    * StreamsSpec pins its parity with the registered batch-decomposed
+    * query): a file-source micro-batch stream over 3 drops of the
+    * planted corpus (vec_id % 3), foreachBatch maintaining a persisted
+    * IVF postings index — (vec_id, cell, vec) inverted lists — in
+    * parquet. Per batch: cell-assign the arrivals under the FROZEN
+    * quantizer (one broadcast codebook row, built once outside the
+    * stream — the production shape: IVF quantizers are trained offline
+    * and never drift under ingest), meet them against index ∪ batch on
+    * the cell id, exact-cosine-verify (≥ 0.95), DIRECT each discovered
+    * pair by arrival key (batch · 2⁴⁰ + vec_id), append the directed
+    * verdict contributions and the batch's postings. Each unordered
+    * pair is discovered exactly once — in the batch where its
+    * later-PROCESSED member arrives — and the akey direction makes the
+    * final verdict table independent of file-source processing order
+    * (adversarially pinned by scrambleOrder), so when processing order
+    * = arrival order every verdict is final at ingest.
+    * Returns (verdict frame, micro-batch count). */
+  private[graft] def ivfIndexIngest(s: SparkSession, dir: String,
+      stateRoot: String, scrambleOrder: Boolean = false): (DataFrame, Int) = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.VectorExprs
+    val corpus = embPlantedCorpus(s, dir)
+    val k = semCellCount(
+      Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5)
+    val cb = semCellCodebook(s, dir, k)
+    for (b <- 0 to 2)
+      corpus.filter(pmod(col("vec_id"), lit(3L)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/in/b$b")
+    // scrambleOrder: force the file source to process b2, b0, b1 (the
+    // source orders by modification time) — the adversarial case for
+    // the order-independence claim: pairs between b2 and b0/b1 are then
+    // discovered by the EARLIER-akey member's batch, and only the akey
+    // direction keeps the verdict table identical
+    if (scrambleOrder) {
+      val now = System.currentTimeMillis()
+      for ((b, i) <- Seq(2 -> 0, 0 -> 1, 1 -> 2)) {
+        val d = new java.io.File(s"$stateRoot/in/b$b")
+        d.listFiles().foreach(_.setLastModified(now - 300000L + i * 60000L))
+      }
+    }
+    val postDir = s"$stateRoot/postings"
+    val contribDir = s"$stateRoot/verdicts"
+    def akey(v: Column): Column =
+      pmod(v, lit(3L)) * lit(1099511627776L) + v
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stateRoot/in/*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val frame = semCellAssign(s, batch, cb).persist()
+        val idx =
+          if (new java.io.File(postDir).exists) s.read.parquet(postDir)
+          else frame.limit(0)
+        val un = idx.withColumn("in_index", lit(true))
+          .unionByName(frame.withColumn("in_index", lit(false)))
+        val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
+        // new-vs-index meetings in either id order (the index vector is
+        // always the x side, seen once); new-vs-new once via id order
+        frame.as("y")
+          .join(un.as("x"),
+            col("x.cell") === col("y.cell") &&
+              (col("x.in_index") || col("x.vec_id") < col("y.vec_id")))
+          .filter(round(cos, 6) >= 0.95)
+          .select(col("x.vec_id").as("xa"), col("y.vec_id").as("ya"))
+          .select(
+            when(akey(col("xa")) < akey(col("ya")), col("ya"))
+              .otherwise(col("xa")).as("doc"),
+            when(akey(col("xa")) < akey(col("ya")), col("xa"))
+              .otherwise(col("ya")).as("blocker"))
+          .withColumn("bakey", akey(col("blocker")))
+          .write.mode("append").parquet(contribDir)
+        frame.write.mode("append").parquet(postDir)
+        frame.unpersist()
+        nBatches.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$stateRoot/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val contrib =
+      if (new java.io.File(contribDir).exists) s.read.parquet(contribDir)
+      else s.range(0).select(col("id").as("doc"), col("id").as("blocker"),
+        col("id").as("bakey"))
+    val v = contrib.groupBy("doc")
+      .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
+    val out = corpus
+      .select(col("vec_id"), pmod(col("vec_id"), lit(3L)).as("batch"))
+      .join(v, col("vec_id") === col("doc"), "left")
+      .select(col("vec_id"), col("batch"), col("near_dup_of"),
+        col("near_dup_of").isNull.as("is_novel"))
+      .orderBy("vec_id")
+    (out, nBatches.get)
+  }
+
   /** Band-join meeting count (join rows BEFORE the Jaccard filter) —
     * the quantity adaptive banding must hold ~linear in N. Column
     * pruning drops `hs` from both sides here, so this also times the
@@ -518,21 +615,70 @@ object Dedup extends QueryModule {
     * (bit-identical accumulation order to cosine_sim), highest cosine
     * wins, ties to the lowest cell. No N×k stream exists; the only
     * shuffle in the whole query is the cell self-join's. */
-  private[graft] def semCellPairs(s: SparkSession, dir: String, k: Long)
-      : DataFrame = {
-    import graft.functions.VectorExprs
-    val allv = embPlantedCorpus(s, dir)
-    val cb = t(s, dir, "embeddings")
+  /** The semantic-cells pipeline as DuckDB CTEs (planted corpus →
+    * pinned 16-centroid quantizer → cell assignment → within-cell exact
+    * cosine pairs in `p`) — shared by dedup_semantic_cells,
+    * sim_ivf_incremental, and dedup_semantic_two_stage. The NOT isnan
+    * filter pins the nearest_centroid kernel's degenerate-vector
+    * contract: the kernel never lets a NaN cosine win (zero-norm vector
+    * or centroid) and returns NULL when every cosine is NaN, dropping
+    * the row from the pair join; DuckDB's ORDER BY DESC sorts NaN
+    * greatest and would otherwise let a zero-norm side WIN assignment
+    * here while vanishing there. */
+  private lazy val semCellPairsCtesSql = """
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        planted AS (
+          SELECT orig_id + 10000000 AS vec_id,
+                 list_concat(vec[1:32],
+                   list_transform(vec[33:], x -> x * m)) AS vec
+          FROM (SELECT vec_id AS orig_id, vec,
+                       1.0 + (vec_id % 7 + 1) * 0.25 AS m
+                FROM base WHERE vec_id % 5 = 0)),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        cents AS (SELECT vec_id AS cell, vec AS cv FROM base WHERE vec_id < 16),
+        asg AS (
+          SELECT a.vec_id, a.vec, c.cell,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.vec, c.cv) DESC,
+                            c.cell) AS rk
+          FROM allv a CROSS JOIN cents c
+          WHERE NOT isnan(list_cosine_similarity(a.vec, c.cv))),
+        lists AS (SELECT vec_id, vec, cell FROM asg WHERE rk = 1),
+        p AS (SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b,
+                     round(list_cosine_similarity(x.vec, y.vec), 6) AS cos_sim
+              FROM lists x JOIN lists y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id)"""
+
+  /** The ONE-row broadcast codebook frame (collect_list of the k
+    * lowest-id base vectors as struct<cell, cv>) — the coarse
+    * quantizer every semantic-cell query shares. */
+  private[graft] def semCellCodebook(s: SparkSession, dir: String, k: Long)
+      : DataFrame =
+    t(s, dir, "embeddings")
       .filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"),
         col("embedding").cast("array<double>").as("cv"))
       .agg(collect_list(struct(col("cell"), col("cv"))).as("cb"))
+
+  /** Cell assignment of an arbitrary (vec_id, vec) frame: one broadcast
+    * codebook row + the native codegen nearest_centroid argmax inside
+    * the scan pipeline → (vec_id, vec, cell). No N×k stream exists. */
+  private[graft] def semCellAssign(s: SparkSession, vecs: DataFrame,
+      cb: DataFrame): DataFrame = {
+    import graft.functions.VectorExprs
+    vecs.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("vec"),
+        VectorExprs.nearestCentroid(s, col("vec"), col("cb")).as("cell"))
+  }
+
+  private[graft] def semCellPairs(s: SparkSession, dir: String, k: Long)
+      : DataFrame = {
+    import graft.functions.VectorExprs
+    val allv = embPlantedCorpus(s, dir)
     // persisted: both sides of the cell self-join would otherwise
     // re-run the k·d argmax scan
-    val lists = allv.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("vec"),
-        VectorExprs.nearestCentroid(s, col("vec"), col("cb"))
-          .as("cell"))
+    val lists = semCellAssign(s, allv, semCellCodebook(s, dir, k))
       .persist()
     lists.as("x")
       .join(lists.as("y"),
@@ -544,6 +690,47 @@ object Dedup extends QueryModule {
       .select(col("x.cell").cast("long").as("cell"),
         col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         col("cos_sim"))
+      .orderBy("cell", "id_a", "id_b")
+  }
+
+  /** dedup_semantic_two_stage's body at an EXPLICIT cell count k (so
+    * ScaleStress can sweep it): cell-assign the corpus, LSH-bucket each
+    * vector into `tables` tables (embLshConfig — the same N-adaptive
+    * sizing as dedup_embedding_cosine), self-join on (cell, tbl,
+    * bucket), verify INSIDE the join (vectors ride the bucket frame;
+    * candidate pairs are never materialized to a shuffle — the
+    * dedup_embedding_cosine lesson), distinct over table multiplicity.
+    * The distinct's columns are all fixed-width (two ids, a bigint
+    * cell, a double) → hash aggregate, no silent sort. */
+  private[graft] def semCellTwoStagePairs(s: SparkSession, dir: String,
+      k: Long): DataFrame = {
+    import graft.functions.VectorExprs
+    val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
+    val (bits, tables) = embLshConfig(n)
+    // persisted: both sides of the (cell, tbl, bucket) self-join would
+    // otherwise re-run the k·d argmax + tables× bucket hashing
+    val frame = semCellAssign(s, embPlantedCorpus(s, dir),
+      semCellCodebook(s, dir, k))
+      .select(col("vec_id"), col("vec"), col("cell"),
+        explode(transform(sequence(lit(0), lit(tables - 1)), tb =>
+          struct(tb.as("tbl"),
+            VectorExprs.lshBucket(s, col("vec"), tb, bits = bits)
+              .as("bucket")))).as("tb"))
+      .select(col("vec_id"), col("vec"), col("cell"),
+        col("tb.tbl"), col("tb.bucket"))
+      .persist()
+    val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
+    frame.as("x")
+      .join(frame.as("y"),
+        col("x.cell") === col("y.cell") && col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos_sim", round(cos, 6))
+      .filter(col("cos_sim") >= 0.95)
+      .select(col("x.cell").cast("long").as("cell"),
+        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("cos_sim"))
+      .distinct()
       .orderBy("cell", "id_a", "id_b")
   }
 
@@ -1045,38 +1232,8 @@ object Dedup extends QueryModule {
     // shuffle in the whole query is the cell self-join's. ----
     Q(
       "dedup_semantic_cells",
-      Some("""
-        WITH base AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        planted AS (
-          SELECT orig_id + 10000000 AS vec_id,
-                 list_concat(vec[1:32],
-                   list_transform(vec[33:], x -> x * m)) AS vec
-          FROM (SELECT vec_id AS orig_id, vec,
-                       1.0 + (vec_id % 7 + 1) * 0.25 AS m
-                FROM base WHERE vec_id % 5 = 0)),
-        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        cents AS (SELECT vec_id AS cell, vec AS cv FROM base WHERE vec_id < 16),
-        asg AS (
-          -- NOT isnan: pin the kernel's degenerate-vector semantics.
-          -- nearest_centroid never lets a NaN cosine win (zero-norm
-          -- vector or centroid) and returns NULL when every cosine is
-          -- NaN, dropping the row from the pair join; DuckDB's ORDER BY
-          -- DESC sorts NaN greatest, so without this filter a zero-norm
-          -- side would WIN assignment here while vanishing there. The
-          -- filter removes NaN candidates before the window, so both
-          -- engines agree: NaN never wins, all-NaN rows drop out.
-          SELECT a.vec_id, a.vec, c.cell,
-                 row_number() OVER (PARTITION BY a.vec_id
-                   ORDER BY list_cosine_similarity(a.vec, c.cv) DESC,
-                            c.cell) AS rk
-          FROM allv a CROSS JOIN cents c
-          WHERE NOT isnan(list_cosine_similarity(a.vec, c.cv))),
-        lists AS (SELECT vec_id, vec, cell FROM asg WHERE rk = 1),
-        p AS (SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b,
-                     round(list_cosine_similarity(x.vec, y.vec), 6) AS cos_sim
-              FROM lists x JOIN lists y
-                ON x.cell = y.cell AND x.vec_id < y.vec_id)
+      Some(s"""
+        WITH $semCellPairsCtesSql
         SELECT CAST(cell AS BIGINT) AS cell, id_a, id_b, cos_sim
         FROM p WHERE cos_sim >= 0.95 ORDER BY cell, id_a, id_b"""),
       (s, dir) => {
@@ -1093,6 +1250,113 @@ object Dedup extends QueryModule {
             s"dedup_semantic_cells: oracle SQL pins 16 centroids but " +
               s"semCellCount gave $k for $dir — pinned-config violation")
         semCellPairs(s, dir, k)
+      }),
+
+    // ---- incremental IVF index with ingest-time verdicts: the
+    // embedding-side counterpart of dedup_minhash_incremental. Vectors
+    // arrive in batches (vec_id % 3); the engine maintains a persisted
+    // IVF postings index — (vec_id, cell, vec) inverted lists under the
+    // frozen coarse quantizer (production IVF trains its quantizer
+    // offline and freezes it; here the pinned lowest-id-centroid rule,
+    // k N-adaptive via semCellCount) — and each arriving vector is
+    // verdicted against everything that arrived BEFORE it: same cell,
+    // exact cosine ≥ 0.95. A verdict is final at ingest (append-mode
+    // semantics, nothing revised); the directing key is the ONE scalar
+    // BIGINT arrival key (batch · 2⁴⁰ + vec_id), so min_by stays a hash
+    // aggregate. The registered body is the batch-decomposed
+    // computation: the global within-cell pair set (batching-invariant)
+    // directed by arrival order. ivfIndexIngest is the REAL streaming
+    // form — StreamsSpec pins Trigger.AvailableNow parity and
+    // order-independence under scrambled file mtimes. Scale: per-batch
+    // cost is batch × same-cell postings (the lists are partitioned by
+    // cell at 100 TB), never a whole-corpus rescan; the quantizer
+    // argmax is one broadcast codebook row per scan. ----
+    Q(
+      "sim_ivf_incremental",
+      Some(s"""
+        WITH $semCellPairsCtesSql,
+        pairs AS (SELECT id_a, id_b FROM p WHERE cos_sim >= 0.95),
+        arr AS (SELECT vec_id,
+                       (vec_id % 3) * 1099511627776 + vec_id AS akey
+                FROM allv),
+        dirn AS (
+          SELECT CASE WHEN a.akey < b.akey THEN pr.id_b ELSE pr.id_a END
+                   AS doc,
+                 CASE WHEN a.akey < b.akey THEN pr.id_a ELSE pr.id_b END
+                   AS blocker,
+                 CASE WHEN a.akey < b.akey THEN a.akey ELSE b.akey END
+                   AS bakey
+          FROM pairs pr
+          JOIN arr a ON a.vec_id = pr.id_a
+          JOIN arr b ON b.vec_id = pr.id_b),
+        v AS (SELECT doc, arg_min(blocker, bakey) AS near_dup_of
+              FROM dirn GROUP BY doc)
+        SELECT al.vec_id, CAST(al.vec_id % 3 AS BIGINT) AS batch,
+               CAST(v.near_dup_of AS BIGINT) AS near_dup_of,
+               v.near_dup_of IS NULL AS is_novel
+        FROM allv al LEFT JOIN v ON v.doc = al.vec_id
+        ORDER BY al.vec_id"""),
+      (s, dir) => {
+        val k = semCellCount(
+          Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5)
+        if (sys.props.get("graft.oracle.run").contains("true"))
+          require(k == 16,
+            s"sim_ivf_incremental: oracle SQL pins 16 centroids but " +
+              s"semCellCount gave $k for $dir — pinned-config violation")
+        val pairs = semCellPairs(s, dir, k)
+          .select(col("id_a"), col("id_b"))
+        def akey(c: Column): Column =
+          pmod(c, lit(3L)) * lit(1099511627776L) + c
+        val dirn = pairs
+          .select(col("id_a"), col("id_b"),
+            akey(col("id_a")).as("akey_a"), akey(col("id_b")).as("akey_b"))
+          .select(
+            when(col("akey_a") < col("akey_b"), col("id_b"))
+              .otherwise(col("id_a")).as("doc"),
+            when(col("akey_a") < col("akey_b"), col("id_a"))
+              .otherwise(col("id_b")).as("blocker"),
+            least(col("akey_a"), col("akey_b")).as("bakey"))
+        val v = dirn.groupBy("doc")
+          .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
+        embPlantedCorpus(s, dir)
+          .select(col("vec_id"), pmod(col("vec_id"), lit(3L)).as("batch"))
+          .join(v, col("vec_id") === col("doc"), "left")
+          .select(col("vec_id"), col("batch"), col("near_dup_of"),
+            col("near_dup_of").isNull.as("is_novel"))
+          .orderBy("vec_id")
+      }),
+
+    // ---- the SemDeDup PRODUCTION composition (round-12 verdict task
+    // 8): coarse quantizer → within-cell LSH candidate generation →
+    // exact-cosine verify on within-cell candidates. The two standalone
+    // detectors each carry one half of the scale argument — cells bound
+    // WHERE pairs may form (precision 1.0 by exact verify, the measured
+    // recall trade), LSH bounds HOW MANY candidates stream through a
+    // cell (a dense cell's quadratic occupancy² pair stream becomes
+    // bucket-level) — and this query composes them: the self-join key
+    // is (cell, tbl, bucket), so candidate volume is bounded by BOTH
+    // partitions at once. Because the exact verify and the 24-table ×
+    // per-pair miss ≤ 1e-6 LSH recall bound make the candidate stage
+    // lossless at the 0.95 threshold (the dedup_embedding_cosine
+    // argument, verified at both oracled SFs), the confirmed pair set
+    // EQUALS the within-cell exact pair set and the semantic-cells
+    // oracle grades it row-for-row — output equality IS the
+    // composition's precision-1.0 property; what changes is the cost
+    // curve, measured at 10×/100× in ScaleStress. ----
+    Q(
+      "dedup_semantic_two_stage",
+      Some(s"""
+        WITH $semCellPairsCtesSql
+        SELECT CAST(cell AS BIGINT) AS cell, id_a, id_b, cos_sim
+        FROM p WHERE cos_sim >= 0.95 ORDER BY cell, id_a, id_b"""),
+      (s, dir) => {
+        val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
+        val k = semCellCount(n)
+        if (sys.props.get("graft.oracle.run").contains("true"))
+          require(k == 16,
+            s"dedup_semantic_two_stage: oracle SQL pins 16 centroids " +
+              s"but semCellCount gave $k for $dir — pinned-config violation")
+        semCellTwoStagePairs(s, dir, k)
       }),
 
     // ---- the composed training-data curation pipeline: quality gate →

@@ -333,6 +333,8 @@ class PlanShapeSpec extends SparkSpec {
       "ml_knn_classify", // same broadcast bounded query set + vote
       "sim_ivf_probe", // 16-centroid quantizer broadcast
       "dedup_semantic_cells", // 1-row collected-codebook broadcast
+      "sim_ivf_incremental", // same 1-row codebook broadcast (cell assign)
+      "dedup_semantic_two_stage", // same 1-row codebook broadcast
       "retrieval_hybrid_rrf", // broadcast single query embedding
       "sim_pq_adc", // broadcast 128-row codebook + 1280-row query LUT
       "ml_kmeans_fixed_iters", // broadcast 1-row (k=3 wide) centroid table

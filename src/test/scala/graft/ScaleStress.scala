@@ -323,7 +323,13 @@ object ScaleStress {
     // round-12: ingest-time minhash verdicts — the LSH pair set plus
     // two id-keyed arr joins and a doc-keyed min_by hash agg; must
     // track dedup_minhash_lsh's ratio (the joins it adds are linear)
-    "dedup_minhash_incremental")
+    "dedup_minhash_incremental",
+    // round-13: ingest-time IVF verdicts (the within-cell pair set
+    // directed by arrival key — must track dedup_semantic_cells) and
+    // the SemDeDup production composition (cell × LSH-bucket join —
+    // its candidate stream is bounded by BOTH partitions, so the row
+    // measures what the second stage buys at dense-cell scale)
+    "sim_ivf_incremental", "dedup_semantic_two_stage")
 
   /** The shuffle-dominant join/window/time-series/graph/ML/streaming/agg
     * queries (round-9 mandate — these families previously had only

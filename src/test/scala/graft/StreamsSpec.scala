@@ -535,6 +535,55 @@ class StreamsSpec extends SparkSpec {
       "scrambled processing order changed the verdict table — the " +
         "akey direction is not doing its job")
   }
+
+  test("incremental IVF index AvailableNow parity: a file-source run " +
+      "maintaining (vec_id, cell, vec) postings in parquet reproduces " +
+      "the batch-decomposed ingest-time verdicts exactly") {
+    val base = Paths.get(s"${Tables.scratchRoot}/ivf_incr")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (streamedDf, batches) =
+      operators.Dedup.ivfIndexIngest(spark, sf, base.toString)
+    assert(batches == 3,
+      s"expected 3 micro-batches (one per file drop), got $batches — " +
+        "the incremental index path was not exercised")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    val streamed = rows(streamedDf)
+    val batchForm =
+      rows(SparkEntry.queries("sim_ivf_incremental")(spark, sf))
+    assert(streamed == batchForm,
+      s"streamed verdicts diverge from the batch form: " +
+        s"${streamed.diff(batchForm).take(5)} vs " +
+        s"${batchForm.diff(streamed).take(5)}")
+    // the parity must not be vacuous: the planted vec_id%5 canaries
+    // give sf0.001 a real within-cell near-dup population
+    val blocked = streamed.count(!_._4)
+    assert(blocked > 0, "no vector was ever blocked — vacuous parity")
+
+    // order-independence, adversarially: force the file source to
+    // process b2, b0, b1 — cross-batch pairs are then discovered by the
+    // earlier-AKEY member's batch, and only the arrival-key direction
+    // keeps the verdict table identical
+    val base2 = Paths.get(s"${Tables.scratchRoot}/ivf_incr_scram")
+    if (Files.exists(base2)) {
+      Files.walk(base2).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (scrambledDf, batches2) = operators.Dedup.ivfIndexIngest(
+      spark, sf, base2.toString, scrambleOrder = true)
+    assert(batches2 == 3)
+    val firstOffset = new String(Files.readAllBytes(
+      base2.resolve("ckpt/sources/0/0")))
+    assert(firstOffset.contains("/b2/"),
+      s"mtime scramble did not reorder the file source: $firstOffset")
+    assert(rows(scrambledDf) == batchForm,
+      "scrambled processing order changed the verdict table — the " +
+        "akey direction is not doing its job")
+  }
 }
 
 /** Event-time session processor for the timer spec: counts events per key,
