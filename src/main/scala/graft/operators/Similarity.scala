@@ -583,12 +583,28 @@ object Similarity extends QueryModule {
         // audit catch — same trap as dedup_semantic_cells). Ties now
         // resolve identically on both engines: equal fixed-point d2 →
         // lowest rk wins, packed into the integer order.
+        // PACKING RANGE BOUND: the key is valid iff subspace
+        // d2 ≤ (2⁶³−16)/16/1e12 ≈ 5.76e5 — normalized-embedding d2 here
+        // is ≤ ~4·dim ≈ 256, three orders inside it. Past the bound
+        // Spark's cast SATURATES to Long.MaxValue and ·16 wraps
+        // NEGATIVE (where DuckDB raises on the same overflow), so the
+        // post-agg guard below turns the saturated regime into the same
+        // loud error instead of silently electing the farthest anchor.
+        // (A d2 in the narrow (5.76e5, 9.2e6] window can wrap positive
+        // undetected — documented as outside the fixed-point contract;
+        // the guard sits on the N×8 post-agg rows, not the encode
+        // stream, so the hot path is untouched.)
         val codes = e.crossJoin(broadcast(anchSub))
           .select(col("vec_id"), col("m"),
             (round(d2m(col("vec"), col("avec")) * 1e12).cast("long") * 16 +
               col("rk")).as("pk"))
           .groupBy("vec_id", "m")
-          .agg((min("pk") % 16).as("code"))
+          .agg(min("pk").as("minpk"))
+          .select(col("vec_id"), col("m"),
+            when(col("minpk") < 0, raise_error(lit(
+              "sim_pq_adc: packed argmin key wrapped negative — subspace " +
+                "d2 exceeded the 5.76e5 fixed-point bound")).cast("long"))
+              .otherwise(col("minpk") % 16).as("code"))
         // per-query ADC lookup table, fixed-point (see header)
         val qtab = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"))
