@@ -707,10 +707,16 @@ object Dedup extends QueryModule {
     import graft.functions.VectorExprs
     val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
     val (bits, tables) = embLshConfig(n)
-    // persisted: both sides of the (cell, tbl, bucket) self-join would
-    // otherwise re-run the k·d argmax + tables× bucket hashing
-    val frame = semCellAssign(s, embPlantedCorpus(s, dir),
+    // persist the N-row ASSIGNED corpus (one k·d argmax pass), never
+    // the N×tables exploded bucket frame (~11 GB at 100× with the vec
+    // payload riding — caching it would trade a cheap recompute for
+    // real memory; the embBucketFrame lesson). The two join sides
+    // derive identically from the persisted frame, so the self-join's
+    // second shuffle is a ReusedExchange and the explode runs once.
+    val assigned = semCellAssign(s, embPlantedCorpus(s, dir),
       semCellCodebook(s, dir, k))
+      .persist()
+    val frame = assigned
       .select(col("vec_id"), col("vec"), col("cell"),
         explode(transform(sequence(lit(0), lit(tables - 1)), tb =>
           struct(tb.as("tbl"),
@@ -718,7 +724,6 @@ object Dedup extends QueryModule {
               .as("bucket")))).as("tb"))
       .select(col("vec_id"), col("vec"), col("cell"),
         col("tb.tbl"), col("tb.bucket"))
-      .persist()
     val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
     frame.as("x")
       .join(frame.as("y"),
