@@ -706,7 +706,16 @@ object Dedup extends QueryModule {
       k: Long): DataFrame = {
     import graft.functions.VectorExprs
     val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
-    val (bits, tables) = embLshConfig(n)
+    // LSH granularity sized from CELL OCCUPANCY, not global N: the
+    // buckets only ever join within one cell (the join key is (cell,
+    // tbl, bucket)), so sizing bits/tables from N over-partitions a
+    // ~150-vector domain — measured at 100×: global sizing picked
+    // (16 bits, 69 tables), a 20M-row frame, 128 s; occupancy sizing
+    // keeps the pinned (8, 24) at every scale semCellCount holds
+    // occupancy ≈150 (a per-pair recall bound is N-independent), a
+    // 6.9M-row frame. Same outputs at the oracled dirs (occupancy 45
+    // sits in the same pinned branch as their old global config).
+    val (bits, tables) = embLshConfig(math.max(1L, n / k))
     // persist the N-row ASSIGNED corpus (one k·d argmax pass), never
     // the N×tables exploded bucket frame (~11 GB at 100× with the vec
     // payload riding — caching it would trade a cheap recompute for
