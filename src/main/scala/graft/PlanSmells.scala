@@ -30,6 +30,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
   * the per-element HOF dispatch it replaced) — those live in the
   * baseline and the spec's allowlists.
   *
+  * Known blind spot: plan traversal does not descend into
+  * InMemoryRelation (a persist() boundary hides everything beneath it
+  * from the audit), so MOVING a persist can surface previously-hidden
+  * stats as an apparent regression — round 13's two-stage restructure
+  * did exactly that (the table-struct transform's fallback classes
+  * appeared when the cache moved above the explode). Review such
+  * diffs, then baseline them.
+  *
   * Baseline-update procedure (after REVIEWING the diff — an update
   * must be a decision, not a reflex):
   *   sbt "runMain graft.PlanSmells /root/testdata/sf0.001 PLAN_SMELLS_BASELINE.json"
