@@ -158,6 +158,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.except(cells).count() == nLsh - nCells)
   }
 
+  test("two-stage composition is lossless: output equals the cells detector " +
+      "row-for-row (the within-cell LSH stage never drops a true pair)") {
+    // the SemDeDup production composition's correctness claim: within a
+    // cell, the (8-bit, 24-table) LSH candidate stage has per-pair miss
+    // ≤1e-6 at the 0.95-threshold angle, and the verify is exact — so
+    // stage 2 must change COST only, never the pair set. A diff here
+    // means someone shrank the table count (recall) or broke the
+    // (cell, tbl, bucket) join key (precision).
+    val cells = SparkEntry.queries("dedup_semantic_cells")(spark, sf)
+      .select("cell", "id_a", "id_b", "cos_sim")
+    val two = SparkEntry.queries("dedup_semantic_two_stage")(spark, sf)
+      .select("cell", "id_a", "id_b", "cos_sim")
+    assert(two.except(cells).count() == 0,
+      "two-stage invented a pair the cells detector lacks (precision break)")
+    assert(cells.except(two).count() == 0,
+      "two-stage lost a within-cell pair (LSH recall break)")
+    assert(cells.count() > 0, "vacuous: no within-cell pairs at this SF")
+  }
+
   test("native trigram_shingles matches the HOF reference spelling exactly") {
     GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf, "documents")

@@ -492,7 +492,8 @@ object ScaleStress {
     // SPARK_GRAFT_STRESS_PROBES=off skips all wedge/canary probes;
     // =zipf runs ONLY the Zipf-skew canary (targeted re-measurement
     // after a salting change, without paying the emb/text canaries);
-    // =semcell runs ONLY the semantic-cell recall/cost canary
+    // =semcell runs ONLY the semantic-cell recall/cost canary;
+    // =twostage runs ONLY the two-stage composition regime canary
     val probeMode =
       sys.env.getOrElse("SPARK_GRAFT_STRESS_PROBES", "all")
     val probesOn = probeMode == "all"
@@ -629,6 +630,59 @@ object ScaleStress {
         case e: Throwable =>
           errors("semcell_canary") = e.toString.takeWhile(_ != '\n').take(200)
           println(s"[scale] semcell_canary ERROR ${errors("semcell_canary")}")
+          ""
+      }
+    // two-stage composition canary (round-13 — the regime boundary,
+    // measured on both sides): dedup_semantic_two_stage costs ~3× cells
+    // alone at the ADAPTIVE k (occupancy ≈150: the N×tables bucket
+    // frame dominates while the within-cell quadratic it removes is
+    // small), so where does the second stage PAY? In heterogeneous
+    // dense cells — a quantizer too coarse for its corpus. Sweep k at
+    // the adaptive point and at k/16 (occupancy ≈2400) on the PLAIN
+    // scaled corpus, timing cells-only vs two-stage: cells-only pays
+    // Σ occ²/2 cosine meetings, the within-cell LSH caps meetings at
+    // bucket granularity. Pair COUNTS must stay equal at every k — the
+    // lossless-candidate-stage claim, verified here off the pinned
+    // dirs too (per-pair miss ≤1e-6 is k- and N-independent).
+    val twoStageJson =
+      try {
+        if (probeMode != "all" && probeMode != "twostage")
+          throw ProbeSkipped("probes off")
+        ensureAlive()
+        partitionsFor(scaledDir)
+        val kAdapt = operators.Dedup.semCellCount(
+          Tables.footerRowCount(spark,
+            s"$scaledDir/embeddings.parquet") * 6 / 5)
+        val rows = for (k <- Seq(kAdapt, math.max(1L, kAdapt / 16))) yield {
+          def run(body: (SparkSession, String, Long) =>
+              org.apache.spark.sql.DataFrame): (Double, Long) = {
+            ensureAlive()
+            val t0 = System.nanoTime()
+            val n = body(spark, scaledDir, k).count()
+            val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+            spark.catalog.clearCache()
+            (sec, n)
+          }
+          val (tCells, nCells) = run(operators.Dedup.semCellPairs)
+          val (tTwo, nTwo) = run(operators.Dedup.semCellTwoStagePairs)
+          println(f"[scale] twostage canary k=$k occ=${6L * Tables
+            .footerRowCount(spark, s"$scaledDir/embeddings.parquet") / 5 / k} " +
+            f"cells=${tCells}s/$nCells pairs " +
+            f"twostage=${tTwo}s/$nTwo pairs")
+          s"""{"k":$k,"cells_sec":$tCells,"cells_pairs":$nCells,""" +
+            s""""twostage_sec":$tTwo,"twostage_pairs":$nTwo}"""
+        }
+        s""","twostage_canary":{"k_adaptive":$kAdapt,""" +
+          s""""rows":[${rows.mkString(",")}]}"""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("twostage_canary") = r
+          println(s"[scale] twostage_canary skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("twostage_canary") =
+            e.toString.takeWhile(_ != '\n').take(200)
+          println(s"[scale] twostage_canary ERROR ${errors("twostage_canary")}")
           ""
       }
     // triangle wedge probe (round-9 verdict item 3): measure the wedge
@@ -797,7 +851,7 @@ object ScaleStress {
     val json =
       s"""{"base":"$baseDir","copies":$copies,""" +
       s""""queries":{${rowsOut.result()}},"errors":$errJson,""" +
-      s""""skipped":$skipJson$candJson$semCellJson""" +
+      s""""skipped":$skipJson$candJson$semCellJson$twoStageJson""" +
       s"""$wedgeJson$textCanaryJson$zipfJson,""" +
       s""""load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors},""" +
