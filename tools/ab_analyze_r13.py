@@ -62,9 +62,31 @@ def main():
     for body in ("r12b", "r13"):
         tot = [r.get("value") for r in reps[body]]
         print(f"{body} suite totals: {tot}")
+    # scheme-bias decomposition: the r13 body in THIS A/B ran the
+    # round-13 A/A trial scheme (two interleaved passes), whose pass-2
+    # samples are minutes colder than r12's back-to-back second runs —
+    # so compare like-for-like FIRST samples (both cold) per rep: flat
+    # sample-1 ratios with inflated min ratios prove the gap is the
+    # measurement scheme, not the code. (The A/A was reverted on this
+    # evidence; see BASELINE.md round-13.)
+    s1_medians = []
+    for i in range(3):
+        ra = reps["r12b"][i].get("runs", {})
+        rb = reps["r13"][i].get("runs", {})
+        s1 = [rb[k][0] / ra[k][0] for k in common
+              if len(ra.get(k, [])) > 0 and len(rb.get(k, [])) > 0
+              and ra[k][0] > 0]
+        s1_medians.append(round(statistics.median(s1), 4))
+        print(f"rep {i+1}: like-for-like FIRST-sample median "
+              f"{s1_medians[-1]:.3f}")
     summary = {
         "bodies": {"r12b": "9fdba31 (round-12 final HEAD, worktree)",
-                   "r13": "round-13 HEAD"},
+                   "r13": "round-13 HEAD (A/A trial scheme — see note)"},
+        "scheme_note": "r13 body ran the A/A two-pass trial; its "
+            "per-query mins are systematically ~1.2x high vs "
+            "back-to-back mins. first_sample_medians compares "
+            "like-for-like cold samples.",
+        "first_sample_medians": s1_medians,
         "common_n": len(common),
         "median_min_ratio": round(med, 4),
         "paired_medians": paired,
