@@ -30,13 +30,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
   * the per-element HOF dispatch it replaced) — those live in the
   * baseline and the spec's allowlists.
   *
-  * Known blind spot: plan traversal does not descend into
-  * InMemoryRelation (a persist() boundary hides everything beneath it
-  * from the audit), so MOVING a persist can surface previously-hidden
-  * stats as an apparent regression — round 13's two-stage restructure
-  * did exactly that (the table-struct transform's fallback classes
-  * appeared when the cache moved above the explode). Review such
-  * diffs, then baseline them.
+  * Since round 14 traversal DESCENDS into persist() boundaries: every
+  * InMemoryTableScanExec's cached physical plan (unwrapping AQE) is
+  * audited as an additional root, recursively, with identity-dedup so
+  * a self-join over one cache counts its plan once. Round 13 had
+  * documented the InMemoryRelation blind spot (a persist hid everything
+  * beneath it — its own two-stage restructure surfaced previously-
+  * hidden fallback classes when a cache moved); the gate now sees
+  * through caches, and the baseline carries the newly visible rows.
   *
   * Baseline-update procedure (after REVIEWING the diff — an update
   * must be a decision, not a reflex):
@@ -76,26 +77,49 @@ object PlanSmells {
   } + "\""
 
   /** Smell stats of one physical plan (exposed so the gate spec can
-    * prove the detector on a planted regression). */
+    * prove the detector on a planted regression). Traversal descends
+    * into InMemoryTableScanExec cached plans (unwrapping AQE) so a
+    * persist() cannot hide a sub-plan from the audit; each distinct
+    * cached plan is one extra root (identity-dedup — a self-join over
+    * one cache must not double its counts). */
   private[graft] def smellsOfPlan(plan: SparkPlan): Smells = {
-    val sortAggs = plan.collectWithSubqueries { case s: SortAggregateExec => s }.size
-    val hashAggs = plan.collectWithSubqueries { case h: HashAggregateExec => h }.size
-    val objAggs = plan.collectWithSubqueries { case o: ObjectHashAggregateExec => o }.size
+    val seenCached = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val roots = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    def addRoot(p: SparkPlan): Unit = {
+      val r = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      roots += r
+      r.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      }.foreach(cp => if (seenCached.add(cp)) addRoot(cp))
+    }
+    addRoot(plan)
+    var sortAggs, hashAggs, objAggs = 0
     val fallbacks = scala.collection.mutable.SortedSet[String]()
     var maxTree = 0
-    plan.foreach { node =>
-      node.expressions.foreach { root =>
-        var size = 0
-        root.foreach { e =>
-          size += 1
-          e match {
-            case _: CodegenFallback
-                if !e.getClass.getName.startsWith("org.apache.spark.sql.catalyst.expressions.objects") =>
-              fallbacks += e.getClass.getSimpleName
-            case _ => ()
+    for (root <- roots) {
+      sortAggs += root.collectWithSubqueries { case s: SortAggregateExec => s }.size
+      hashAggs += root.collectWithSubqueries { case h: HashAggregateExec => h }.size
+      objAggs += root.collectWithSubqueries { case o: ObjectHashAggregateExec => o }.size
+      root.foreach { node =>
+        node.expressions.foreach { exprRoot =>
+          var size = 0
+          exprRoot.foreach { e =>
+            size += 1
+            e match {
+              case _: CodegenFallback
+                  if !e.getClass.getName.startsWith("org.apache.spark.sql.catalyst.expressions.objects") =>
+                fallbacks += e.getClass.getSimpleName
+              case _ => ()
+            }
           }
+          if (size > maxTree) maxTree = size
         }
-        if (size > maxTree) maxTree = size
       }
     }
     Smells(sortAggs, hashAggs, objAggs, maxTree, fallbacks.toSeq, None)
@@ -206,7 +230,11 @@ object PlanSmells {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outPath = args.lift(1).getOrElse("PLAN_SMELLS_BASELINE.json")
+    // exploratory default is the NON-baseline path: overwriting the
+    // committed gate baseline must be an explicit second argument (the
+    // scaladoc's update command), never an argument-less reflex
+    // (ADVICE r13)
+    val outPath = args.lift(1).getOrElse("PLAN_SMELLS.json")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -121,22 +121,26 @@ object VectorOps {
     * re-broadcast) just re-decodes; correctness never depends on a hit.
     *
     * Key = buffer identity (baseObject, baseOffset) PLUS byte length
-    * and a head/tail content fingerprint: nearest_centroid is a general
+    * and a STRIDED content fingerprint: nearest_centroid is a general
     * session SQL function, and Spark REUSES backing buffers
     * (UnsafeRowSerializer's deserialize buffer, UnsafeProjection's
     * BufferHolder) — a per-row codebook argument written into a reused
     * buffer would alias a prior identity-only key and silently return
-    * assignments from a stale decoded codebook. The fingerprint reads
-    * the first/last 8 bytes of the region, so any same-length rewrite
-    * that changes either boundary word misses; equal-content rewrites
-    * hitting is correct by definition. */
+    * assignments from a stale decoded codebook. The fingerprint is a
+    * rotate-xor mix of 9 words sampled at even strides across the whole
+    * region (first and last included) — a head/tail-only read was too
+    * weak (the head word is UnsafeArrayData's numElements, already
+    * implied by keyLen, so a same-shape rewrite differing only in
+    * interior centroid values could hit stale; ADVICE r13). Interior
+    * strides cover the value region; equal-content rewrites hitting is
+    * correct by definition, and the 9-load check is noise next to the
+    * k·d cosine loop it guards. */
   private final class Codebook {
     var keyObj: AnyRef = null
     var keyOff: Long = -1L
     var keyLen: Int = -1
     var keySize: Int = -1
-    var keyHead: Long = 0L
-    var keyTail: Long = 0L
+    var keyFp: Long = 0L
     var cells: Array[Long] = null
     var vecs: Array[Array[Double]] = null
   }
@@ -162,24 +166,28 @@ object VectorOps {
   def nearestCentroid(vec: ArrayData, cb: ArrayData): Long = {
     val k = cb.numElements()
     val m = cbMemo.get()
-    def headTail(u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData)
-        : (Long, Long) = {
+    // 9 words at even strides over [base, base+sz-8]: i=0 is the head,
+    // i=8 the tail, i=1..7 interior samples of the value region
+    def stridedFp(u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData)
+        : Long = {
       val sz = u.getSizeInBytes
-      val h = org.apache.spark.unsafe.Platform.getLong(
-        u.getBaseObject, u.getBaseOffset)
-      val t =
-        if (sz >= 8) org.apache.spark.unsafe.Platform.getLong(
-          u.getBaseObject, u.getBaseOffset + sz - 8)
-        else h
-      (h, t)
+      if (sz < 8) return sz.toLong
+      var acc = 0L
+      var i = 0
+      while (i <= 8) {
+        val off = (sz - 8).toLong * i / 8
+        val w = org.apache.spark.unsafe.Platform.getLong(
+          u.getBaseObject, u.getBaseOffset + off)
+        acc = java.lang.Long.rotateLeft(acc, 7) ^ w
+        i += 1
+      }
+      acc
     }
     val hit = cb match {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
         (m.keyObj eq u.getBaseObject) && m.keyOff == u.getBaseOffset &&
-          m.keyLen == k && m.keySize == u.getSizeInBytes && {
-            val (h, t) = headTail(u)
-            m.keyHead == h && m.keyTail == t
-          }
+          m.keyLen == k && m.keySize == u.getSizeInBytes &&
+          m.keyFp == stridedFp(u)
       case _ => false
     }
     if (!hit) {
@@ -198,8 +206,7 @@ object VectorOps {
         case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
           m.keyObj = u.getBaseObject; m.keyOff = u.getBaseOffset
           m.keyLen = k; m.keySize = u.getSizeInBytes
-          val (h, t) = headTail(u)
-          m.keyHead = h; m.keyTail = t
+          m.keyFp = stridedFp(u)
         case _ =>
           m.keyObj = null; m.keyOff = -1L; m.keyLen = -1; m.keySize = -1
       }

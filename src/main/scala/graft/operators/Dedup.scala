@@ -693,17 +693,36 @@ object Dedup extends QueryModule {
       .orderBy("cell", "id_a", "id_b")
   }
 
+  /** Per-cell occupancy above which the two-stage composition runs its
+    * stage-2 LSH bucketing; at or below it the cell takes the direct
+    * within-cell exact join. The production rule round 13's regime
+    * probe derived (BENCH_scale100_twostage.json): at the tuned
+    * quantizer (occupancy ≈150) stage 2 COSTS 1.56× — the tables×occ
+    * bucket frame dominates while the occ²/2 pair stream it caps is
+    * small — and at a misfit one (occupancy ≈2400) it WINS 2.3×. The
+    * crossover is where occ²/2 exact meetings outgrow the ~tables×occ
+    * bucket-frame overhead, i.e. occ ≈ tens×tables ≈ several hundred;
+    * 512 sits between the two measured regimes with margin on both
+    * sides. A real corpus is heterogeneous WITHIN one run, so the gate
+    * routes per cell, not per query. */
+  private[graft] val TwoStageOccupancyGate = 512L
+
   /** dedup_semantic_two_stage's body at an EXPLICIT cell count k (so
-    * ScaleStress can sweep it): cell-assign the corpus, LSH-bucket each
-    * vector into `tables` tables (embLshConfig — the same N-adaptive
-    * sizing as dedup_embedding_cosine), self-join on (cell, tbl,
-    * bucket), verify INSIDE the join (vectors ride the bucket frame;
-    * candidate pairs are never materialized to a shuffle — the
+    * ScaleStress can sweep it): cell-assign the corpus, compute each
+    * cell's occupancy, and route per cell — occupancy ≤ gate takes the
+    * direct within-cell exact join (stage 2 buys nothing in a sparse
+    * cell), occupancy > gate takes within-cell LSH bucketing into
+    * `tables` tables (embLshConfig), self-join on (cell, tbl, bucket),
+    * verify INSIDE the join (vectors ride the bucket frame; candidate
+    * pairs are never materialized to a shuffle — the
     * dedup_embedding_cosine lesson), distinct over table multiplicity.
-    * The distinct's columns are all fixed-width (two ids, a bigint
-    * cell, a double) → hash aggregate, no silent sort. */
+    * Both branches verify with the same exact cosine, so the gate
+    * changes COST only — the union equals the within-cell exact pair
+    * set at every gate value (DedupSpec pins gate=0 / mid / ∞
+    * row-identical). The distinct's columns are all fixed-width (two
+    * ids, a bigint cell, a double) → hash aggregate, no silent sort. */
   private[graft] def semCellTwoStagePairs(s: SparkSession, dir: String,
-      k: Long): DataFrame = {
+      k: Long, gate: Long = TwoStageOccupancyGate): DataFrame = {
     import graft.functions.VectorExprs
     val n = Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5
     // LSH granularity sized from CELL OCCUPANCY, not global N: the
@@ -716,16 +735,32 @@ object Dedup extends QueryModule {
     // 6.9M-row frame. Same outputs at the oracled dirs (occupancy 45
     // sits in the same pinned branch as their old global config).
     val (bits, tables) = embLshConfig(math.max(1L, n / k))
-    // persist the N-row ASSIGNED corpus (one k·d argmax pass), never
-    // the N×tables exploded bucket frame (~11 GB at 100× with the vec
-    // payload riding — caching it would trade a cheap recompute for
-    // real memory; the embBucketFrame lesson). The two join sides
-    // derive identically from the persisted frame, so the self-join's
-    // second shuffle is a ReusedExchange and the explode runs once.
-    val assigned = semCellAssign(s, embPlantedCorpus(s, dir),
+    // persist the N-row ASSIGNED corpus + its occ column (one k·d
+    // argmax pass, one count-over-cell window — the window's
+    // partition-by-cell shuffle is the same exchange the joins below
+    // need), never the N×tables exploded bucket frame (~11 GB at 100×
+    // with the vec payload riding — caching it would trade a cheap
+    // recompute for real memory; the embBucketFrame lesson). All four
+    // join sides derive identically from the persisted frame.
+    val withOcc = semCellAssign(s, embPlantedCorpus(s, dir),
       semCellCodebook(s, dir, k))
+      .withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
       .persist()
-    val frame = assigned
+    val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
+    def verified(joined: DataFrame): DataFrame = joined
+      .withColumn("cos_sim", round(cos, 6))
+      .filter(col("cos_sim") >= 0.95)
+      .select(col("x.cell").cast("long").as("cell"),
+        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("cos_sim"))
+    val sparse = withOcc.filter(col("occ") <= gate)
+    val direct = verified(sparse.as("x")
+      .join(sparse.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id")))
+    val dense = withOcc.filter(col("occ") > gate)
+    val frame = dense
       .select(col("vec_id"), col("vec"), col("cell"),
         explode(transform(sequence(lit(0), lit(tables - 1)), tb =>
           struct(tb.as("tbl"),
@@ -733,18 +768,16 @@ object Dedup extends QueryModule {
               .as("bucket")))).as("tb"))
       .select(col("vec_id"), col("vec"), col("cell"),
         col("tb.tbl"), col("tb.bucket"))
-    val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
-    frame.as("x")
+    val bucketed = verified(frame.as("x")
       .join(frame.as("y"),
         col("x.cell") === col("y.cell") && col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos_sim", round(cos, 6))
-      .filter(col("cos_sim") >= 0.95)
-      .select(col("x.cell").cast("long").as("cell"),
-        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("cos_sim"))
+          col("x.vec_id") < col("y.vec_id")))
       .distinct()
+    // a pair lives in exactly one cell and a cell is entirely sparse or
+    // entirely dense, so the branches partition the pair set — union,
+    // no dedup across them
+    direct.unionByName(bucketed)
       .orderBy("cell", "id_a", "id_b")
   }
 
@@ -1349,14 +1382,20 @@ object Dedup extends QueryModule {
     // cell (a dense cell's quadratic occupancy² pair stream becomes
     // bucket-level) — and this query composes them: the self-join key
     // is (cell, tbl, bucket), so candidate volume is bounded by BOTH
-    // partitions at once. Because the exact verify and the 24-table ×
+    // partitions at once. Since round 14 stage 2 is OCCUPANCY-GATED per
+    // cell (round-13 verdict task 1): the regime probe measured the
+    // unconditional composition costing 1.56× at the tuned quantizer
+    // and winning 2.3× at a misfit one, so sparse cells (occ ≤
+    // TwoStageOccupancyGate) take the direct exact join and only dense
+    // cells pay the bucket frame — heterogeneous corpora get both
+    // regimes in ONE run. Because the exact verify and the 24-table ×
     // per-pair miss ≤ 1e-6 LSH recall bound make the candidate stage
     // lossless at the 0.95 threshold (the dedup_embedding_cosine
     // argument, verified at both oracled SFs), the confirmed pair set
-    // EQUALS the within-cell exact pair set and the semantic-cells
-    // oracle grades it row-for-row — output equality IS the
-    // composition's precision-1.0 property; what changes is the cost
-    // curve, measured at 10×/100× in ScaleStress. ----
+    // EQUALS the within-cell exact pair set at EVERY gate value and the
+    // semantic-cells oracle grades it row-for-row — output equality IS
+    // the composition's precision-1.0 property; what changes is the
+    // cost curve, measured at 10×/100× in ScaleStress. ----
     Q(
       "dedup_semantic_two_stage",
       Some(s"""

@@ -177,6 +177,41 @@ class DedupSpec extends SparkSpec {
     assert(cells.count() > 0, "vacuous: no within-cell pairs at this SF")
   }
 
+  test("occupancy gate loses nothing: two-stage output is identical at " +
+      "gate=0 (all cells LSH), gate=∞ (all cells direct), and a mid " +
+      "value that splits the cells") {
+    // the gate routes each cell to stage-2 LSH or the direct exact
+    // join; both branches verify with the same exact cosine, so any
+    // gate value must yield the SAME pair set — the production rule
+    // (round-13 verdict task 1) is a pure cost decision
+    val k = Dedup.semCellCount(
+      Tables.footerRowCount(spark, s"$sf/embeddings.parquet") * 6 / 5)
+    def pairs(gate: Long) =
+      Dedup.semCellTwoStagePairs(spark, sf, k, gate = gate)
+        .select("cell", "id_a", "id_b", "cos_sim")
+    val allLsh = pairs(0L)
+    val allDirect = pairs(Long.MaxValue)
+    // a mid gate must ACTUALLY split — some cells route direct, some
+    // LSH — or the heterogeneous-routing path goes untested; gate on
+    // the midpoint of the real occupancy range (bounded collect: k
+    // cells, k = 16 at the pinned SFs)
+    val occs = Dedup.semCellAssign(spark, Dedup.embPlantedCorpus(spark, sf),
+        Dedup.semCellCodebook(spark, sf, k))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(occs.min < occs.max,
+      "cells are uniformly occupied — the mid-gate split is vacuous")
+    val mid = (occs.min + occs.max) / 2
+    val split = pairs(mid)
+    assert(allLsh.count() > 0, "vacuous: no pairs at this SF")
+    assert(allLsh.except(allDirect).count() == 0 &&
+      allDirect.except(allLsh).count() == 0,
+      "gate=0 vs gate=∞ outputs diverge — a branch is wrong")
+    assert(split.except(allDirect).count() == 0 &&
+      allDirect.except(split).count() == 0,
+      "mid-gate output diverges — per-cell routing loses pairs")
+    spark.catalog.clearCache()
+  }
+
   test("native trigram_shingles matches the HOF reference spelling exactly") {
     GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf, "documents")

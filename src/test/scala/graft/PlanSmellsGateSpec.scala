@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   */
 class PlanSmellsGateSpec extends SparkSpec {
 
-  private lazy val baseline =
-    PlanSmells.parseBaseline("/root/repo/PLAN_SMELLS_BASELINE.json")
+  // resolved relative to the build's working directory (sbt sets
+  // user.dir to the project root), so the gate works from any checkout
+  // location, not just /root/repo (ADVICE r13)
+  private lazy val baseline = PlanSmells.parseBaseline(
+    java.nio.file.Paths.get(sys.props("user.dir"),
+      "PLAN_SMELLS_BASELINE.json").toString)
   private lazy val fbUnion = baseline.values.flatMap(_.fallbacks).toSet
 
   test("no registered query regresses vs the committed plan-smell baseline") {
@@ -54,6 +58,35 @@ class PlanSmellsGateSpec extends SparkSpec {
     val v = PlanSmells.violations("planted_max_by_struct", s, baseline, fbUnion)
     assert(v.exists(_.contains("SortAggregate")),
       s"rules did not flag the planted regression: $v")
+  }
+
+  test("gate self-proof: a persist() cannot hide a planted SortAggregate " +
+      "(traversal descends into InMemoryRelation cached plans)") {
+    // round 13's documented evasion, closed: the same max_by-over-struct
+    // trap, but BEHIND a cache boundary — the downstream query's plan
+    // shows only an InMemoryTableScanExec, and a traversal that stops
+    // there reports zero SortAggregates
+    val cached = spark.range(100)
+      .select(col("id") % 7 as "g", col("id") as "v")
+      .groupBy("g")
+      .agg(max_by(col("v"), struct(col("v"), col("g"))).as("m"))
+      .persist()
+    try {
+      val downstream = cached.select(col("g"))
+      val plan = downstream.queryExecution.sparkPlan
+      // the plant must actually be hidden behind a cache boundary —
+      // otherwise this proves nothing
+      assert(plan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.nonEmpty, "plant did not plan through an InMemoryTableScanExec")
+      val s = PlanSmells.smellsOfPlan(plan)
+      assert(s.sortAgg > 0,
+        "detector missed the SortAggregate hidden under persist() — " +
+          "the InMemoryRelation blind spot is back")
+      val v = PlanSmells.violations("planted_cached_max_by", s, baseline, fbUnion)
+      assert(v.exists(_.contains("SortAggregate")),
+        s"rules did not flag the cached planted regression: $v")
+    } finally { cached.unpersist(); () }
   }
 
   test("gate self-proof: a planted JIT-blowout expression tree is caught") {

@@ -664,13 +664,23 @@ object ScaleStress {
             (sec, n)
           }
           val (tCells, nCells) = run(operators.Dedup.semCellPairs)
-          val (tTwo, nTwo) = run(operators.Dedup.semCellTwoStagePairs)
+          // gated = the registered query (occupancy gate at its default);
+          // ungated = gate 0 (every cell LSH-buckets — round 13's
+          // unconditional composition, kept measured so the gate's win
+          // stays a number, not a memory)
+          val (tTwo, nTwo) =
+            run((a, b, c) => operators.Dedup.semCellTwoStagePairs(a, b, c))
+          val (tUngated, nUngated) =
+            run((a, b, c) =>
+              operators.Dedup.semCellTwoStagePairs(a, b, c, gate = 0L))
           println(f"[scale] twostage canary k=$k occ=${6L * Tables
             .footerRowCount(spark, s"$scaledDir/embeddings.parquet") / 5 / k} " +
             f"cells=${tCells}s/$nCells pairs " +
-            f"twostage=${tTwo}s/$nTwo pairs")
+            f"gated=${tTwo}s/$nTwo ungated=${tUngated}s/$nUngated")
           s"""{"k":$k,"cells_sec":$tCells,"cells_pairs":$nCells,""" +
-            s""""twostage_sec":$tTwo,"twostage_pairs":$nTwo}"""
+            s""""twostage_sec":$tTwo,"twostage_pairs":$nTwo,""" +
+            s""""twostage_ungated_sec":$tUngated,""" +
+            s""""twostage_ungated_pairs":$nUngated}"""
         }
         s""","twostage_canary":{"k_adaptive":$kAdapt,""" +
           s""""rows":[${rows.mkString(",")}]}"""

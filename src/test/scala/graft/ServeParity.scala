@@ -146,22 +146,33 @@ object ServeParity {
       spark.catalog.dropTempView(view)
       buf.toSeq
     }
+    // honor the same dev filter as the main sweep: an ONLY-restricted
+    // run must not envelope-grade (nor key into `results` for) queries
+    // the filter excluded — ADVICE r13 (NoSuchElementException on
+    // results(name) for never-inserted exempt keys)
+    val envelopeSet = exempt.keySet.filter(n => only.forall(_.contains(n)))
     val envelope =
-      try Verify.approxBoundRows(spark, dir, jdbcRunner, exempt.keySet)
-      catch { case t: Throwable =>
+      try {
+        if (envelopeSet.isEmpty) Seq.empty
+        else Verify.approxBoundRows(spark, dir, jdbcRunner, envelopeSet)
+      } catch { case t: Throwable =>
         failed += 1
         results("jdbc_envelope_pass") =
           "ERROR: " + t.toString.takeWhile(_ != '\n').take(160)
         Seq.empty
       }
     for ((name, rows) <- envelope.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val prior = results.getOrElse(name,
+        s"exempt: ${exempt.getOrElse(name, "?")}")
       val out = rows.filterNot(_._6)
       if (out.isEmpty)
-        results(name) += s"; jdbc-envelope: ${rows.size}/${rows.size} within"
+        results(name) =
+          prior + s"; jdbc-envelope: ${rows.size}/${rows.size} within"
       else {
         failed += 1
-        results(name) += s"; jdbc-envelope OUT OF BOUND: " + out.map(r =>
-          s"${r._2}=${r._3} not in [${r._4},${r._5}]").mkString("; ")
+        results(name) = prior + s"; jdbc-envelope OUT OF BOUND: " +
+          out.map(r =>
+            s"${r._2}=${r._3} not in [${r._4},${r._5}]").mkString("; ")
       }
       println(s"[ep2] $name -> ${results(name)}")
     }

@@ -73,6 +73,37 @@ class VectorExprsSpec extends SparkSpec {
     spark.conf.unset(initKey)
   }
 
+  test("nearest_centroid memo never serves a stale codebook: per-row " +
+      "codebooks differing ONLY in interior words assign per-row") {
+    // the ADVICE-r13 aliasing scenario, made functional: a projection
+    // writes every row's codebook into the SAME reused BufferHolder
+    // (identical baseObject/baseOffset), the head word is the constant
+    // numElements, the tail word is the constant last centroid's last
+    // element, and the byte length never changes — so a fingerprint
+    // that reads only boundaries hits stale and returns the PREVIOUS
+    // row's decoded codebook. Only the varying MIDDLE centroid decides
+    // the winner: even rows carry c1 = vec (cos 1 → cell 1 wins), odd
+    // rows c1 = -vec (cos −1; c0 and c2 tie at cos 0 → lowest cell 0).
+    val sign = when(pmod(col("id"), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+    val cb = array(
+      struct(lit(0L).as("cell"),
+        array(lit(1.0), lit(0.0), lit(0.0), lit(0.0)).as("cv")),
+      struct(lit(1L).as("cell"),
+        array(lit(0.0), sign, sign, lit(0.0)).as("cv")),
+      struct(lit(2L).as("cell"),
+        array(lit(0.0), lit(0.0), lit(0.0), lit(1.0)).as("cv")))
+    val vec = array(lit(0.0), lit(1.0), lit(1.0), lit(0.0))
+    val out = spark.range(0, 2000).repartition(4)
+      .select(col("id"),
+        VectorExprs.nearestCentroid(spark, vec, cb).as("cell"))
+    val expected = when(pmod(col("id"), lit(2)) === 0, lit(1L))
+      .otherwise(lit(0L))
+    val bad = out.filter(col("cell").isNull || col("cell") =!= expected)
+    assert(bad.count() == 0,
+      s"stale-memo assignments: ${bad.take(5).mkString(", ")}")
+  }
+
   test("lsh_bucket expression == HOF lshBucket for both configs in use") {
     for (bits <- Seq(4, 8)) {
       val tables = explode(sequence(lit(0), lit(7))).as("tbl")
