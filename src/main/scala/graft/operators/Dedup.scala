@@ -295,7 +295,7 @@ object Dedup extends QueryModule {
   /** Exact Jaccard of a band-join meeting aliased `x`/`y` — ONE
     * zero-allocation merge scan per meeting; |A∪B| from the size
     * identity (same arithmetic as the oracle's sizes CTE). */
-  private def meetingJaccard(s: SparkSession): Column = {
+  private[graft] def meetingJaccard(s: SparkSession): Column = {
     val inter = graft.functions.VectorExprs.sortedIntersectSize(
       s, col("x.hs"), col("y.hs"))
     inter.cast("double") / (size(col("x.hs")) + size(col("y.hs")) - inter)
@@ -327,6 +327,57 @@ object Dedup extends QueryModule {
         round(jac, 6).as("jaccard"))
   }
 
+  /** Rewrite a parquet state directory in place to a bounded file
+    * count — the ingest indexes' maintenance step (round-13 verdict
+    * task 4): each micro-batch appends one file set, so under real
+    * continuous ingest a postings dir becomes the small-files problem
+    * the batch `compact_small_files` operator exists to fix. Called
+    * between micro-batches from inside foreachBatch (single-writer
+    * lifecycle), so no concurrent reader exists; a production
+    * deployment over an object store would make the swap atomic via a
+    * manifest (the snapshot family's mechanism) instead of the
+    * delete+rename used on this local FS. */
+  private[graft] def compactStateDir(s: SparkSession, path: String,
+      nFiles: Int): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.exists) return
+    val tmp = path + ".compact"
+    s.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"compactStateDir: rename $tmp -> $path failed")
+  }
+
+  /** Fold a verdict-contribution log to its retained minimum — at most
+    * one row per doc, the (blocker, bakey) of the winning (lowest-akey)
+    * contribution. min_by is associative, so folding mid-stream can
+    * never change a final verdict; contributions that already lost are
+    * the rows retention drops. */
+  private[graft] def retainContribs(s: SparkSession, path: String,
+      nFiles: Int): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.exists) return
+    val tmp = path + ".compact"
+    s.read.parquet(path)
+      .groupBy("doc")
+      .agg(min_by(col("blocker"), col("bakey")).as("blocker"),
+        min(col("bakey")).as("bakey"))
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"retainContribs: rename $tmp -> $path failed")
+  }
+
   /** The REAL online form of dedup_minhash_incremental (spec driver —
     * StreamsSpec pins its parity with the registered batch-decomposed
     * query): a file-source micro-batch stream over 3 file drops
@@ -335,29 +386,39 @@ object Dedup extends QueryModule {
     * banding config — batch keys must live in the index's key space),
     * meet them against index ∪ batch on (band_id, bkey), gate to the
     * minimal agreeing band, Jaccard-verify, DIRECT each discovered pair
-    * by arrival key (batch · 2⁴⁰ + doc_id — in production an ingest
-    * sequence number), append the directed verdict contributions and
-    * the batch's postings. Each unordered pair is discovered exactly
-    * once — in the batch where its later-PROCESSED member arrives — and
-    * the akey direction makes the final verdict table independent of
-    * file-source processing order, so when processing order = arrival
-    * order (the production case) every verdict is final at ingest:
-    * append-mode semantics, nothing revised. Returns (verdict frame,
-    * micro-batch count). */
+    * by arrival key (seq · 2⁴⁰ + doc_id, where seq is the micro-batch
+    * sequence number PERSISTED on every postings row — round-13 verdict
+    * task 3: the direction derives from state, never from the id), and
+    * append the directed verdict contributions and the batch's
+    * postings. Each unordered pair is discovered exactly once — in the
+    * batch where its later-PROCESSED member arrives — and every verdict
+    * is final at ingest (a doc's contributions all arrive in its own
+    * batch): append-mode semantics, nothing revised. Maintenance:
+    * every `compactEvery` batches the postings dir is rewritten to a
+    * bounded file count and the contribution log is folded to its
+    * retained minimum (≤1 row/doc) — min_by associativity makes both
+    * verdict-invariant (StreamsSpec pins it). `hashSplit` builds the
+    * file drops by xxhash64(doc_id) % 3 instead of doc_id % 3, so specs
+    * can prove nothing leans on batch membership being derivable from
+    * the id. Returns (verdict frame, micro-batch count). */
   private[graft] def minhashIndexIngest(s: SparkSession, dir: String,
-      stateRoot: String, scrambleOrder: Boolean = false): (DataFrame, Int) = {
+      stateRoot: String, scrambleOrder: Boolean = false,
+      hashSplit: Boolean = false, compactEvery: Int = 2,
+      compactFiles: Int = 1): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val (perms, bands, rows) = minhashConfig(
       Tables.footerRowCount(s, s"$dir/documents.parquet"))
+    def splitKey(c: Column): Column =
+      if (hashSplit) pmod(xxhash64(c), lit(3L)) else pmod(c, lit(3L))
     for (b <- 0 to 2)
-      docs.filter(pmod(col("doc_id"), lit(3L)) === b)
+      docs.filter(splitKey(col("doc_id")) === b)
         .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/in/b$b")
     // scrambleOrder: force the file source to process b2, b0, b1 (the
     // source orders by modification time) — the adversarial case for
-    // the order-independence claim above: pairs between b2 and b0/b1
-    // are then discovered by the EARLIER-akey member's batch, and only
-    // the akey direction keeps the verdict table identical
+    // the state-derived direction: the persisted seq then reflects the
+    // scrambled processing order, and the verdict table must equal the
+    // batch-global recomputation from that SAME persisted state
     if (scrambleOrder) {
       val now = System.currentTimeMillis()
       for ((b, i) <- Seq(2 -> 0, 0 -> 1, 1 -> 2)) {
@@ -367,16 +428,16 @@ object Dedup extends QueryModule {
     }
     val postDir = s"$stateRoot/postings"
     val contribDir = s"$stateRoot/verdicts"
-    def akey(d: Column): Column =
-      pmod(d, lit(3L)) * lit(1099511627776L) + d
+    def akey(seq: Column, d: Column): Column =
+      seq * lit(1099511627776L) + d
     val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$stateRoot/in/*")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val frame =
-          minhashBandFrameOf(s, batch, perms, bands, rows).persist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val frame = minhashBandFrameOf(s, batch, perms, bands, rows)
+          .withColumn("seq", lit(batchId)).persist()
         val idx =
           if (new java.io.File(postDir).exists) s.read.parquet(postDir)
           else frame.limit(0)
@@ -391,26 +452,37 @@ object Dedup extends QueryModule {
             transform(col("hs"), x => coalesce(x, lit(0L))).as("hs"),
             col("band_id"), col("bkey"),
             transform(col("pre"), x => coalesce(x, lit(0L))).as("pre"),
-            col("in_index"))
+            col("seq"), col("in_index"))
         val jac = meetingJaccard(s)
         // new-vs-index meetings in either id order (the index doc is
-        // always the x side, seen once); new-vs-new once via id order
+        // always the x side, seen once); new-vs-new once via id order.
+        // Direction: each side's akey uses ITS OWN seq — the index
+        // side's comes from the persisted postings row
         frame.as("y")
           .join(un.as("x"),
             col("x.band_id") === col("y.band_id") &&
               col("x.bkey") === col("y.bkey") &&
               (col("x.in_index") || col("x.doc_id") < col("y.doc_id")))
           .filter(firstAgreeingBand(s) && jac >= 0.2)
-          .select(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"))
+          .select(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"),
+            akey(col("x.seq"), col("x.doc_id")).as("ka"),
+            akey(col("y.seq"), col("y.doc_id")).as("kb"))
           .select(
-            when(akey(col("xa")) < akey(col("ya")), col("ya"))
+            when(col("ka") < col("kb"), col("ya"))
               .otherwise(col("xa")).as("doc"),
-            when(akey(col("xa")) < akey(col("ya")), col("xa"))
-              .otherwise(col("ya")).as("blocker"))
-          .withColumn("bakey", akey(col("blocker")))
+            when(col("ka") < col("kb"), col("xa"))
+              .otherwise(col("ya")).as("blocker"),
+            least(col("ka"), col("kb")).as("bakey"))
           .write.mode("append").parquet(contribDir)
         frame.write.mode("append").parquet(postDir)
         frame.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          // compactFiles defaults to 1 at this fixture scale; a
+          // production deployment sizes it to state volume (files ~
+          // bytes / maxPartitionBytes), which stays bounded either way
+          compactStateDir(s, postDir, nFiles = compactFiles)
+          retainContribs(s, contribDir, nFiles = compactFiles)
+        }
         nBatches.incrementAndGet()
         ()
       }
@@ -424,8 +496,11 @@ object Dedup extends QueryModule {
         col("id").as("bakey"))
     val v = contrib.groupBy("doc")
       .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
-    val out = docs
-      .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("batch"))
+    // the batch column comes from the persisted postings state, not
+    // from any arithmetic on the id (distinct: the band postings carry
+    // one row per (doc, band))
+    val out = s.read.parquet(postDir)
+      .select(col("doc_id"), col("seq").as("batch")).distinct()
       .join(v, col("doc_id") === col("doc"), "left")
       .select(col("doc_id"), col("batch"), col("near_dup_of"),
         col("near_dup_of").isNull.as("is_novel"))
@@ -443,30 +518,41 @@ object Dedup extends QueryModule {
     * stream — the production shape: IVF quantizers are trained offline
     * and never drift under ingest), meet them against index ∪ batch on
     * the cell id, exact-cosine-verify (≥ 0.95), DIRECT each discovered
-    * pair by arrival key (batch · 2⁴⁰ + vec_id), append the directed
-    * verdict contributions and the batch's postings. Each unordered
-    * pair is discovered exactly once — in the batch where its
-    * later-PROCESSED member arrives — and the akey direction makes the
-    * final verdict table independent of file-source processing order
-    * (adversarially pinned by scrambleOrder), so when processing order
-    * = arrival order every verdict is final at ingest.
+    * pair by arrival key (seq · 2⁴⁰ + vec_id, where seq is the
+    * micro-batch sequence number PERSISTED on every postings row —
+    * round-13 verdict task 3: the direction derives from state, never
+    * from the id), append the directed verdict contributions and the
+    * batch's postings. Each unordered pair is discovered exactly once —
+    * in the batch where its later-PROCESSED member arrives — and every
+    * verdict is final at ingest (a vector's contributions all arrive in
+    * its own batch): append-mode semantics, nothing revised.
+    * Maintenance: every `compactEvery` batches the postings dir is
+    * rewritten to a bounded file count and the contribution log is
+    * folded to its retained minimum (≤1 row/doc) — min_by associativity
+    * makes both verdict-invariant (StreamsSpec pins it). `hashSplit`
+    * builds the drops by xxhash64(vec_id) % 3 so specs can prove
+    * nothing leans on batch membership being derivable from the id.
     * Returns (verdict frame, micro-batch count). */
   private[graft] def ivfIndexIngest(s: SparkSession, dir: String,
-      stateRoot: String, scrambleOrder: Boolean = false): (DataFrame, Int) = {
+      stateRoot: String, scrambleOrder: Boolean = false,
+      hashSplit: Boolean = false, compactEvery: Int = 2,
+      compactFiles: Int = 1): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.functions.VectorExprs
     val corpus = embPlantedCorpus(s, dir)
     val k = semCellCount(
       Tables.footerRowCount(s, s"$dir/embeddings.parquet") * 6 / 5)
     val cb = semCellCodebook(s, dir, k)
+    def splitKey(c: Column): Column =
+      if (hashSplit) pmod(xxhash64(c), lit(3L)) else pmod(c, lit(3L))
     for (b <- 0 to 2)
-      corpus.filter(pmod(col("vec_id"), lit(3L)) === b)
+      corpus.filter(splitKey(col("vec_id")) === b)
         .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/in/b$b")
     // scrambleOrder: force the file source to process b2, b0, b1 (the
     // source orders by modification time) — the adversarial case for
-    // the order-independence claim: pairs between b2 and b0/b1 are then
-    // discovered by the EARLIER-akey member's batch, and only the akey
-    // direction keeps the verdict table identical
+    // the state-derived direction: the persisted seq then reflects the
+    // scrambled processing order, and the verdict table must equal the
+    // batch-global recomputation from that SAME persisted state
     if (scrambleOrder) {
       val now = System.currentTimeMillis()
       for ((b, i) <- Seq(2 -> 0, 0 -> 1, 1 -> 2)) {
@@ -476,15 +562,16 @@ object Dedup extends QueryModule {
     }
     val postDir = s"$stateRoot/postings"
     val contribDir = s"$stateRoot/verdicts"
-    def akey(v: Column): Column =
-      pmod(v, lit(3L)) * lit(1099511627776L) + v
+    def akey(seq: Column, v: Column): Column =
+      seq * lit(1099511627776L) + v
     val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = s.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$stateRoot/in/*")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val frame = semCellAssign(s, batch, cb).persist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val frame = semCellAssign(s, batch, cb)
+          .withColumn("seq", lit(batchId)).persist()
         val idx =
           if (new java.io.File(postDir).exists) s.read.parquet(postDir)
           else frame.limit(0)
@@ -492,22 +579,33 @@ object Dedup extends QueryModule {
           .unionByName(frame.withColumn("in_index", lit(false)))
         val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
         // new-vs-index meetings in either id order (the index vector is
-        // always the x side, seen once); new-vs-new once via id order
+        // always the x side, seen once); new-vs-new once via id order.
+        // Direction: each side's akey uses ITS OWN seq — the index
+        // side's comes from the persisted postings row
         frame.as("y")
           .join(un.as("x"),
             col("x.cell") === col("y.cell") &&
               (col("x.in_index") || col("x.vec_id") < col("y.vec_id")))
           .filter(round(cos, 6) >= 0.95)
-          .select(col("x.vec_id").as("xa"), col("y.vec_id").as("ya"))
+          .select(col("x.vec_id").as("xa"), col("y.vec_id").as("ya"),
+            akey(col("x.seq"), col("x.vec_id")).as("ka"),
+            akey(col("y.seq"), col("y.vec_id")).as("kb"))
           .select(
-            when(akey(col("xa")) < akey(col("ya")), col("ya"))
+            when(col("ka") < col("kb"), col("ya"))
               .otherwise(col("xa")).as("doc"),
-            when(akey(col("xa")) < akey(col("ya")), col("xa"))
-              .otherwise(col("ya")).as("blocker"))
-          .withColumn("bakey", akey(col("blocker")))
+            when(col("ka") < col("kb"), col("xa"))
+              .otherwise(col("ya")).as("blocker"),
+            least(col("ka"), col("kb")).as("bakey"))
           .write.mode("append").parquet(contribDir)
         frame.write.mode("append").parquet(postDir)
         frame.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          // compactFiles defaults to 1 at this fixture scale; a
+          // production deployment sizes it to state volume (files ~
+          // bytes / maxPartitionBytes), which stays bounded either way
+          compactStateDir(s, postDir, nFiles = compactFiles)
+          retainContribs(s, contribDir, nFiles = compactFiles)
+        }
         nBatches.incrementAndGet()
         ()
       }
@@ -521,8 +619,10 @@ object Dedup extends QueryModule {
         col("id").as("bakey"))
     val v = contrib.groupBy("doc")
       .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
-    val out = corpus
-      .select(col("vec_id"), pmod(col("vec_id"), lit(3L)).as("batch"))
+    // the batch column comes from the persisted postings state, not
+    // from any arithmetic on the id
+    val out = s.read.parquet(postDir)
+      .select(col("vec_id"), col("seq").as("batch"))
       .join(v, col("vec_id") === col("doc"), "left")
       .select(col("vec_id"), col("batch"), col("near_dup_of"),
         col("near_dup_of").isNull.as("is_novel"))

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** The S12 processed-file commit protocol: the reference moves consumed
@@ -485,6 +486,76 @@ class StreamsSpec extends SparkSpec {
       s"streamed ${streamed.toSeq} != batch ${batchForm.toSeq}")
   }
 
+  /** Batch-global recomputation of the minhash ingest verdicts FROM
+    * PERSISTED STATE ONLY: pairs from the band postings, direction from
+    * the persisted per-row ingest sequence. The spec's ground truth for
+    * every ingest variant — if the incremental run and this disagree,
+    * the engine's verdicts are not a function of its own state. */
+  private def minhashStateVerdicts(stateRoot: String)
+      : org.apache.spark.sql.DataFrame = {
+    val post = spark.read.parquet(s"$stateRoot/postings")
+      .select(col("doc_id"),
+        transform(col("hs"), x => coalesce(x, lit(0L))).as("hs"),
+        col("band_id"), col("bkey"),
+        transform(col("pre"), x => coalesce(x, lit(0L))).as("pre"),
+        col("seq"))
+    def akey(seq: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) = seq * lit(1099511627776L) + d
+    val jac = operators.Dedup.meetingJaccard(spark)
+    val pairs = post.as("x")
+      .join(post.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(operators.Dedup.firstAgreeingBand(spark) && jac >= 0.2)
+      .select(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"),
+        akey(col("x.seq"), col("x.doc_id")).as("ka"),
+        akey(col("y.seq"), col("y.doc_id")).as("kb"))
+    stateDirected(pairs, post, "doc_id")
+  }
+
+  /** Same recomputation for the IVF ingest: pairs from the (vec_id,
+    * cell, vec, seq) postings, exact-cosine verify, seq direction. */
+  private def ivfStateVerdicts(stateRoot: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorExprs
+    val post = spark.read.parquet(s"$stateRoot/postings")
+    def akey(seq: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) = seq * lit(1099511627776L) + d
+    val cos = VectorExprs.cosine(spark, col("x.vec"), col("y.vec"))
+    val pairs = post.as("x")
+      .join(post.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(round(cos, 6) >= 0.95)
+      .select(col("x.vec_id").as("xa"), col("y.vec_id").as("ya"),
+        akey(col("x.seq"), col("x.vec_id")).as("ka"),
+        akey(col("y.seq"), col("y.vec_id")).as("kb"))
+    stateDirected(pairs, post, "vec_id")
+  }
+
+  /** Direct state-recomputed pairs by the persisted-seq arrival key and
+    * left-join back onto the postings' id/seq universe. */
+  private def stateDirected(pairs: org.apache.spark.sql.DataFrame,
+      post: org.apache.spark.sql.DataFrame, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dirn = pairs.select(
+      when(col("ka") < col("kb"), col("ya")).otherwise(col("xa")).as("doc"),
+      when(col("ka") < col("kb"), col("xa")).otherwise(col("ya")).as("blocker"),
+      least(col("ka"), col("kb")).as("bakey"))
+    val v = dirn.groupBy("doc")
+      .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
+    post.select(col(idCol), col("seq").as("batch")).distinct()
+      .join(v, col(idCol) === col("doc"), "left")
+      .select(col(idCol), col("batch"), col("near_dup_of"),
+        col("near_dup_of").isNull.as("is_novel"))
+      .orderBy(idCol)
+  }
+
+  private def parquetFiles(dir: java.nio.file.Path): Int =
+    Option(dir.toFile.listFiles()).map(_.count(f =>
+      f.getName.endsWith(".parquet"))).getOrElse(0)
+
   test("incremental MinHash index AvailableNow parity: a file-source " +
       "run maintaining band postings in parquet reproduces the " +
       "batch-decomposed ingest-time verdicts exactly") {
@@ -513,10 +584,36 @@ class StreamsSpec extends SparkSpec {
     val blocked = streamed.count(!_._4)
     assert(blocked > 0, "no doc was ever blocked — vacuous parity")
 
-    // order-independence (the scaladoc's claim, adversarially): force
-    // the file source to process b2, b0, b1 — cross-batch pairs are
-    // then discovered by the earlier-AKEY member's batch, and only the
-    // arrival-key direction keeps the verdict table identical
+    // maintenance (round-13 verdict task 4): the default run compacts
+    // mid-stream (compactEvery=2 over 3 drops), and its verdicts above
+    // are already pinned identical to the batch form — so compaction is
+    // verdict-invariant by that same assertion. A no-compaction control
+    // run must carry MORE state files (the small-files growth the
+    // maintenance step exists to bound) and identical verdicts.
+    val baseNc = Paths.get(s"${Tables.scratchRoot}/minhash_incr_nc")
+    if (Files.exists(baseNc)) {
+      Files.walk(baseNc).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (ncDf, _) = operators.Dedup.minhashIndexIngest(
+      spark, sf, baseNc.toString, compactEvery = 0)
+    assert(rows(ncDf) == batchForm,
+      "no-compaction control diverged — the compaction pin is vacuous")
+    val (fc, fnc) = (parquetFiles(base.resolve("postings")),
+      parquetFiles(baseNc.resolve("postings")))
+    assert(fc < fnc,
+      s"compaction did not bound the postings file count: $fc !< $fnc")
+    // retention: the contribution log folds to ≤1 row/doc at each
+    // maintenance point, so it can never exceed the raw append log
+    val (cc, cnc) = (
+      spark.read.parquet(s"$base/verdicts").count(),
+      spark.read.parquet(s"$baseNc/verdicts").count())
+    assert(cc <= cnc, s"contribution retention grew the log: $cc > $cnc")
+
+    // order-independence, state-derived (round-13 verdict task 3):
+    // force the file source to process b2, b0, b1 — the persisted seq
+    // records THAT order, and the verdict table must equal the
+    // batch-global recomputation from the persisted state alone
     val base2 = Paths.get(s"${Tables.scratchRoot}/minhash_incr_scram")
     if (Files.exists(base2)) {
       Files.walk(base2).sorted(java.util.Comparator.reverseOrder())
@@ -531,9 +628,28 @@ class StreamsSpec extends SparkSpec {
       base2.resolve("ckpt/sources/0/0")))
     assert(firstOffset.contains("/b2/"),
       s"mtime scramble did not reorder the file source: $firstOffset")
-    assert(rows(scrambledDf) == batchForm,
-      "scrambled processing order changed the verdict table — the " +
-        "akey direction is not doing its job")
+    assert(rows(scrambledDf) == rows(minhashStateVerdicts(base2.toString)),
+      "scrambled-order verdicts diverge from the recomputation off " +
+        "persisted state — the direction is not state-derived")
+
+    // batch membership NOT derivable from the id: hash-split drops
+    // (xxhash64(doc_id) % 3) — the engine must still reproduce the
+    // state recomputation exactly, and some doc must land in a batch
+    // different from doc_id % 3 (or the decoupling is vacuous)
+    val base3 = Paths.get(s"${Tables.scratchRoot}/minhash_incr_hash")
+    if (Files.exists(base3)) {
+      Files.walk(base3).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (hashDf, _) = operators.Dedup.minhashIndexIngest(
+      spark, sf, base3.toString, hashSplit = true)
+    val hashRows = rows(hashDf)
+    assert(hashRows == rows(minhashStateVerdicts(base3.toString)),
+      "hash-split verdicts diverge from the recomputation off " +
+        "persisted state")
+    assert(hashRows.exists(r => r._2 != r._1 % 3),
+      "every hash-split doc landed in its doc_id%3 batch — the " +
+        "membership decoupling is vacuous")
   }
 
   test("incremental IVF index AvailableNow parity: a file-source run " +
@@ -564,10 +680,28 @@ class StreamsSpec extends SparkSpec {
     val blocked = streamed.count(!_._4)
     assert(blocked > 0, "no vector was ever blocked — vacuous parity")
 
-    // order-independence, adversarially: force the file source to
-    // process b2, b0, b1 — cross-batch pairs are then discovered by the
-    // earlier-AKEY member's batch, and only the arrival-key direction
-    // keeps the verdict table identical
+    // maintenance: no-compaction control — identical verdicts, more
+    // state files (see the minhash test for the full rationale)
+    val baseNc = Paths.get(s"${Tables.scratchRoot}/ivf_incr_nc")
+    if (Files.exists(baseNc)) {
+      Files.walk(baseNc).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (ncDf, _) = operators.Dedup.ivfIndexIngest(
+      spark, sf, baseNc.toString, compactEvery = 0)
+    assert(rows(ncDf) == batchForm,
+      "no-compaction control diverged — the compaction pin is vacuous")
+    val (fc, fnc) = (parquetFiles(base.resolve("postings")),
+      parquetFiles(baseNc.resolve("postings")))
+    assert(fc < fnc,
+      s"compaction did not bound the postings file count: $fc !< $fnc")
+    assert(spark.read.parquet(s"$base/verdicts").count() <=
+      spark.read.parquet(s"$baseNc/verdicts").count(),
+      "contribution retention grew the log")
+
+    // order-independence, state-derived: scrambled processing order is
+    // recorded in the persisted seq, and the verdict table must equal
+    // the batch-global recomputation from the persisted state alone
     val base2 = Paths.get(s"${Tables.scratchRoot}/ivf_incr_scram")
     if (Files.exists(base2)) {
       Files.walk(base2).sorted(java.util.Comparator.reverseOrder())
@@ -580,9 +714,25 @@ class StreamsSpec extends SparkSpec {
       base2.resolve("ckpt/sources/0/0")))
     assert(firstOffset.contains("/b2/"),
       s"mtime scramble did not reorder the file source: $firstOffset")
-    assert(rows(scrambledDf) == batchForm,
-      "scrambled processing order changed the verdict table — the " +
-        "akey direction is not doing its job")
+    assert(rows(scrambledDf) == rows(ivfStateVerdicts(base2.toString)),
+      "scrambled-order verdicts diverge from the recomputation off " +
+        "persisted state — the direction is not state-derived")
+
+    // batch membership NOT derivable from the id: hash-split drops
+    val base3 = Paths.get(s"${Tables.scratchRoot}/ivf_incr_hash")
+    if (Files.exists(base3)) {
+      Files.walk(base3).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (hashDf, _) = operators.Dedup.ivfIndexIngest(
+      spark, sf, base3.toString, hashSplit = true)
+    val hashRows = rows(hashDf)
+    assert(hashRows == rows(ivfStateVerdicts(base3.toString)),
+      "hash-split verdicts diverge from the recomputation off " +
+        "persisted state")
+    assert(hashRows.exists(r => r._2 != r._1 % 3),
+      "every hash-split vector landed in its vec_id%3 batch — the " +
+        "membership decoupling is vacuous")
   }
 }
 
