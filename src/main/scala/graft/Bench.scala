@@ -150,8 +150,31 @@ object Bench {
     val sentJson = sentinels.map { case (k, v) =>
       s"\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // machine-readable sentinel verdict (round-13 verdict task 6): the
+    // reading rule lived in BASELINE.md prose — mid/start or end/start
+    // sentinel medians far from 1 mean the box moved mid-run and the
+    // artifact is not comparable across rounds. Emit the computed
+    // medians and the boolean so the driver (or any reader) can flag a
+    // drifted canonical without knowing the protocol. Quiet = both
+    // medians within [1/1.3, 1.3]; -1 = not computed (restricted run).
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0
+      else {
+        val s = xs.sorted
+        val m = if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        math.round(m * 1000) / 1000.0
+      }
+    val triples = sentinels.values.filter(_.size >= 3).toSeq
+    val midStart = median(triples.map(v => v(1) / v(0)))
+    val endStart = median(triples.map(v => v(2) / v(0)))
+    def quiet(r: Double): Boolean = r > 0 && r >= 1 / 1.3 && r <= 1.3
+    val sentinelsQuiet = triples.nonEmpty && quiet(midStart) && quiet(endStart)
+    val sentVerdict =
+      s""""sentinel_ratios":{"mid_start":$midStart,"end_start":$endStart},""" +
+        s""""sentinels_quiet":$sentinelsQuiet"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"spill_mb":$spillJson,"runs":$runsJson,"sentinels":$sentJson,"load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},"nproc":$nproc,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"spill_mb":$spillJson,"runs":$runsJson,"sentinels":$sentJson,$sentVerdict,"load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},"nproc":$nproc,"sf":"$sfDir"}"""
     println(json)
     // the driver clips sbt stdout (round 8's BENCH_r08.json kept only an
     // alphabetical tail of the per-query map, "parsed": null), so also

@@ -53,11 +53,97 @@ object Multimodal extends QueryModule {
         it.map { case (id, bytes) => decode(id, bytes) }
       }
     }
+
+    /** Block-mean perceptual hash over the stubbed "decode" output —
+      * the blockhash structure a real image pipeline uses (Yang et al.,
+      * "Block Mean Value Based Image Perceptual Hashing"): partition
+      * the media into 64 blocks (here: byte positions mod 64 stand in
+      * for an 8×8 downsampled intensity grid — a real deployment swaps
+      * ONLY the block-intensity extraction), threshold each block's
+      * intensity sum against the global mean (strict integer compare:
+      * 64·blockSum > total — exactly replayable in the SQL oracle), and
+      * pack the 64 bits into FOUR 16-bit slice values. A small local
+      * edit perturbs few blocks, so near-identical media land within a
+      * small Hamming distance — and any pair within Hamming ≤ 3 shares
+      * at least one identical slice (pigeonhole over 4 slices), which
+      * makes slice-equality blocking COMPLETE for the ≤3 verify. */
+    def phashSlices(bytes: Array[Byte]): Array[Long] = {
+      val v = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val x = (bytes(i) & 0xff).toLong
+        v(i % 64) += x
+        tot += x
+        i += 1
+      }
+      val s = new Array[Long](4)
+      var c = 0
+      while (c < 64) {
+        if (v(c) * 64 > tot) s(c / 16) |= 1L << (c % 16)
+        c += 1
+      }
+      s
+    }
   }
 
   private def md5hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+
+  /** multimodal_phash_near_dup's body (exposed for MultimodalSpec's
+    * planted-recall pin): media ∪ perturbed copies → phashSlices
+    * fingerprints (typed mapPartitions, the decode-stage batch shape) →
+    * slice-equality band join → Hamming-≤3 verify inside the join. */
+  private[graft] def phashNearDupPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "")
+          .cast("binary").as("payload"))
+      .as(pairEnc)
+    // planted near-dups: every byte in block 7 rewritten to 'z' — a
+    // deterministic local edit that perturbs one block's intensity (and
+    // nudges the global mean), the pHash near-dup canary
+    val planted = base.map { case (id, b) =>
+      val c = b.clone()
+      var p = 7
+      while (p < c.length) { c(p) = 'z'.toByte; p += 64 }
+      (id + 10000000L, c)
+    }(pairEnc)
+    val fp = base.union(planted).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val sl = MultimodalStub.phashSlices(bytes)
+        (id, sl(0), sl(1), sl(2), sl(3))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "s0", "s1", "s2", "s3")
+    val banded = fp.select(col("doc_id"),
+      col("s0"), col("s1"), col("s2"), col("s3"),
+      explode(array(
+        struct(lit(0).as("si"), col("s0").as("sv")),
+        struct(lit(1).as("si"), col("s1").as("sv")),
+        struct(lit(2).as("si"), col("s2").as("sv")),
+        struct(lit(3).as("si"), col("s3").as("sv")))).as("band"))
+      .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+        col("band.si"), col("band.sv"))
+    val ham = Seq("s0", "s1", "s2", "s3").map(c =>
+      bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))).cast("long"))
+      .reduce(_ + _)
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.si") === col("y.si") && col("x.sv") === col("y.sv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= 3)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("hamming"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -156,6 +242,70 @@ object Multimodal extends QueryModule {
           .toDF("doc_id", "width", "height", "resized_w", "resized_h")
           .orderBy("doc_id")
       }),
+
+    // ---- perceptual-hash near-dup over the binary tier (round-13
+    // verdict task 7 — images repeat at enormous rates in web corpora
+    // and the multimodal family had no dedup story): block-mean hash
+    // fingerprints (MultimodalStub.phashSlices) over the media corpus ∪
+    // planted perturbed copies (doc_id + 10^7, every cell-7 byte
+    // rewritten — a small local edit, the near-dup canary), bit-sliced
+    // band blocking on (slice_idx, slice_value) — the MinHash band
+    // lesson: an equi-join, never all-pairs — with the exact Hamming
+    // verify INSIDE the join (fingerprints ride the 4-row-per-doc band
+    // frame; no pair frame is ever materialized unverified), distinct
+    // over band multiplicity. Blocking is COMPLETE for the ≤3 verify:
+    // 3 differing bits cannot touch all 4 slices, so every qualifying
+    // pair shares an identical slice and the all-pairs oracle grades
+    // the banded plan row-for-row. Scale: the join key is a 16-bit
+    // slice value — ~4·N/65536 rows per bucket on balanced
+    // fingerprints; degenerate identical-media buckets are exactly the
+    // mass exact-dedup removes upstream in the production pipeline. ----
+    Q(
+      "multimodal_phash_near_dup",
+      Some("""
+        WITH media AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS payload
+          FROM documents),
+        bytes AS (
+          SELECT doc_id, (i-1) % 64 AS cell,
+                 CAST(ascii(substr(payload, i, 1)) AS BIGINT) AS b
+          FROM media, unnest(range(1, strlen(payload)+1)) AS t(i)
+          UNION ALL
+          SELECT doc_id + 10000000, (i-1) % 64,
+                 CASE WHEN (i-1) % 64 = 7 THEN 122
+                      ELSE CAST(ascii(substr(payload, i, 1)) AS BIGINT) END
+          FROM media, unnest(range(1, strlen(payload)+1)) AS t(i)),
+        cells AS (SELECT doc_id, cell, sum(b) AS v FROM bytes GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(v) AS total FROM cells GROUP BY 1),
+        bits AS (
+          SELECT c.doc_id, c.cell,
+                 CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN tot t USING (doc_id)),
+        slices AS (
+          SELECT doc_id, cell // 16 AS si,
+                 sum(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (cell % 16)))
+                   AS sv
+          FROM bits GROUP BY 1, 2),
+        ids AS (SELECT doc_id FROM media
+                UNION ALL SELECT doc_id + 10000000 FROM media),
+        fp AS (
+          SELECT i.doc_id,
+                 coalesce(max(CASE WHEN si = 0 THEN sv END), 0) AS s0,
+                 coalesce(max(CASE WHEN si = 1 THEN sv END), 0) AS s1,
+                 coalesce(max(CASE WHEN si = 2 THEN sv END), 0) AS s2,
+                 coalesce(max(CASE WHEN si = 3 THEN sv END), 0) AS s3
+          FROM ids i LEFT JOIN slices s USING (doc_id)
+          GROUP BY 1)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) +
+                    bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+                 AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) +
+              bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 3
+        ORDER BY id_a, id_b"""),
+      (s, dir) => phashNearDupPairs(s, dir)),
 
     // typed mapPartitions decode stage (stubbed codec) + relational
     // aggregation of the extracted features. The oracle reproduces the

@@ -212,6 +212,27 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pHash near-dup finds the planted perturbed copies: a local " +
+      "block-7 edit stays within Hamming<=3 for most media") {
+    // the perceptual property under test: a small local edit (every
+    // 64th byte rewritten) perturbs one block's intensity plus the
+    // global mean, so the planted copy should usually stay within the
+    // Hamming-<=3 verify — but mean-shift threshold crossings can push
+    // borderline blocks over, so recall is a floor, not 1.0 (that
+    // instability is inherent to block-mean hashing, not a bug)
+    val out = SparkEntry.queries("multimodal_phash_near_dup")(spark, sf)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val planted = out.filter(col("id_b") === col("id_a") + 10000000L).count()
+    assert(nDocs > 0)
+    assert(planted >= (nDocs * 0.5).toLong,
+      s"planted pHash recall collapsed: $planted of $nDocs")
+    // blocking-completeness spot check: the output must equal what an
+    // unbanded Hamming join would produce — every pair here has
+    // hamming <= 3, and the DuckDB oracle (all-pairs) pins the full
+    // set; locally just assert no pair exceeds the verify bound
+    assert(out.filter(col("hamming") > 3).count() == 0)
+  }
+
   test("native trigram_shingles matches the HOF reference spelling exactly") {
     GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf, "documents")

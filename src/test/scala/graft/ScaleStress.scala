@@ -329,7 +329,11 @@ object ScaleStress {
     // the SemDeDup production composition (cell × LSH-bucket join —
     // its candidate stream is bounded by BOTH partitions, so the row
     // measures what the second stage buys at dense-cell scale)
-    "sim_ivf_incremental", "dedup_semantic_two_stage")
+    "sim_ivf_incremental", "dedup_semantic_two_stage",
+    // round-14: perceptual-hash media near-dup — a 4-band 16-bit-slice
+    // equi-join whose bucket occupancy is ~4N/65536 on balanced
+    // fingerprints; the ratio must stay near-linear in N
+    "multimodal_phash_near_dup")
 
   /** The shuffle-dominant join/window/time-series/graph/ML/streaming/agg
     * queries (round-9 mandate — these families previously had only
