@@ -835,18 +835,24 @@ object Dedup extends QueryModule {
     // 6.9M-row frame. Same outputs at the oracled dirs (occupancy 45
     // sits in the same pinned branch as their old global config).
     val (bits, tables) = embLshConfig(math.max(1L, n / k))
-    // persist the N-row ASSIGNED corpus + its occ column (one k·d
-    // argmax pass, one count-over-cell window — the window's
-    // partition-by-cell shuffle is the same exchange the joins below
-    // need), never the N×tables exploded bucket frame (~11 GB at 100×
-    // with the vec payload riding — caching it would trade a cheap
-    // recompute for real memory; the embBucketFrame lesson). All four
-    // join sides derive identically from the persisted frame.
-    val withOcc = semCellAssign(s, embPlantedCorpus(s, dir),
+    // persist the N-row ASSIGNED corpus (one k·d argmax pass — the same
+    // cache shape as semCellPairs), never the N×tables exploded bucket
+    // frame (~11 GB at 100× with the vec payload riding — caching it
+    // would trade a cheap recompute for real memory; the embBucketFrame
+    // lesson). Occupancy is a k-row aggregate OFF the cache joined back
+    // per branch side — AQE broadcasts it at any k the driver can hold
+    // (k = n/150: 160 rows at 10×) and falls back to a shuffle join
+    // beyond, so the N frame itself never takes an extra shuffle. The
+    // first cut computed occ as a count-over-cell WINDOW before the
+    // persist; the gate sweep measured that window's pre-cache shuffle
+    // + sort costing ~2× cells-only on an all-direct corpus
+    // (BENCH_gate_sweep_r14.json first cut: 3.6 s vs 1.74 s at 10×) —
+    // kept here as the measured failure the aggregate-join form fixes.
+    val assigned = semCellAssign(s, embPlantedCorpus(s, dir),
       semCellCodebook(s, dir, k))
-      .withColumn("occ", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
       .persist()
+    val withOcc = assigned.join(
+      assigned.groupBy("cell").agg(count(lit(1)).as("occ")), "cell")
     val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
     def verified(joined: DataFrame): DataFrame = joined
       .withColumn("cos_sim", round(cos, 6))
