@@ -91,6 +91,57 @@ object Multimodal extends QueryModule {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  /** The pHash pipeline as DuckDB CTEs ending in `ppairs` (id_a, id_b,
+    * hamming ≤ 3) — shared by multimodal_phash_near_dup and
+    * multimodal_phash_keepers so both oracles grade the SAME pair
+    * semantics. Media = ASCII-stripped documents ∪ planted perturbed
+    * copies (doc_id + 10^7, block-7 bytes → 'z' = 122); fingerprints
+    * are 64 block-mean bits packed into four 16-bit slice values,
+    * exactly the integer arithmetic MultimodalStub.phashSlices runs. */
+  private lazy val phashPairsCtesSql = """
+        media AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS payload
+          FROM documents),
+        bytes AS (
+          SELECT doc_id, (i-1) % 64 AS cell,
+                 CAST(ascii(substr(payload, i, 1)) AS BIGINT) AS b
+          FROM media, unnest(range(1, strlen(payload)+1)) AS t(i)
+          UNION ALL
+          SELECT doc_id + 10000000, (i-1) % 64,
+                 CASE WHEN (i-1) % 64 = 7 THEN 122
+                      ELSE CAST(ascii(substr(payload, i, 1)) AS BIGINT) END
+          FROM media, unnest(range(1, strlen(payload)+1)) AS t(i)),
+        cells AS (SELECT doc_id, cell, sum(b) AS v FROM bytes GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(v) AS total FROM cells GROUP BY 1),
+        bits AS (
+          SELECT c.doc_id, c.cell,
+                 CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN tot t USING (doc_id)),
+        slices AS (
+          SELECT doc_id, cell // 16 AS si,
+                 sum(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (cell % 16)))
+                   AS sv
+          FROM bits GROUP BY 1, 2),
+        ids AS (SELECT doc_id FROM media
+                UNION ALL SELECT doc_id + 10000000 FROM media),
+        fp AS (
+          SELECT i.doc_id,
+                 coalesce(max(CASE WHEN si = 0 THEN sv END), 0) AS s0,
+                 coalesce(max(CASE WHEN si = 1 THEN sv END), 0) AS s1,
+                 coalesce(max(CASE WHEN si = 2 THEN sv END), 0) AS s2,
+                 coalesce(max(CASE WHEN si = 3 THEN sv END), 0) AS s3
+          FROM ids i LEFT JOIN slices s USING (doc_id)
+          GROUP BY 1),
+        ppairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) +
+                      bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+                   AS BIGINT) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) +
+                bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 3)"""
+
   /** multimodal_phash_near_dup's body (exposed for MultimodalSpec's
     * planted-recall pin): media ∪ perturbed copies → phashSlices
     * fingerprints (typed mapPartitions, the decode-stage batch shape) →
@@ -262,50 +313,38 @@ object Multimodal extends QueryModule {
     // mass exact-dedup removes upstream in the production pipeline. ----
     Q(
       "multimodal_phash_near_dup",
-      Some("""
-        WITH media AS (
-          SELECT doc_id,
-                 regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS payload
-          FROM documents),
-        bytes AS (
-          SELECT doc_id, (i-1) % 64 AS cell,
-                 CAST(ascii(substr(payload, i, 1)) AS BIGINT) AS b
-          FROM media, unnest(range(1, strlen(payload)+1)) AS t(i)
-          UNION ALL
-          SELECT doc_id + 10000000, (i-1) % 64,
-                 CASE WHEN (i-1) % 64 = 7 THEN 122
-                      ELSE CAST(ascii(substr(payload, i, 1)) AS BIGINT) END
-          FROM media, unnest(range(1, strlen(payload)+1)) AS t(i)),
-        cells AS (SELECT doc_id, cell, sum(b) AS v FROM bytes GROUP BY 1, 2),
-        tot AS (SELECT doc_id, sum(v) AS total FROM cells GROUP BY 1),
-        bits AS (
-          SELECT c.doc_id, c.cell,
-                 CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
-          FROM cells c JOIN tot t USING (doc_id)),
-        slices AS (
-          SELECT doc_id, cell // 16 AS si,
-                 sum(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (cell % 16)))
-                   AS sv
-          FROM bits GROUP BY 1, 2),
-        ids AS (SELECT doc_id FROM media
-                UNION ALL SELECT doc_id + 10000000 FROM media),
-        fp AS (
-          SELECT i.doc_id,
-                 coalesce(max(CASE WHEN si = 0 THEN sv END), 0) AS s0,
-                 coalesce(max(CASE WHEN si = 1 THEN sv END), 0) AS s1,
-                 coalesce(max(CASE WHEN si = 2 THEN sv END), 0) AS s2,
-                 coalesce(max(CASE WHEN si = 3 THEN sv END), 0) AS s3
-          FROM ids i LEFT JOIN slices s USING (doc_id)
-          GROUP BY 1)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) +
-                    bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
-                 AS BIGINT) AS hamming
-        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) +
-              bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 3
-        ORDER BY id_a, id_b"""),
+      Some(s"""
+        WITH $phashPairsCtesSql
+        SELECT id_a, id_b, hamming FROM ppairs ORDER BY id_a, id_b"""),
       (s, dir) => phashNearDupPairs(s, dir)),
+
+    // ---- duplicate-MEDIA cluster resolution: the production consumer
+    // of the pair set above. A near-identical media family (the 49M-pair
+    // 100× lesson: a pair set is quadratic in CLUSTER size) is consumed
+    // as connected components over the pair graph — the same BSP
+    // min-label propagation as dedup_cluster_keepers — and ONE keeper
+    // (min id) survives per component; everything else is the drop
+    // list. Oracle = transitive closure via DuckDB's recursive CTE over
+    // the identical pair CTEs. ----
+    Q(
+      "multimodal_phash_keepers",
+      Some(s"""
+        WITH RECURSIVE $phashPairsCtesSql,
+        edges AS (SELECT id_a AS a, id_b AS b FROM ppairs
+                  UNION ALL SELECT id_b, id_a FROM ppairs),
+        nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        reach(a, b) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS media_id, CAST(min(b) AS BIGINT) AS component,
+               a = min(b) AS is_keeper
+        FROM reach GROUP BY a ORDER BY media_id"""),
+      (s, dir) =>
+        graft.operators.Dedup.components(phashNearDupPairs(s, dir))
+          .select(col("doc").as("media_id"), col("lbl").as("component"),
+            (col("doc") === col("lbl")).as("is_keeper"))
+          .orderBy("media_id")),
 
     // typed mapPartitions decode stage (stubbed codec) + relational
     // aggregation of the extracted features. The oracle reproduces the
