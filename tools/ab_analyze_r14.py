@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Analyze the r13-vs-r14 alternating A/B (target/ab14/{r13,r14}_rep*)
+and write AB_r13_r14.json — the number that stands for round-14 code vs
+round-13 code, used because BOTH round-14 canonical attempts were
+flagged drifted by the in-artifact sentinel verdict (the alternation
+cancels the drift both bodies share)."""
+import json
+import statistics
+
+OUT = "/root/repo/target/ab14"
+REPS = (1, 2, 3)
+
+
+def load(path):
+    for line in reversed(open(path).read().strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    raise SystemExit(f"no JSON line in {path}")
+
+
+def main():
+    reps = {b: [load(f"{OUT}/{b}_rep{i}.json") for i in REPS]
+            for b in ("r13", "r14")}
+    qa, qb = {}, {}
+    for body, dst in (("r13", qa), ("r14", qb)):
+        for rep in reps[body]:
+            for k, v in rep["queries"].items():
+                if v > 0:
+                    dst.setdefault(k, []).append(v)
+    common = sorted(k for k in qa if k in qb)
+    ratios = {k: min(qb[k]) / min(qa[k]) for k in common}
+    med = statistics.median(ratios.values())
+    # paired per-rep medians: rep_i(r14)/rep_i(r13) — adjacent in time,
+    # so shared drift cancels rep by rep
+    paired = []
+    for i in range(len(REPS)):
+        ra = reps["r13"][i]["queries"]
+        rb = reps["r14"][i]["queries"]
+        paired.append(round(statistics.median(
+            [rb[k] / ra[k] for k in common
+             if ra.get(k, 0) > 0 and rb.get(k, 0) > 0]), 4))
+    multi = [k for k in common if min(qa[k]) >= 1.0]
+    med_multi = statistics.median([ratios[k] for k in multi])
+    srt = sorted(ratios.items(), key=lambda kv: kv[1])
+    print(f"common {len(common)}, min-over-3 median {med:.3f}, "
+          f"multi-second median {med_multi:.3f}, paired {paired}")
+    print("fastest:", srt[:5])
+    print("slowest:", srt[-5:])
+    out = {
+        "bodies": {"r13": "5783244", "r14": "HEAD"},
+        "common": len(common),
+        "min_over_reps_median": round(med, 4),
+        "multi_second_median": round(med_multi, 4),
+        "paired_rep_medians": paired,
+        "slowest": [[k, round(v, 3)] for k, v in srt[-8:]],
+        "fastest": [[k, round(v, 3)] for k, v in srt[:8]],
+    }
+    with open("/root/repo/AB_r13_r14.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote /root/repo/AB_r13_r14.json")
+
+
+if __name__ == "__main__":
+    main()
