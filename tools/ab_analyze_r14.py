@@ -30,28 +30,42 @@ def main():
                     dst.setdefault(k, []).append(v)
     common = sorted(k for k in qa if k in qb)
     ratios = {k: min(qb[k]) / min(qa[k]) for k in common}
-    med = statistics.median(ratios.values())
+    # ADVICE r14: statistics.median raises StatisticsError on empty
+    # input — guard and emit null with a stderr note instead.
+    import sys
+
+    def med_or_none(xs, what):
+        if not xs:
+            print(f"[ab_analyze] no data for {what}; emitting null",
+                  file=sys.stderr)
+            return None
+        return statistics.median(xs)
+
+    med = med_or_none(list(ratios.values()), "overall ratio median")
     # paired per-rep medians: rep_i(r14)/rep_i(r13) — adjacent in time,
     # so shared drift cancels rep by rep
     paired = []
     for i in range(len(REPS)):
         ra = reps["r13"][i]["queries"]
         rb = reps["r14"][i]["queries"]
-        paired.append(round(statistics.median(
-            [rb[k] / ra[k] for k in common
-             if ra.get(k, 0) > 0 and rb.get(k, 0) > 0]), 4))
+        pm = med_or_none([rb[k] / ra[k] for k in common
+                          if ra.get(k, 0) > 0 and rb.get(k, 0) > 0],
+                         f"paired rep {i + 1}")
+        paired.append(round(pm, 4) if pm is not None else None)
     multi = [k for k in common if min(qa[k]) >= 1.0]
-    med_multi = statistics.median([ratios[k] for k in multi])
+    med_multi = med_or_none([ratios[k] for k in multi],
+                            "multi-second median")
     srt = sorted(ratios.items(), key=lambda kv: kv[1])
-    print(f"common {len(common)}, min-over-3 median {med:.3f}, "
-          f"multi-second median {med_multi:.3f}, paired {paired}")
+    print(f"common {len(common)}, min-over-3 median {med}, "
+          f"multi-second median {med_multi}, paired {paired}")
     print("fastest:", srt[:5])
     print("slowest:", srt[-5:])
     out = {
         "bodies": {"r13": "5783244", "r14": "HEAD"},
         "common": len(common),
-        "min_over_reps_median": round(med, 4),
-        "multi_second_median": round(med_multi, 4),
+        "min_over_reps_median": round(med, 4) if med is not None else None,
+        "multi_second_median":
+            round(med_multi, 4) if med_multi is not None else None,
         "paired_rep_medians": paired,
         "slowest": [[k, round(v, 3)] for k, v in srt[-8:]],
         "fastest": [[k, round(v, 3)] for k, v in srt[:8]],
