@@ -165,7 +165,12 @@ object Bench {
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
         math.round(m * 1000) / 1000.0
       }
-    val triples = sentinels.values.filter(_.size >= 3).toSeq
+    // Drop triples with a 0.000-rounded sample (ADVICE r14): a zero
+    // start makes v(1)/v(0) Infinity/NaN — quiet stays false but the
+    // emitted medians would be meaningless. With no positive triples
+    // the medians stay -1 (= not computed).
+    val triples =
+      sentinels.values.filter(v => v.size >= 3 && v.take(3).forall(_ > 0)).toSeq
     val midStart = median(triples.map(v => v(1) / v(0)))
     val endStart = median(triples.map(v => v(2) / v(0)))
     def quiet(r: Double): Boolean = r > 0 && r >= 1 / 1.3 && r <= 1.3

@@ -166,22 +166,28 @@ object VectorOps {
   def nearestCentroid(vec: ArrayData, cb: ArrayData): Long = {
     val k = cb.numElements()
     val m = cbMemo.get()
-    // 9 words at even strides over [base, base+sz-8]: i=0 is the head,
-    // i=8 the tail, i=1..7 interior samples of the value region
+    // Rotate-xor fold over EVERY 8-byte word of the buffer (ADVICE r14:
+    // a strided sample can alias two codebooks differing only at
+    // unsampled interior words). O(sz/8) loads — same order as the k·d
+    // cosine loop this memo guards, so a miss still dominates. The last
+    // word is anchored at sz-8 (overlapping when sz % 8 != 0) so every
+    // byte is covered.
     def stridedFp(u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData)
         : Long = {
       val sz = u.getSizeInBytes
       if (sz < 8) return sz.toLong
       var acc = 0L
-      var i = 0
-      while (i <= 8) {
-        val off = (sz - 8).toLong * i / 8
+      val lim = (sz - 8).toLong
+      var off = 0L
+      while (off < lim) {
         val w = org.apache.spark.unsafe.Platform.getLong(
           u.getBaseObject, u.getBaseOffset + off)
         acc = java.lang.Long.rotateLeft(acc, 7) ^ w
-        i += 1
+        off += 8
       }
-      acc
+      val tail = org.apache.spark.unsafe.Platform.getLong(
+        u.getBaseObject, u.getBaseOffset + lim)
+      java.lang.Long.rotateLeft(acc, 7) ^ tail
     }
     val hit = cb match {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>

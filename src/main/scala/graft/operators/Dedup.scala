@@ -327,56 +327,47 @@ object Dedup extends QueryModule {
         round(jac, 6).as("jaccard"))
   }
 
-  /** Rewrite a parquet state directory in place to a bounded file
-    * count — the ingest indexes' maintenance step (round-13 verdict
-    * task 4): each micro-batch appends one file set, so under real
-    * continuous ingest a postings dir becomes the small-files problem
-    * the batch `compact_small_files` operator exists to fix. Called
-    * between micro-batches from inside foreachBatch (single-writer
-    * lifecycle), so no concurrent reader exists; a production
-    * deployment over an object store would make the swap atomic via a
-    * manifest (the snapshot family's mechanism) instead of the
-    * delete+rename used on this local FS. */
+  /** Rewrite a manifest-committed state root to a bounded file count —
+    * the ingest indexes' maintenance step (round-13 verdict task 4):
+    * each micro-batch appends one file set, so under real continuous
+    * ingest a postings root becomes the small-files problem the batch
+    * `compact_small_files` operator exists to fix. Round-15 (r14
+    * verdict task 4 + ADVICE): the commit moved from delete+rename —
+    * atomic on local FS only, and crash-lossy between the rm and the
+    * rename — onto [[StateManifest.replace]]'s manifest-pointer swap
+    * (data first, manifest last), which is the snapshot family's
+    * protocol and holds on S3A semantics too. */
   private[graft] def compactStateDir(s: SparkSession, path: String,
-      nFiles: Int): Unit = {
-    val dir = new java.io.File(path)
-    if (!dir.exists) return
-    val tmp = path + ".compact"
-    s.read.parquet(path).coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+      nFiles: Int): Unit =
+    StateManifest.read(s, path).foreach { df =>
+      StateManifest.replace(s, path, df, "compact", nFiles)
     }
-    rm(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"compactStateDir: rename $tmp -> $path failed")
-  }
 
   /** Fold a verdict-contribution log to its retained minimum — at most
     * one row per doc, the (blocker, bakey) of the winning (lowest-akey)
     * contribution. min_by is associative, so folding mid-stream can
     * never change a final verdict; contributions that already lost are
-    * the rows retention drops. */
+    * the rows the fold drops. Round-15 (r14 verdict task 7): an
+    * optional retention TTL additionally drops the verdicts of docs
+    * whose own ingest batch (`dseq`, stamped at append) has aged out of
+    * the last `retainBatches` batches — the policy bound that keeps
+    * unbounded-corpus verdict state finite (the snapshot family's
+    * vacuum-retention stance); verdicts inside the retained window are
+    * untouched because a doc's contributions all arrive in its own
+    * batch (StreamsSpec pins both halves). Commits via the same
+    * manifest swap as [[compactStateDir]]. */
   private[graft] def retainContribs(s: SparkSession, path: String,
-      nFiles: Int): Unit = {
-    val dir = new java.io.File(path)
-    if (!dir.exists) return
-    val tmp = path + ".compact"
-    s.read.parquet(path)
-      .groupBy("doc")
-      .agg(min_by(col("blocker"), col("bakey")).as("blocker"),
-        min(col("bakey")).as("bakey"))
-      .coalesce(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+      nFiles: Int, retainBatches: Int = 0, curSeq: Long = -1L): Unit =
+    StateManifest.read(s, path).foreach { df =>
+      val folded = df.groupBy("doc")
+        .agg(min_by(col("blocker"), col("bakey")).as("blocker"),
+          min(col("bakey")).as("bakey"), min(col("dseq")).as("dseq"))
+      val kept =
+        if (retainBatches > 0 && curSeq >= 0)
+          folded.filter(col("dseq") > curSeq - retainBatches)
+        else folded
+      StateManifest.replace(s, path, kept, "retain", nFiles)
     }
-    rm(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"retainContribs: rename $tmp -> $path failed")
-  }
 
   /** The REAL online form of dedup_minhash_incremental (spec driver —
     * StreamsSpec pins its parity with the registered batch-decomposed
@@ -404,7 +395,7 @@ object Dedup extends QueryModule {
   private[graft] def minhashIndexIngest(s: SparkSession, dir: String,
       stateRoot: String, scrambleOrder: Boolean = false,
       hashSplit: Boolean = false, compactEvery: Int = 2,
-      compactFiles: Int = 1): (DataFrame, Int) = {
+      compactFiles: Int = 1, retainBatches: Int = 0): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val (perms, bands, rows) = minhashConfig(
@@ -438,9 +429,7 @@ object Dedup extends QueryModule {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val frame = minhashBandFrameOf(s, batch, perms, bands, rows)
           .withColumn("seq", lit(batchId)).persist()
-        val idx =
-          if (new java.io.File(postDir).exists) s.read.parquet(postDir)
-          else frame.limit(0)
+        val idx = StateManifest.read(s, postDir).getOrElse(frame.limit(0))
         // the parquet roundtrip (and the union with it) drops the
         // arrays' containsNull=false, which the strict codegen
         // primitives (sorted_intersect_size, positional_any_equal)
@@ -458,7 +447,7 @@ object Dedup extends QueryModule {
         // always the x side, seen once); new-vs-new once via id order.
         // Direction: each side's akey uses ITS OWN seq — the index
         // side's comes from the persisted postings row
-        frame.as("y")
+        val contribs = frame.as("y")
           .join(un.as("x"),
             col("x.band_id") === col("y.band_id") &&
               col("x.bkey") === col("y.bkey") &&
@@ -472,16 +461,22 @@ object Dedup extends QueryModule {
               .otherwise(col("xa")).as("doc"),
             when(col("ka") < col("kb"), col("xa"))
               .otherwise(col("ya")).as("blocker"),
-            least(col("ka"), col("kb")).as("bakey"))
-          .write.mode("append").parquet(contribDir)
-        frame.write.mode("append").parquet(postDir)
+            least(col("ka"), col("kb")).as("bakey"),
+            // the doc's OWN ingest batch — the retention TTL's clock
+            lit(batchId).as("dseq"))
+        // manifest commits (round-15): data files first, manifest
+        // last; the batch tag makes a foreachBatch replay after any
+        // crash point a no-op instead of a double-append
+        StateManifest.append(s, contribDir, contribs, s"b$batchId")
+        StateManifest.append(s, postDir, frame, s"b$batchId")
         frame.unpersist()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           // compactFiles defaults to 1 at this fixture scale; a
           // production deployment sizes it to state volume (files ~
           // bytes / maxPartitionBytes), which stays bounded either way
           compactStateDir(s, postDir, nFiles = compactFiles)
-          retainContribs(s, contribDir, nFiles = compactFiles)
+          retainContribs(s, contribDir, nFiles = compactFiles,
+            retainBatches = retainBatches, curSeq = batchId)
         }
         nBatches.incrementAndGet()
         ()
@@ -490,16 +485,15 @@ object Dedup extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val contrib =
-      if (new java.io.File(contribDir).exists) s.read.parquet(contribDir)
-      else s.range(0).select(col("id").as("doc"), col("id").as("blocker"),
-        col("id").as("bakey"))
+    val contrib = StateManifest.read(s, contribDir).getOrElse(
+      s.range(0).select(col("id").as("doc"), col("id").as("blocker"),
+        col("id").as("bakey")))
     val v = contrib.groupBy("doc")
       .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
     // the batch column comes from the persisted postings state, not
     // from any arithmetic on the id (distinct: the band postings carry
     // one row per (doc, band))
-    val out = s.read.parquet(postDir)
+    val out = StateManifest.read(s, postDir).get
       .select(col("doc_id"), col("seq").as("batch")).distinct()
       .join(v, col("doc_id") === col("doc"), "left")
       .select(col("doc_id"), col("batch"), col("near_dup_of"),
@@ -536,7 +530,7 @@ object Dedup extends QueryModule {
   private[graft] def ivfIndexIngest(s: SparkSession, dir: String,
       stateRoot: String, scrambleOrder: Boolean = false,
       hashSplit: Boolean = false, compactEvery: Int = 2,
-      compactFiles: Int = 1): (DataFrame, Int) = {
+      compactFiles: Int = 1, retainBatches: Int = 0): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.functions.VectorExprs
     val corpus = embPlantedCorpus(s, dir)
@@ -572,9 +566,7 @@ object Dedup extends QueryModule {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val frame = semCellAssign(s, batch, cb)
           .withColumn("seq", lit(batchId)).persist()
-        val idx =
-          if (new java.io.File(postDir).exists) s.read.parquet(postDir)
-          else frame.limit(0)
+        val idx = StateManifest.read(s, postDir).getOrElse(frame.limit(0))
         val un = idx.withColumn("in_index", lit(true))
           .unionByName(frame.withColumn("in_index", lit(false)))
         val cos = VectorExprs.cosine(s, col("x.vec"), col("y.vec"))
@@ -582,7 +574,7 @@ object Dedup extends QueryModule {
         // always the x side, seen once); new-vs-new once via id order.
         // Direction: each side's akey uses ITS OWN seq — the index
         // side's comes from the persisted postings row
-        frame.as("y")
+        val contribs = frame.as("y")
           .join(un.as("x"),
             col("x.cell") === col("y.cell") &&
               (col("x.in_index") || col("x.vec_id") < col("y.vec_id")))
@@ -595,16 +587,22 @@ object Dedup extends QueryModule {
               .otherwise(col("xa")).as("doc"),
             when(col("ka") < col("kb"), col("xa"))
               .otherwise(col("ya")).as("blocker"),
-            least(col("ka"), col("kb")).as("bakey"))
-          .write.mode("append").parquet(contribDir)
-        frame.write.mode("append").parquet(postDir)
+            least(col("ka"), col("kb")).as("bakey"),
+            // the doc's OWN ingest batch — the retention TTL's clock
+            lit(batchId).as("dseq"))
+        // manifest commits (round-15): data files first, manifest
+        // last; the batch tag makes a foreachBatch replay after any
+        // crash point a no-op instead of a double-append
+        StateManifest.append(s, contribDir, contribs, s"b$batchId")
+        StateManifest.append(s, postDir, frame, s"b$batchId")
         frame.unpersist()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           // compactFiles defaults to 1 at this fixture scale; a
           // production deployment sizes it to state volume (files ~
           // bytes / maxPartitionBytes), which stays bounded either way
           compactStateDir(s, postDir, nFiles = compactFiles)
-          retainContribs(s, contribDir, nFiles = compactFiles)
+          retainContribs(s, contribDir, nFiles = compactFiles,
+            retainBatches = retainBatches, curSeq = batchId)
         }
         nBatches.incrementAndGet()
         ()
@@ -613,15 +611,14 @@ object Dedup extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val contrib =
-      if (new java.io.File(contribDir).exists) s.read.parquet(contribDir)
-      else s.range(0).select(col("id").as("doc"), col("id").as("blocker"),
-        col("id").as("bakey"))
+    val contrib = StateManifest.read(s, contribDir).getOrElse(
+      s.range(0).select(col("id").as("doc"), col("id").as("blocker"),
+        col("id").as("bakey")))
     val v = contrib.groupBy("doc")
       .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
     // the batch column comes from the persisted postings state, not
     // from any arithmetic on the id
-    val out = s.read.parquet(postDir)
+    val out = StateManifest.read(s, postDir).get
       .select(col("vec_id"), col("seq").as("batch"))
       .join(v, col("vec_id") === col("doc"), "left")
       .select(col("vec_id"), col("batch"), col("near_dup_of"),

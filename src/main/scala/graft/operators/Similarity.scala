@@ -29,6 +29,133 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vec"))
 
+  /** Corpus size below which [[annConfig]] pins the fixed (bits=4,
+    * tables=8) construction — sim_ann_hyperplane's exact table family,
+    * so every DuckDB-oracled run replays the same planes bit-for-bit
+    * (both oracle SFs sit under it: 500 / 5000 embeddings). */
+  private[graft] val AnnPinnedN = 8192L
+
+  /** N-adaptive hyperplane-LSH sizing for ANN → (bits, tables): the
+    * round-15 answer to the fixed family's flagged linear candidate
+    * growth (SCALE.md §r14 audit). Above [[AnnPinnedN]], bits targets
+    * ~32 vectors/bucket/table (bits = ceil(log2(n/32))) so per-query
+    * candidates stay ~tables·32 regardless of N, and the table count
+    * holds the analytic per-neighbor miss ≤ 1e-4 at the NEAR-DUP
+    * benchmark angle (cosine 0.9 → sign-agreement q = 1 − acos(0.9)/π
+    * ≈ 0.8564): T = ln(1e4) / −ln(1 − q^bits). That is the regime ANN
+    * actually serves at corpus scale (dup-heavy web/embedding data —
+    * the planted-canary population SimilaritySpec measures); for
+    * far-angle uniform queries (cosine ≈ 0.3) the fixed 4-bit family
+    * remains the calibrated recall baseline and sim_ivf_probe the
+    * production path, exactly as their scaladocs state. T grows only
+    * as ~(1/q)^bits ≈ N^0.22, so construction stays near-linear while
+    * per-query cost is ~constant. */
+  private[graft] def annConfig(n: Long): (Int, Int) = {
+    if (n <= AnnPinnedN) (4, 8)
+    else {
+      val bits = math.ceil(math.log(n / 32.0) / math.log(2)).toInt
+      val q = 1.0 - math.acos(0.9) / math.Pi
+      val tables = math.ceil(
+        math.log(1e4) / -math.log1p(-math.pow(q, bits))).toInt
+      (bits, tables)
+    }
+  }
+
+  /** The fixed 8-table × 4-bit hyperplane top-5 as DuckDB SQL — the
+    * shared oracle of sim_ann_hyperplane and (via annConfig's pinned
+    * branch) sim_ann_adaptive. */
+  private lazy val hyperplaneTopKSql = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        tb AS (SELECT t AS tbl, b AS bit
+               FROM (SELECT unnest(range(8)) AS t) _t,
+                    (SELECT unnest(range(4)) AS b) _b),
+        dots AS (
+          SELECT e.vec_id, tb.tbl, tb.bit,
+                 list_aggregate(list_transform(range(64), d ->
+                   v[d + 1] * (((((tb.tbl * 4 + tb.bit) * 2654435761 % 1000003)
+                                 * d + (tb.tbl * 4 + tb.bit) * 40503)
+                                % 1000003)
+                               / 1000003.0 - 0.5)), 'sum') AS dot
+          FROM e CROSS JOIN tb),
+        buckets AS (
+          SELECT vec_id, tbl,
+                 CAST(sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM dots GROUP BY 1, 2),
+        q AS (SELECT vec_id AS q_id, tbl, bucket
+              FROM buckets WHERE vec_id < 10),
+        cand AS (
+          SELECT DISTINCT q.q_id, c.vec_id AS cand_id
+          FROM buckets c JOIN q
+            ON c.tbl = q.tbl AND c.bucket = q.bucket
+           AND c.vec_id <> q.q_id),
+        sc AS (SELECT cand.q_id, cand.cand_id,
+                      list_cosine_similarity(qe.v, ce.v) AS cos
+               FROM cand
+               JOIN e qe ON qe.vec_id = cand.q_id
+               JOIN e ce ON ce.vec_id = cand.cand_id),
+        r AS (SELECT q_id, cand_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, cand_id) AS rn
+              FROM sc)
+        SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rn,
+               round(cos, 6) AS cos_sim
+        FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  /** The hyperplane-LSH top-5 pipeline parameterized by (bits, tables)
+    * — the shared body of sim_ann_hyperplane (fixed 4×8, the pinned
+    * recall baseline) and sim_ann_adaptive ([[annConfig]] sizing).
+    * Plane identity is (tbl · bits + bit), so the pinned configuration
+    * replays the identical DuckDB oracle either way. */
+  private[graft] def hyperplaneTopK(s: SparkSession, e: DataFrame,
+      bits: Int, tables: Int): DataFrame = {
+    val buckets = hyperplaneBuckets(s, e, bits, tables)
+    val q = buckets.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+    // dedupe on IDS ONLY, then re-attach vectors by id-keyed joins —
+    // the oracle's own shape (DISTINCT q_id, cand_id then JOIN e).
+    // The previous dropDuplicates carried both 64-dim vectors
+    // through the distinct: first(array) buffers are not
+    // UnsafeRow-mutable, so the multi-table candidate stream was
+    // SORTED dragging 2×512 B per row (PlanSmells audit catch).
+    // Id-only distinct is a 16 B/row hash aggregate, and column
+    // pruning drops the vectors from the bucket join entirely.
+    val cand = buckets
+      .join(broadcast(q),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("vec").as("qv")),
+        "q_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("vec").as("cv")),
+        "cand_id")
+      .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
+      .select(col("q_id"), col("cand_id"),
+        row_number().over(w).cast("long").as("rn"),
+        round(col("cos"), 6).as("cos_sim"))
+      .filter(col("rn") <= 5)
+      .orderBy("q_id", "rn")
+  }
+
+  /** (vec_id, vec, tbl, bucket) LSH bucket frame for an arbitrary
+    * (bits, tables) hyperplane family. */
+  private[graft] def hyperplaneBuckets(s: SparkSession, e: DataFrame,
+      bits: Int, tables: Int): DataFrame =
+    e.select(
+      col("vec_id"), col("vec"),
+      explode(transform(sequence(lit(0), lit(tables - 1)), t =>
+        struct(t.as("tbl"),
+          VectorExprs.lshBucket(s, col("vec"), t, bits = bits)
+            .as("bucket"))))
+        .as("tb"))
+      .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+
   val all: Seq[Q] = Seq(
 
     Q(
@@ -71,88 +198,35 @@ object Similarity extends QueryModule {
     // the recall pin (which SimilaritySpec still keeps).
     Q(
       "sim_ann_hyperplane",
-      Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
-        tb AS (SELECT t AS tbl, b AS bit
-               FROM (SELECT unnest(range(8)) AS t) _t,
-                    (SELECT unnest(range(4)) AS b) _b),
-        dots AS (
-          SELECT e.vec_id, tb.tbl, tb.bit,
-                 list_aggregate(list_transform(range(64), d ->
-                   v[d + 1] * (((((tb.tbl * 4 + tb.bit) * 2654435761 % 1000003)
-                                 * d + (tb.tbl * 4 + tb.bit) * 40503)
-                                % 1000003)
-                               / 1000003.0 - 0.5)), 'sum') AS dot
-          FROM e CROSS JOIN tb),
-        buckets AS (
-          SELECT vec_id, tbl,
-                 CAST(sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END)
-                      AS BIGINT) AS bucket
-          FROM dots GROUP BY 1, 2),
-        q AS (SELECT vec_id AS q_id, tbl, bucket
-              FROM buckets WHERE vec_id < 10),
-        cand AS (
-          SELECT DISTINCT q.q_id, c.vec_id AS cand_id
-          FROM buckets c JOIN q
-            ON c.tbl = q.tbl AND c.bucket = q.bucket
-           AND c.vec_id <> q.q_id),
-        sc AS (SELECT cand.q_id, cand.cand_id,
-                      list_cosine_similarity(qe.v, ce.v) AS cos
-               FROM cand
-               JOIN e qe ON qe.vec_id = cand.q_id
-               JOIN e ce ON ce.vec_id = cand.cand_id),
-        r AS (SELECT q_id, cand_id, cos,
-                     row_number() OVER (PARTITION BY q_id
-                       ORDER BY cos DESC, cand_id) AS rn
-              FROM sc)
-        SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rn,
-               round(cos, 6) AS cos_sim
-        FROM r WHERE rn <= 5 ORDER BY q_id, rn"""),
+      Some(hyperplaneTopKSql),
+      // 8 tables × 4 sign bits: the testdata's true top-5 neighbors sit
+      // near cosine 0.3 (~72°, per-bit agreement ~0.6), so narrow buckets
+      // would miss them; 4-bit buckets at 8 tables give ~2/3 expected
+      // recall with candidate sets ~N/2. On clustered real embeddings
+      // the same construction is sub-linear with far tighter buckets.
+      (s, dir) => hyperplaneTopK(s, emb(s, dir), bits = 4, tables = 8)),
+
+    // ---- N-adaptive hyperplane ANN (round-14 verdict task 5): the
+    // SAME deterministic-plane construction, sized by annConfig instead
+    // of the fixed 4×8 — above AnnPinnedN, bits grows with log2(N) to
+    // hold ~32 vectors/bucket/table (per-query candidates ~tables·32,
+    // ~constant in N) and tables hold the analytic per-neighbor miss
+    // ≤ 1e-4 at the near-dup benchmark angle. At the oracle SFs the
+    // sizing sits in its pinned branch ≡ sim_ann_hyperplane, so the
+    // identical DuckDB oracle grades it bit-for-bit; the adaptive
+    // branch is exercised by SimilaritySpec (recall on planted
+    // canaries ≥ the fixed baseline with a fraction of its
+    // candidates, past the pin cutoff) and by the ScaleStress row
+    // (sub-linear vs the fixed family). The fixed queries stay
+    // registered as the pinned recall baseline — their far-angle
+    // calibration is a property this sizing deliberately trades away.
+    Q(
+      "sim_ann_adaptive",
+      Some(hyperplaneTopKSql),
       (s, dir) => {
-        val e = emb(s, dir)
-        // 8 tables × 4 sign bits: the testdata's true top-5 neighbors sit
-        // near cosine 0.3 (~72°, per-bit agreement ~0.6), so narrow buckets
-        // would miss them; 4-bit buckets at 8 tables give ~2/3 expected
-        // recall with candidate sets ~N/2. On clustered real embeddings
-        // the same construction is sub-linear with far tighter buckets.
-        val buckets = e.select(
-          col("vec_id"), col("vec"),
-          explode(transform(sequence(lit(0), lit(7)), t =>
-            struct(t.as("tbl"),
-              VectorExprs.lshBucket(s, col("vec"), t, bits = 4).as("bucket"))))
-            .as("tb"))
-          .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
-        val q = buckets.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"),
-            col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
-        // dedupe on IDS ONLY, then re-attach vectors by id-keyed joins —
-        // the oracle's own shape (DISTINCT q_id, cand_id then JOIN e).
-        // The previous dropDuplicates carried both 64-dim vectors
-        // through the distinct: first(array) buffers are not
-        // UnsafeRow-mutable, so the multi-table candidate stream was
-        // SORTED dragging 2×512 B per row (PlanSmells audit catch).
-        // Id-only distinct is a 16 B/row hash aggregate, and column
-        // pruning drops the vectors from the bucket join entirely.
-        val cand = buckets
-          .join(broadcast(q),
-            col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
-              col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("cand_id"))
-          .distinct()
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("cand_id"))
-        cand
-          .join(e.select(col("vec_id").as("q_id"), col("vec").as("qv")),
-            "q_id")
-          .join(e.select(col("vec_id").as("cand_id"), col("vec").as("cv")),
-            "cand_id")
-          .withColumn("cos", VectorExprs.cosine(s, col("qv"), col("cv")))
-          .select(col("q_id"), col("cand_id"),
-            row_number().over(w).cast("long").as("rn"),
-            round(col("cos"), 6).as("cos_sim"))
-          .filter(col("rn") <= 5)
-          .orderBy("q_id", "rn")
+        val (bits, tables) = annConfig(
+          graft.Tables.footerRowCount(s, s"$dir/embeddings.parquet"))
+        hyperplaneTopK(s, emb(s, dir), bits, tables)
       }),
 
     // multi-probe LSH ANN: same 8×4-bit tables as sim_ann_hyperplane, but

@@ -231,6 +231,37 @@ class DedupSpec extends SparkSpec {
     // hamming <= 3, and the DuckDB oracle (all-pairs) pins the full
     // set; locally just assert no pair exceeds the verify bound
     assert(out.filter(col("hamming") > 3).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("pHash occupancy gate: gate=0 (all sub-banded) / mid / infinity " +
+      "(all direct) route to row-identical pair sets") {
+    import graft.operators.Multimodal
+    // the completeness claim under test: within a shared (si, sv)
+    // bucket a qualifying pair has <=3 diffs in the complementary 48
+    // bits, so 4x12-bit sub-slice re-blocking finds every pair the
+    // direct in-bucket join finds — at ANY gate, including the
+    // degenerate all-sub-banded and all-direct extremes
+    def pairs(g: Long) = Multimodal.phashNearDupPairs(spark, sf, gate = g)
+    val allSub = pairs(0L)
+    val allDirect = pairs(Long.MaxValue)
+    // heterogeneous occupancy so the mid-gate split is non-vacuous
+    // (both branches live)
+    val occs = Multimodal.phashRoutedBandFrame(spark, sf)
+      .select("si", "sv", "occ").distinct()
+      .agg(min(col("occ")), max(col("occ"))).head()
+    val (omin, omax) = (occs.getLong(0), occs.getLong(1))
+    assert(omin < omax,
+      "band buckets are uniformly occupied — the mid-gate split is vacuous")
+    val split = pairs((omin + omax) / 2)
+    assert(allDirect.count() > 0, "vacuous: no pHash pairs at this SF")
+    assert(allSub.except(allDirect).count() == 0 &&
+      allDirect.except(allSub).count() == 0,
+      "gate=0 vs gate=infinity outputs diverge — a branch is wrong")
+    assert(split.except(allDirect).count() == 0 &&
+      allDirect.except(split).count() == 0,
+      "mid-gate output diverges — per-bucket routing loses pairs")
+    spark.catalog.clearCache()
   }
 
   test("native trigram_shingles matches the HOF reference spelling exactly") {

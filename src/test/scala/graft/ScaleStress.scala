@@ -333,7 +333,14 @@ object ScaleStress {
     // round-14: perceptual-hash media near-dup — a 4-band 16-bit-slice
     // equi-join whose bucket occupancy is ~4N/65536 on balanced
     // fingerprints; the ratio must stay near-linear in N
-    "multimodal_phash_near_dup")
+    "multimodal_phash_near_dup",
+    // round-15: the media tier's ingest-time verdicts (pair set +
+    // id-keyed arr joins + doc-keyed min_by — must track the near_dup
+    // row like the minhash pair) and the N-adaptive hyperplane ANN
+    // (bits/tables grow with N to hold per-query candidates ~constant
+    // — the row must be strongly sub-linear vs the fixed-bucket
+    // sim_ann_hyperplane baseline above)
+    "multimodal_phash_incremental", "sim_ann_adaptive")
 
   /** The shuffle-dominant join/window/time-series/graph/ML/streaming/agg
     * queries (round-9 mandate — these families previously had only

@@ -21,6 +21,66 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"ANN recall $recall = $hit/$total too low")
   }
 
+  test("adaptive hyperplane ANN past the pin cutoff: canary recall >= " +
+      "the fixed-bucket baseline with a fraction of its candidates") {
+    import operators.Similarity
+    // a corpus that actually exceeds AnnPinnedN: 200 deterministic
+    // variants of the sf embeddings (mixed-sign per-dim factors, so
+    // variants sit far from their base ~cosine 0.5) + planted canary
+    // partners for the 10 query ids at cosine 0.90-0.9999 (the
+    // embedding-dedup canary construction). Ground truth at this scale
+    // is analytic: each query's nearest neighbor IS its canary.
+    val e0 = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("vec"))
+    val copies = spark.range(200).select(col("id").cast("int").as("c"))
+    val variants = e0.crossJoin(copies)
+      .select((col("vec_id") + col("c") * lit(100000L)).as("vec_id"),
+        when(col("c") === 0, col("vec")).otherwise(
+          expr("transform(vec, (x, d) -> x * (1.0 + ((c * 31 + d) % 13" +
+            " - 6) * 0.5))")).as("vec"))
+    val canaries = e0.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+        expr("transform(vec, (x, d) -> CASE WHEN d < 32 THEN x ELSE" +
+          " x * (1.0 + (vec_id % 7 + 1) * 0.25) END)").as("vec"))
+    val corpus = variants.unionByName(canaries).persist()
+    val n = corpus.count()
+    assert(n > Similarity.AnnPinnedN,
+      s"corpus $n does not exceed the pin cutoff — the adaptive " +
+        "branch is not exercised")
+    val (abits, atables) = Similarity.annConfig(n)
+    assert((abits, atables) != (4, 8), "annConfig stayed pinned")
+    def canaryRecall(out: org.apache.spark.sql.DataFrame): Long =
+      out.filter(col("cand_id") === col("q_id") + 100000000L).count()
+    val fixedOut = Similarity.hyperplaneTopK(spark, corpus, 4, 8)
+    val adaptOut = Similarity.hyperplaneTopK(spark, corpus, abits, atables)
+    val (fixedHits, adaptHits) = (canaryRecall(fixedOut),
+      canaryRecall(adaptOut))
+    assert(fixedHits > 0, "fixed baseline found no canary — vacuous")
+    assert(adaptHits >= fixedHits,
+      s"adaptive canary recall $adaptHits below fixed $fixedHits")
+    // the scale claim: per-query candidates ~tables*32, a fraction of
+    // the fixed family's ~N/2 linear growth
+    def candCount(bits: Int, tables: Int): Long = {
+      val b = Similarity.hyperplaneBuckets(spark, corpus, bits, tables)
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+      b.join(broadcast(q),
+        col("tbl") === col("q_tbl") &&
+          col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id").distinct().count()
+    }
+    val (fixedCands, adaptCands) = (candCount(4, 8),
+      candCount(abits, atables))
+    assert(adaptCands * 2 < fixedCands,
+      s"adaptive candidates $adaptCands not below half of fixed " +
+        s"$fixedCands — the sizing bought nothing")
+    corpus.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("PQ+ADC re-rank recalls the exact L2 top-5 and codebook is self-consistent") {
     val pq = SparkEntry.queries("sim_pq_adc")(spark, sf).collect()
     assert(pq.length == 50, "10 queries x top-5")

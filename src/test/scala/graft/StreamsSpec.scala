@@ -493,7 +493,7 @@ class StreamsSpec extends SparkSpec {
     * the engine's verdicts are not a function of its own state. */
   private def minhashStateVerdicts(stateRoot: String)
       : org.apache.spark.sql.DataFrame = {
-    val post = spark.read.parquet(s"$stateRoot/postings")
+    val post = operators.StateManifest.read(spark, s"$stateRoot/postings").get
       .select(col("doc_id"),
         transform(col("hs"), x => coalesce(x, lit(0L))).as("hs"),
         col("band_id"), col("bkey"),
@@ -519,7 +519,7 @@ class StreamsSpec extends SparkSpec {
   private def ivfStateVerdicts(stateRoot: String)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorExprs
-    val post = spark.read.parquet(s"$stateRoot/postings")
+    val post = operators.StateManifest.read(spark, s"$stateRoot/postings").get
     def akey(seq: org.apache.spark.sql.Column,
         d: org.apache.spark.sql.Column) = seq * lit(1099511627776L) + d
     val cos = VectorExprs.cosine(spark, col("x.vec"), col("y.vec"))
@@ -553,8 +553,178 @@ class StreamsSpec extends SparkSpec {
   }
 
   private def parquetFiles(dir: java.nio.file.Path): Int =
-    Option(dir.toFile.listFiles()).map(_.count(f =>
-      f.getName.endsWith(".parquet"))).getOrElse(0)
+    operators.StateManifest.partFileCount(dir.toString)
+
+  /** Same recomputation for the pHash ingest: pairs from the band
+    * postings via the direct in-bucket join (ungated — complete by the
+    * same pigeonhole, and ground truth must not share the routing code
+    * under test), Hamming-≤3 verify, seq direction. */
+  private def phashStateVerdicts(stateRoot: String)
+      : org.apache.spark.sql.DataFrame = {
+    val post =
+      operators.StateManifest.read(spark, s"$stateRoot/postings").get
+    def akey(seq: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) = seq * lit(1099511627776L) + d
+    val ham = Seq("s0", "s1", "s2", "s3").map(c =>
+      bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))).cast("long"))
+      .reduce(_ + _)
+    val pairs = post.as("x")
+      .join(post.as("y"),
+        col("x.si") === col("y.si") && col("x.sv") === col("y.sv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= 3)
+      .select(col("x.doc_id").as("xa"), col("y.doc_id").as("ya"),
+        akey(col("x.seq"), col("x.doc_id")).as("ka"),
+        akey(col("y.seq"), col("y.doc_id")).as("kb"))
+      .distinct()
+    stateDirected(pairs, post, "doc_id")
+  }
+
+  test("incremental pHash media index AvailableNow parity: a " +
+      "file-source run maintaining manifest-committed band postings " +
+      "reproduces the batch-decomposed ingest-time verdicts exactly") {
+    val base = Paths.get(s"${Tables.scratchRoot}/phash_incr")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (streamedDf, batches) =
+      operators.Multimodal.phashIndexIngest(spark, sf, base.toString)
+    assert(batches == 3,
+      s"expected 3 micro-batches (one per file drop), got $batches")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    val streamed = rows(streamedDf)
+    val batchForm =
+      rows(SparkEntry.queries("multimodal_phash_incremental")(spark, sf))
+    assert(streamed == batchForm,
+      s"streamed pHash verdicts diverge from the batch form: " +
+        s"${streamed.diff(batchForm).take(5)} vs " +
+        s"${batchForm.diff(streamed).take(5)}")
+    // non-vacuous: the planted perturbed copies must actually block
+    val blocked = streamed.count(!_._4)
+    assert(blocked > 0, "no media was ever blocked — vacuous parity")
+
+    // scrambled processing order: direction must derive from the
+    // persisted seq, pinned against the state-only recomputation
+    val base2 = Paths.get(s"${Tables.scratchRoot}/phash_incr_scram")
+    if (Files.exists(base2)) {
+      Files.walk(base2).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (scrambledDf, _) = operators.Multimodal.phashIndexIngest(
+      spark, sf, base2.toString, scrambleOrder = true)
+    val firstOffset = new String(Files.readAllBytes(
+      base2.resolve("ckpt/sources/0/0")))
+    assert(firstOffset.contains("/b2/"),
+      s"mtime scramble did not reorder the file source: $firstOffset")
+    assert(rows(scrambledDf) == rows(phashStateVerdicts(base2.toString)),
+      "scrambled-order pHash verdicts diverge from the recomputation " +
+        "off persisted state — the direction is not state-derived")
+
+    // hash-split drops: batch membership not derivable from the id
+    val base3 = Paths.get(s"${Tables.scratchRoot}/phash_incr_hash")
+    if (Files.exists(base3)) {
+      Files.walk(base3).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val (hashDf, _) = operators.Multimodal.phashIndexIngest(
+      spark, sf, base3.toString, hashSplit = true)
+    val hashRows = rows(hashDf)
+    assert(hashRows == rows(phashStateVerdicts(base3.toString)),
+      "hash-split pHash verdicts diverge from the recomputation off " +
+        "persisted state")
+    assert(hashRows.exists(r => r._2 != r._1 % 3),
+      "every hash-split media landed in its id%3 batch — the " +
+        "membership decoupling is vacuous")
+    spark.catalog.clearCache()
+  }
+
+  test("StateManifest: a kill between the compaction write and the " +
+      "manifest swap leaves the committed state fully intact, and " +
+      "batch tags stay replay-idempotent across a compaction") {
+    import spark.implicits._
+    val root = s"${Tables.scratchRoot}/manifest_kill"
+    val rootP = Paths.get(root)
+    if (Files.exists(rootP)) {
+      Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val M = operators.StateManifest
+    M.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "b0")
+    M.append(spark, root, Seq((3L, "c")).toDF("id", "v"), "b1")
+    def state(): Seq[(Long, String)] =
+      M.read(spark, root).get.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val before = state()
+    assert(before == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the crash window: the compacted rewrite is fully written but the
+    // manifest swap never happens — readers must see the OLD state,
+    // byte-for-byte (no torn reads, no partial dir lists)
+    val v = M.prepareReplace(spark, root,
+      M.read(spark, root).get, "compact", nFiles = 1)
+    assert(state() == before,
+      "an uncommitted replacement changed the visible state")
+    assert(M.entries(root).size == 2,
+      "an uncommitted replacement changed the manifest entry list")
+    // the swap commits: same content, one data dir, orphans vacuumed
+    M.commitReplace(root, v, "compact")
+    assert(state() == before, "the compaction swap changed the content")
+    assert(M.entries(root).size == 1)
+    assert(Option(new java.io.File(root).listFiles()).get
+      .count(_.getName.startsWith("data_v")) == 1,
+      "superseded data dirs were not vacuumed")
+    // replay idempotence ACROSS the compaction: the applied-tag history
+    // survives the manifest rewrite, so re-appending an already-folded
+    // batch is a no-op (the pre-manifest append had exactly this
+    // double-append exposure)
+    M.append(spark, root, Seq((3L, "c")).toDF("id", "v"), "b1")
+    assert(state() == before,
+      "a replayed batch tag double-appended after compaction")
+  }
+
+  test("contribution-log retention TTL: expired docs' verdicts are " +
+      "dropped by policy; verdicts inside the retained window are " +
+      "untouched") {
+    val baseAll = Paths.get(s"${Tables.scratchRoot}/minhash_ttl_all")
+    val baseTtl = Paths.get(s"${Tables.scratchRoot}/minhash_ttl_1")
+    for (b <- Seq(baseAll, baseTtl)) {
+      if (Files.exists(b)) {
+        Files.walk(b).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    // control: maintain every batch, keep everything
+    val (allDf, _) = operators.Dedup.minhashIndexIngest(
+      spark, sf, baseAll.toString, compactEvery = 1)
+    // retained: same cadence, TTL = 1 batch — after the final
+    // maintenance (curSeq=2) only dseq=2 contributions survive
+    val (ttlDf, _) = operators.Dedup.minhashIndexIngest(
+      spark, sf, baseTtl.toString, compactEvery = 1, retainBatches = 1)
+    val contribs =
+      operators.StateManifest.read(spark, s"$baseTtl/verdicts").get
+    assert(contribs.filter(col("dseq") < 2).count() == 0,
+      "expired contributions survived the retention TTL")
+    assert(contribs.count() > 0,
+      "retention dropped the whole log — the window pin is vacuous")
+    // verdicts for docs in the retained window (ingest batch 2) are
+    // byte-identical to the keep-everything control...
+    val (allRows, ttlRows) = (rows(allDf), rows(ttlDf))
+    assert(allRows.filter(_._2 == 2L) == ttlRows.filter(_._2 == 2L),
+      "retention changed a verdict inside the retained window")
+    // ...and expired docs (batches 0-1) read as novel: their verdicts
+    // aged out of the log, which is exactly what the policy bound means
+    assert(ttlRows.filter(_._2 < 2L).forall(_._4),
+      "an expired doc kept a verdict the TTL should have dropped")
+    // the pin is non-vacuous only if retention actually changed rows
+    assert(allRows != ttlRows,
+      "TTL run identical to keep-all — no doc actually expired")
+  }
 
   test("incremental MinHash index AvailableNow parity: a file-source " +
       "run maintaining band postings in parquet reproduces the " +
@@ -606,8 +776,8 @@ class StreamsSpec extends SparkSpec {
     // retention: the contribution log folds to ≤1 row/doc at each
     // maintenance point, so it can never exceed the raw append log
     val (cc, cnc) = (
-      spark.read.parquet(s"$base/verdicts").count(),
-      spark.read.parquet(s"$baseNc/verdicts").count())
+      operators.StateManifest.read(spark, s"$base/verdicts").get.count(),
+      operators.StateManifest.read(spark, s"$baseNc/verdicts").get.count())
     assert(cc <= cnc, s"contribution retention grew the log: $cc > $cnc")
 
     // order-independence, state-derived (round-13 verdict task 3):
@@ -695,8 +865,9 @@ class StreamsSpec extends SparkSpec {
       parquetFiles(baseNc.resolve("postings")))
     assert(fc < fnc,
       s"compaction did not bound the postings file count: $fc !< $fnc")
-    assert(spark.read.parquet(s"$base/verdicts").count() <=
-      spark.read.parquet(s"$baseNc/verdicts").count(),
+    assert(
+      operators.StateManifest.read(spark, s"$base/verdicts").get.count() <=
+        operators.StateManifest.read(spark, s"$baseNc/verdicts").get.count(),
       "contribution retention grew the log")
 
     // order-independence, state-derived: scrambled processing order is
