@@ -170,7 +170,17 @@ object Multimodal extends QueryModule {
     * the N-row frame. */
   private[graft] def phashNearDupPairs(s: SparkSession, dir: String,
       gate: Long = PhashBandOccupancyGate): DataFrame =
-    phashPairsFromRouted(phashRoutedBandFrame(s, dir), gate)
+    // NO persist anywhere in this pipeline — measured twice this round:
+    // caching the routed band frame under the self-join read 69-165 s
+    // at 10× (vs 4.2-8.8 s uncached), and even caching just the narrow
+    // fingerprint frame ABOVE the exchanges read 169 s on the same row
+    // (BENCH_scale10_r15ops history) — InMemoryRelation under these
+    // skew-heavy self-joins consistently defeats the adaptive planning
+    // that keeps the dense buckets parallel. The fingerprint decode
+    // therefore deliberately re-runs per consumer (~5 cheap scans); at
+    // 100 TB the production form checkpoints fingerprints to a TABLE
+    // (storage, not executor cache) and reads that.
+    phashPairsGated(s, phashFingerprints(s, dir), gate)
 
   /** The persisted (doc, slice) band frame with per-(si, sv) measured
     * occupancy joined on — the routing input for the gated pair join
@@ -238,19 +248,35 @@ object Multimodal extends QueryModule {
         col("band.si"), col("band.sv"), col("band.cv"))
   }
 
+  /** The band frame with per-(si, sv) measured occupancy joined on —
+    * spec/probe introspection only (DedupSpec's heterogeneity pin, the
+    * ScaleStress occupancy stats). The QUERY path deliberately does NOT
+    * build this frame: round 15's first cut persisted it and joined
+    * occupancy onto every row, and the registered query regressed 13×
+    * at 10× (68.6 s vs round-14's 5.2 s, BENCH_scale10_r15ops round-1
+    * artifact) — the cache under the self-join replaced the skew-aware
+    * freshly-planned exchanges with a fixed-layout scan, and the occ
+    * column rode every shuffle row. The shipped plan routes via
+    * broadcast key joins instead (see phashPairsGated). */
   private[graft] def phashRoutedBandFrame(s: SparkSession, dir: String)
       : DataFrame = {
     val banded = phashBandFrameOf(phashFingerprints(s, dir))
-    // measured per-bucket occupancy: a ≤4·2¹⁶-row aggregate AQE
-    // broadcasts back onto the band frame. Persisted because both
-    // routes (and both join sides) consume it; callers release via
-    // clearCache (the minhashPairs convention).
     val occ = banded.groupBy("si", "sv").agg(count(lit(1)).as("occ"))
-    banded.join(occ, Seq("si", "sv")).persist()
+    banded.join(occ, Seq("si", "sv"))
   }
 
-  private def phashPairsFromRouted(routed: DataFrame, gate: Long)
+  private def phashPairsGated(s: SparkSession, fp: DataFrame, gate: Long)
       : DataFrame = {
+    val banded = phashBandFrameOf(fp)
+    // dense-bucket KEYS only (≤ 4·2¹⁶ rows, broadcast): routing is a
+    // bucket property, so an anti/semi join against the key set splits
+    // the band frame without an occupancy column riding the N·4 rows
+    // and without caching under the self-join — both sides keep the
+    // r14 plan shape (fresh exchanges, AQE skew handling intact).
+    val denseKeys = banded.groupBy("si", "sv")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > gate)
+      .select("si", "sv")
     val ham = Seq("s0", "s1", "s2", "s3").map(c =>
       bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))).cast("long"))
       .reduce(_ + _)
@@ -259,19 +285,21 @@ object Multimodal extends QueryModule {
       .filter(col("hamming") <= 3)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("hamming"))
-    // sparse buckets: the direct in-bucket join (the pre-r15 plan).
-    // Routing is a bucket property, so both members of any meeting
-    // share the route — no cross-route pair can exist.
-    val sparse = routed.filter(col("occ") <= gate)
+    // sparse buckets: the direct in-bucket join (the pre-r15 plan),
+    // minus the dense keys. Both members of any meeting share the
+    // bucket, hence the route — no cross-route pair can exist.
+    val sparse = banded
       .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
         col("si"), col("sv"))
+      .join(broadcast(denseKeys), Seq("si", "sv"), "left_anti")
     val direct = verified(sparse.as("x")
       .join(sparse.as("y"),
         col("x.si") === col("y.si") && col("x.sv") === col("y.sv") &&
           col("x.doc_id") < col("y.doc_id")))
     // dense buckets: re-block each member on the 4 sub-slices of its
     // 48-bit complement; the join key grows to (si, sv, ti, tv)
-    val sub = routed.filter(col("occ") > gate)
+    val sub = banded
+      .join(broadcast(denseKeys), Seq("si", "sv"), "left_semi")
       .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
         col("si"), col("sv"),
         explode(array((0 to 3).map(t =>
@@ -296,12 +324,22 @@ object Multimodal extends QueryModule {
   /** Occupancy threshold routing a (si, sv) band bucket to the direct
     * in-bucket join (≤ gate) vs 12-bit sub-band re-blocking (> gate).
     * Direct cost is ~occ²/2 Hamming probes; sub-banding costs a 4×
-    * row expansion plus ~occ²·4/2¹² expected probes on balanced
-    * complements — crossover lands at occ of a few hundred, and 256
-    * measured fastest in the round-15 dense-regime probe
-    * (BENCH_phash_gate_r15.json). Correctness never depends on the
-    * value: DedupSpec pins gate=0 / default / ∞ row-identical. */
-  private[graft] val PhashBandOccupancyGate = 256L
+    * row expansion plus the residual sub-bucket meetings — so the
+    * crossover sits where occ²/2 outgrows ~4·occ shuffle rows, i.e.
+    * occ in the tens. The round-15 10× fresh-JVM gate sweep on the
+    * natural corpus (largest fingerprint cluster occupancy 5617, 186
+    * dense buckets over a 38k-bucket sparse tail,
+    * BENCH_phash_gate_r15.json): gated(64) 7.1 s, all-sub 12.1 s,
+    * all-direct 5.6 s, pair sets identical — at 10× the dense mass is
+    * still small enough that the gate costs ~1.3× over direct, the
+    * insurance premium for the regime where it decides the query: the
+    * quadratic term grows with occupancy² (≈ copies²) while the
+    * sub-band path stays ~linear, so past this corpus's ~10⁶ media the
+    * direct plan degenerates (the r14 `weak`) and the gated one does
+    * not. 64 keeps the direct join only where the quadratic term is
+    * provably negligible. Correctness never depends on the value:
+    * DedupSpec pins gate=0 / default / ∞ row-identical. */
+  private[graft] val PhashBandOccupancyGate = 64L
 
   /** The REAL online form of multimodal_phash_incremental (spec driver
     * — StreamsSpec pins its parity with the registered batch-decomposed
@@ -365,9 +403,13 @@ object Multimodal extends QueryModule {
         // occupancy over the domain THIS join runs in (index ∪ batch),
         // recomputed per batch from state — the same gate that keeps
         // the batch pipeline's dense buckets sub-quadratic keeps the
-        // per-batch meet bounded as the index grows
-        val occ = un.groupBy("si", "sv").agg(count(lit(1)).as("occ"))
-        val routed = un.join(occ, Seq("si", "sv")).persist()
+        // per-batch meet bounded as the index grows. Broadcast-key
+        // routing, same as the batch pipeline (never an occ column
+        // riding the frame, never a cache under the join).
+        val denseKeys = un.groupBy("si", "sv")
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > gate)
+          .select("si", "sv")
         def meet(xs: DataFrame, ys: DataFrame, subKeys: Boolean)
             : DataFrame = {
           val onKeys = col("x.si") === col("y.si") &&
@@ -392,8 +434,10 @@ object Multimodal extends QueryModule {
           .select(col("doc_id"), col("s0"), col("s1"), col("s2"),
             col("s3"), col("si"), col("sv"), col("seq"), col("in_index"),
             col("sb.ti"), col("sb.tv"))
-        val sparse = routed.filter(col("occ") <= gate)
-        val dense = routed.filter(col("occ") > gate)
+        val sparse = un.drop("cv")
+          .join(broadcast(denseKeys), Seq("si", "sv"), "left_anti")
+        val dense = un
+          .join(broadcast(denseKeys), Seq("si", "sv"), "left_semi")
         val pairs = meet(sparse, sparse.filter(!col("in_index")), false)
           .unionByName(
             meet(subbed(dense), subbed(dense.filter(!col("in_index"))),
@@ -408,7 +452,6 @@ object Multimodal extends QueryModule {
           lit(batchId).as("dseq"))
         StateManifest.append(s, contribDir, contribs, s"b$batchId")
         StateManifest.append(s, postDir, frame, s"b$batchId")
-        routed.unpersist()
         frame.unpersist()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Dedup.compactStateDir(s, postDir, nFiles = compactFiles)

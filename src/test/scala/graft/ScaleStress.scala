@@ -706,6 +706,172 @@ object ScaleStress {
           println(s"[scale] twostage_canary ERROR ${errors("twostage_canary")}")
           ""
       }
+    // bimodal two-stage canary (round-14 verdict task 6): the 10× gate
+    // sweep was the only run where BOTH branches were live — at 100×
+    // every swept quantizer was all-direct or all-LSH, so the per-cell
+    // routing's mixed regime had no at-scale measurement. Build a
+    // corpus with a bimodal cell distribution: ids ≥ k (so the natural
+    // codebook is untouched) with id % 4 == 0 are collapsed onto the
+    // first 8 centroid directions (per-dim jitter factors in
+    // [0.52, 1.48]: members stay nearest their template centroid at
+    // cos ≈ 0.96 but sit below the 0.95 verify against each other
+    // except same-residue exact-pattern twins — heavy dense-cell JOIN
+    // work, bounded output). Cells 0-7 then carry ~N/32 vectors each
+    // (dense at the 512 gate) while the rest keep ~N/(2k) ≈ 75
+    // (sparse): one run, both branches live. Verdicts: pair sets
+    // identical at gate=default/0/∞, and the gated wall-time must land
+    // between (or below) the two pure regimes.
+    val bimodalJson =
+      try {
+        if (probeMode != "all" && probeMode != "bimodal")
+          throw ProbeSkipped("probes off")
+        ensureAlive()
+        partitionsFor(scaledDir)
+        val bdir = s"${Tables.scratchRoot}/bimodal$copies"
+        val src = spark.read.parquet(s"$scaledDir/embeddings.parquet")
+        val nSrc = src.count()
+        val k = operators.Dedup.semCellCount(nSrc * 6 / 5)
+        val cents = src.filter(col("vec_id") < 8)
+          .select(pmod(col("vec_id"), lit(8L)).as("cid"),
+            col("embedding").cast("array<double>").as("cvec"))
+        src
+          .withColumn("cid",
+            when(col("vec_id") >= k && pmod(col("vec_id"), lit(4L)) === 0,
+              pmod(floor(col("vec_id") / 4), lit(8L)).cast("long"))
+              .otherwise(lit(-1L)))
+          .join(broadcast(cents), Seq("cid"), "left")
+          .select(col("vec_id"), col("label"),
+            when(col("cid") < 0, col("embedding")).otherwise(
+              expr("""cast(transform(cvec, (x, d) ->
+                        x * (1.0 + ((vec_id * 31 + d) % 13 - 6) * 0.08))
+                      as array<float>)""")).as("embedding"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$bdir/embeddings.parquet")
+        val gate = operators.Dedup.TwoStageOccupancyGate
+        val occs = operators.Dedup.semCellAssign(spark,
+          operators.Dedup.embPlantedCorpus(spark, bdir),
+          operators.Dedup.semCellCodebook(spark, bdir, k))
+          .groupBy("cell").agg(count(lit(1)).as("occ")).persist()
+        val denseCells = occs.filter(col("occ") > gate).count()
+        val sparseCells = occs.filter(col("occ") <= gate).count()
+        val occMax = occs.agg(max("occ")).head.getLong(0)
+        occs.unpersist()
+        spark.catalog.clearCache()
+        require(denseCells > 0 && sparseCells > 0,
+          s"bimodal corpus is not bimodal at gate $gate: " +
+            s"$denseCells dense / $sparseCells sparse")
+        def run(g: Long): (Double, Long) = {
+          ensureAlive()
+          val t0 = System.nanoTime()
+          val n = operators.Dedup.semCellTwoStagePairs(spark, bdir, k,
+            gate = g).count()
+          val sec =
+            math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+          spark.catalog.clearCache()
+          (sec, n)
+        }
+        val (tGated, nGated) = run(gate)
+        val (tAllLsh, nAllLsh) = run(0L)
+        val (tAllDirect, nAllDirect) = run(Long.MaxValue)
+        require(nGated == nAllLsh && nGated == nAllDirect,
+          s"bimodal pair sets diverge across gates: " +
+            s"$nGated/$nAllLsh/$nAllDirect")
+        println(f"[scale] bimodal canary k=$k dense=$denseCells " +
+          f"sparse=$sparseCells occMax=$occMax " +
+          f"gated=${tGated}s allLsh=${tAllLsh}s allDirect=${tAllDirect}s " +
+          f"pairs=$nGated")
+        s""","bimodal_canary":{"k":$k,"gate":$gate,""" +
+          s""""dense_cells":$denseCells,"sparse_cells":$sparseCells,""" +
+          s""""occ_max":$occMax,"pairs":$nGated,""" +
+          s""""gated_sec":$tGated,"all_lsh_sec":$tAllLsh,""" +
+          s""""all_direct_sec":$tAllDirect}"""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("bimodal_canary") = r
+          println(s"[scale] bimodal_canary skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("bimodal_canary") =
+            e.toString.takeWhile(_ != '\n').take(200)
+          println(s"[scale] bimodal_canary ERROR ${errors("bimodal_canary")}")
+          ""
+      }
+    // pHash gate canary (round-15, the sub-banding scale demo): sweep
+    // gate ∈ {default = mixed routing, 0 = all sub-banded, ∞ = all
+    // direct (the pre-r15 plan, copies ≤ 10 only)} on the natural
+    // scaled corpus; pair sets must be identical, and the artifact
+    // records the occupancy the routing actually faces.
+    val phashGateJson =
+      try {
+        if (probeMode != "all" && probeMode != "phashgate")
+          throw ProbeSkipped("probes off")
+        ensureAlive()
+        partitionsFor(scaledDir)
+        // the NATURAL scaled corpus already carries the dense regime:
+        // the sf0.1 documents hold near-identical fingerprint families
+        // whose largest (si, sv) bucket reaches occupancy 5617 at 10×
+        // — far past the gate — next to a ~38k-bucket sparse tail, so
+        // one sweep measures mixed routing, not a synthetic corpus (a
+        // first-cut collapsed-template corpus produced near-identical
+        // fingerprints ACROSS families — quadratic output, probe
+        // unusable). gate=∞ is the pre-r15 single-join plan; its arm
+        // is quadratic in the densest bucket, so it only runs at
+        // copies ≤ 10 (at 100× it would be the hours-long degenerate
+        // the gate exists to remove — the 10× run pins the pair-set
+        // equality that makes the two plans interchangeable).
+        val gate = operators.Multimodal.PhashBandOccupancyGate
+        val bOccs = operators.Multimodal
+          .phashRoutedBandFrame(spark, scaledDir)
+          .select("si", "sv", "occ").distinct().persist()
+        val denseB = bOccs.filter(col("occ") > gate).count()
+        val sparseB = bOccs.filter(col("occ") <= gate).count()
+        val occMax = bOccs.agg(max("occ")).head.getLong(0)
+        bOccs.unpersist()
+        spark.catalog.clearCache()
+        require(denseB > 0 && sparseB > 0,
+          s"scaled corpus not mixed at gate $gate: " +
+            s"$denseB dense / $sparseB sparse buckets")
+        def run(g: Long): (Double, Long) = {
+          ensureAlive()
+          val t0 = System.nanoTime()
+          val n = operators.Multimodal.phashNearDupPairs(spark, scaledDir,
+            gate = g).count()
+          val sec =
+            math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+          spark.catalog.clearCache()
+          (sec, n)
+        }
+        val (tGated, nGated) = run(gate)
+        val (tAllSub, nAllSub) = run(0L)
+        require(nGated == nAllSub,
+          s"pHash pair sets diverge: gated $nGated != all-sub $nAllSub")
+        val directJson =
+          if (copies <= 10) {
+            val (tAllDirect, nAllDirect) = run(Long.MaxValue)
+            require(nGated == nAllDirect,
+              s"pHash pair sets diverge: gated $nGated != " +
+                s"all-direct $nAllDirect")
+            s""","all_direct_sec":$tAllDirect"""
+          } else ""
+        println(f"[scale] phash gate canary dense=$denseB " +
+          f"sparse=$sparseB occMax=$occMax " +
+          f"gated=${tGated}s allSub=${tAllSub}s$directJson pairs=$nGated")
+        s""","phash_gate_canary":{"gate":$gate,""" +
+          s""""dense_buckets":$denseB,"sparse_buckets":$sparseB,""" +
+          s""""occ_max":$occMax,"pairs":$nGated,""" +
+          s""""gated_sec":$tGated,"all_sub_sec":$tAllSub$directJson}"""
+      } catch {
+        case ProbeSkipped(r) =>
+          skipped("phash_gate_canary") = r
+          println(s"[scale] phash_gate_canary skipped: $r")
+          ""
+        case e: Throwable =>
+          errors("phash_gate_canary") =
+            e.toString.takeWhile(_ != '\n').take(200)
+          println(
+            s"[scale] phash_gate_canary ERROR ${errors("phash_gate_canary")}")
+          ""
+      }
     // triangle wedge probe (round-9 verdict item 3): measure the wedge
     // and closed-wedge counts behind graph_triangle_count's scale ratio,
     // so "growth is join width bounded by degree orientation" is a
@@ -873,6 +1039,7 @@ object ScaleStress {
       s"""{"base":"$baseDir","copies":$copies,""" +
       s""""queries":{${rowsOut.result()}},"errors":$errJson,""" +
       s""""skipped":$skipJson$candJson$semCellJson$twoStageJson""" +
+      s"""$bimodalJson$phashGateJson""" +
       s"""$wedgeJson$textCanaryJson$zipfJson,""" +
       s""""load_before":${arr(loadBefore)},"load_after":${arr(loadAfter)},""" +
       s""""nproc":${Runtime.getRuntime.availableProcessors},""" +
