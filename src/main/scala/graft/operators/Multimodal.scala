@@ -265,18 +265,63 @@ object Multimodal extends QueryModule {
     banded.join(occ, Seq("si", "sv"))
   }
 
+  /** The (si, sv) bucket keys the gated pair join routes to 12-bit
+    * sub-band re-blocking — a TWO-stage measured decision over any
+    * frame carrying (si, sv, cv):
+    *
+    *  1. occupancy > gate (the bucket's direct join has a quadratic
+    *     term worth removing), AND
+    *  2. sub-banding actually SPLITS the bucket: 2·Σ subocc² ≤ occ²
+    *     (sub-join meetings at most half the direct join's).
+    *
+    * Stage 2 is what round 15's 100× crash taught: a bucket can be
+    * dense for two different reasons. COINCIDENCE-dense buckets —
+    * unrelated media colliding on one 16-bit slice as 4N/2¹⁶ grows,
+    * exactly the r14 `weak`'s regime — have spread complements, so
+    * sub-buckets shrink ~2¹²× and re-blocking wins. FAMILY-dense
+    * buckets — near-identical media — share their complements too, so
+    * every sub-bucket stays bucket-sized and the 4× re-block only
+    * MULTIPLIES the quadratic term (measured: the 100× run's executor
+    * died of missed heartbeats under 4× the meeting volume r14's
+    * direct plan finished in 73.6 s). Family buckets' pair OUTPUT is
+    * quadratic regardless — no blocking scheme beats output size —
+    * so they keep the direct join, and the production pipeline bounds
+    * them upstream (exact-dedup + cluster keepers), as the query
+    * scaladoc has said since r14. Both routes verify the same
+    * Hamming ≤ 3, so routing never changes the pair set (DedupSpec
+    * pins it at gate = 0 / default / ∞). */
+  private[graft] def phashSubRouteKeys(banded: DataFrame, gate: Long)
+      : DataFrame = {
+    val denseOcc = banded.groupBy("si", "sv")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > gate)
+    val denseRows = banded
+      .join(broadcast(denseOcc.select("si", "sv")), Seq("si", "sv"),
+        "left_semi")
+    denseRows
+      .select(col("si"), col("sv"),
+        explode(array((0 to 3).map(t =>
+          struct(lit(t).as("ti"),
+            shiftrightunsigned(col("cv"), 12 * t)
+              .bitwiseAND(lit(4095L)).as("tv"))): _*)).as("sb"))
+      .groupBy(col("si"), col("sv"), col("sb.ti"), col("sb.tv"))
+      .agg(count(lit(1)).as("so"))
+      .groupBy("si", "sv")
+      .agg(sum(col("so") * col("so")).as("sumsq"))
+      .join(denseOcc, Seq("si", "sv"))
+      .filter(col("sumsq") * 2 <= col("occ") * col("occ"))
+      .select("si", "sv")
+  }
+
   private def phashPairsGated(s: SparkSession, fp: DataFrame, gate: Long)
       : DataFrame = {
     val banded = phashBandFrameOf(fp)
-    // dense-bucket KEYS only (≤ 4·2¹⁶ rows, broadcast): routing is a
-    // bucket property, so an anti/semi join against the key set splits
-    // the band frame without an occupancy column riding the N·4 rows
-    // and without caching under the self-join — both sides keep the
-    // r14 plan shape (fresh exchanges, AQE skew handling intact).
-    val denseKeys = banded.groupBy("si", "sv")
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > gate)
-      .select("si", "sv")
+    // sub-routed bucket KEYS only (≤ 4·2¹⁶ rows, broadcast): routing
+    // is a bucket property, so an anti/semi join against the key set
+    // splits the band frame without an occupancy column riding the N·4
+    // rows and without caching under the self-join — both sides keep
+    // the r14 plan shape (fresh exchanges, AQE skew handling intact).
+    val denseKeys = phashSubRouteKeys(banded, gate)
     val ham = Seq("s0", "s1", "s2", "s3").map(c =>
       bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))).cast("long"))
       .reduce(_ + _)
@@ -326,19 +371,21 @@ object Multimodal extends QueryModule {
     * Direct cost is ~occ²/2 Hamming probes; sub-banding costs a 4×
     * row expansion plus the residual sub-bucket meetings — so the
     * crossover sits where occ²/2 outgrows ~4·occ shuffle rows, i.e.
-    * occ in the tens. The round-15 10× fresh-JVM gate sweep on the
-    * natural corpus (largest fingerprint cluster occupancy 5617, 186
-    * dense buckets over a 38k-bucket sparse tail,
-    * BENCH_phash_gate_r15.json): gated(64) 7.1 s, all-sub 12.1 s,
-    * all-direct 5.6 s, pair sets identical — at 10× the dense mass is
-    * still small enough that the gate costs ~1.3× over direct, the
-    * insurance premium for the regime where it decides the query: the
-    * quadratic term grows with occupancy² (≈ copies²) while the
-    * sub-band path stays ~linear, so past this corpus's ~10⁶ media the
-    * direct plan degenerates (the r14 `weak`) and the gated one does
-    * not. 64 keeps the direct join only where the quadratic term is
-    * provably negligible. Correctness never depends on the value:
-    * DedupSpec pins gate=0 / default / ∞ row-identical. */
+    * occ in the tens. The round-15 10× gate sweeps on the natural
+    * corpus (largest fingerprint cluster occupancy 5617, 186 dense
+    * buckets over a 38k-bucket sparse tail — family-dense, so the
+    * stage-2 splittability test routes them DIRECT; see
+    * phashSubRouteKeys) read gated within ~1.3-2× of all-direct
+    * across runs (fresh-JVM 7.1 s vs 5.6 s; final-code 9.8 s vs
+    * 4.8 s on a post-campaign box — BENCH_scale10_r15ops.json
+    * phash_gate_canary), pair sets identical every time: at 10× the
+    * gate is an insurance premium, and it decides the query in the
+    * regime it exists for — the coincidence-dense buckets whose
+    * occupancy grows 4N/2¹⁶ (the r14 `weak`), where the direct plan
+    * is occupancy-quadratic and the sub-band path stays ~linear. 64
+    * keeps the direct join where the quadratic term is provably
+    * negligible. Correctness never depends on the value: DedupSpec
+    * pins gate=0 / default / ∞ row-identical. */
   private[graft] val PhashBandOccupancyGate = 64L
 
   /** The REAL online form of multimodal_phash_incremental (spec driver
@@ -400,16 +447,12 @@ object Multimodal extends QueryModule {
         val idx = StateManifest.read(s, postDir).getOrElse(frame.limit(0))
         val un = idx.withColumn("in_index", lit(true))
           .unionByName(frame.withColumn("in_index", lit(false)))
-        // occupancy over the domain THIS join runs in (index ∪ batch),
-        // recomputed per batch from state — the same gate that keeps
-        // the batch pipeline's dense buckets sub-quadratic keeps the
-        // per-batch meet bounded as the index grows. Broadcast-key
-        // routing, same as the batch pipeline (never an occ column
-        // riding the frame, never a cache under the join).
-        val denseKeys = un.groupBy("si", "sv")
-          .agg(count(lit(1)).as("occ"))
-          .filter(col("occ") > gate)
-          .select("si", "sv")
+        // routing measured over the domain THIS join runs in (index ∪
+        // batch), recomputed per batch from state — the same two-stage
+        // decision as the batch pipeline (occupancy > gate AND the
+        // sub-slices actually split the bucket), broadcast keys, never
+        // an occ column riding the frame, never a cache under the join
+        val denseKeys = phashSubRouteKeys(un, gate)
         def meet(xs: DataFrame, ys: DataFrame, subKeys: Boolean)
             : DataFrame = {
           val onKeys = col("x.si") === col("y.si") &&

@@ -712,15 +712,20 @@ object ScaleStress {
     // routing's mixed regime had no at-scale measurement. Build a
     // corpus with a bimodal cell distribution: ids ≥ k (so the natural
     // codebook is untouched) with id % 4 == 0 are collapsed onto the
-    // first 8 centroid directions (per-dim jitter factors in
-    // [0.52, 1.48]: members stay nearest their template centroid at
-    // cos ≈ 0.96 but sit below the 0.95 verify against each other
-    // except same-residue exact-pattern twins — heavy dense-cell JOIN
-    // work, bounded output). Cells 0-7 then carry ~N/32 vectors each
-    // (dense at the 512 gate) while the rest keep ~N/(2k) ≈ 75
-    // (sparse): one run, both branches live. Verdicts: pair sets
-    // identical at gate=default/0/∞, and the gated wall-time must land
-    // between (or below) the two pure regimes.
+    // first 8 centroid directions with CONTINUOUS per-dim jitter
+    // (factors 1 + u·0.75, u ≈ uniform[-1,1] from a per-(id,dim) hash):
+    // members stay nearest their template centroid (cos ≈ 0.92 vs
+    // ~0.5 elsewhere) but sit robustly BELOW the 0.95 verify against
+    // each other (mutual cos ≈ 0.85) — heavy dense-cell JOIN work,
+    // output linear (the planted canaries are the verified pairs).
+    // Continuous jitter matters: a first cut used 13 residue-class
+    // factor patterns and the structured family resonated with the
+    // deterministic hyperplanes — 64k of 44.6M near-threshold pairs
+    // missed the LSH envelope (pair sets diverged). Cells 0-7 then
+    // carry thousands of vectors each (dense at the 512 gate) while
+    // the rest keep ~N/(2k) ≈ 75 (sparse): one run, both branches
+    // live. Verdicts: pair sets identical at gate=default/0/∞, and
+    // the gated wall-time must land at or below the pure regimes.
     val bimodalJson =
       try {
         if (probeMode != "all" && probeMode != "bimodal")
@@ -742,8 +747,17 @@ object ScaleStress {
           .join(broadcast(cents), Seq("cid"), "left")
           .select(col("vec_id"), col("label"),
             when(col("cid") < 0, col("embedding")).otherwise(
+              // the jitter hash MUST mix id and dim multiplicatively
+              // (the buildScaled sign-flip lesson): an additive
+              // vec_id·A + d·B form makes every member's factor
+              // sequence a shifted copy of one mod-p ramp — pairs then
+              // sit at cosine ≈ 1 and the dense cells turn
+              // output-quadratic (measured: 26M pairs where the
+              // design predicts ~10⁴)
               expr("""cast(transform(cvec, (x, d) ->
-                        x * (1.0 + ((vec_id * 31 + d) % 13 - 6) * 0.08))
+                        x * (1.0 + (pmod(pmod((vec_id + 13) * (2 * d + 1),
+                                              1000003) * 2654435761,
+                                         1000003) / 1000003.0 - 0.5) * 1.5))
                       as array<float>)""")).as("embedding"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$bdir/embeddings.parquet")
