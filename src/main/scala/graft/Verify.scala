@@ -117,6 +117,14 @@ object Verify {
       }
     }
 
+    // sample_bernoulli_seeded is deliberately KEPT allowlisted (r15
+    // verdict task 7 adjudication): the row's SUBJECT is Spark's native
+    // sample() — a partition-seeded XORShift draw whose selected set is
+    // a function of physical layout, which no SQL engine can replay.
+    // Converting it to seeded-hash membership would duplicate the
+    // already-hash-oracled sample_hash_deterministic and stop covering
+    // the native sampler's draw path entirely; the CLT envelope below
+    // is the strongest cross-engine statement that exists for it.
     if (grade("sample_bernoulli_seeded")) {
       val n = Tables.rowCount(spark, sfDir, "lineitem").toDouble
       val sigma = math.sqrt(0.1 * 0.9 * n)

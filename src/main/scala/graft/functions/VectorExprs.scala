@@ -166,28 +166,32 @@ object VectorOps {
   def nearestCentroid(vec: ArrayData, cb: ArrayData): Long = {
     val k = cb.numElements()
     val m = cbMemo.get()
-    // Rotate-xor fold over EVERY 8-byte word of the buffer (ADVICE r14:
+    // FNV-style fold over EVERY 8-byte word of the buffer (ADVICE r14:
     // a strided sample can alias two codebooks differing only at
-    // unsampled interior words). O(sz/8) loads — same order as the k·d
-    // cosine loop this memo guards, so a miss still dominates. The last
-    // word is anchored at sz-8 (overlapping when sz % 8 != 0) so every
-    // byte is covered.
+    // unsampled interior words; ADVICE r15: a pure rotate(7)-xor fold is
+    // position-INSENSITIVE at stride 64 words — 7·64 ≡ 0 (mod 64) — so
+    // buffers differing by a 512-byte-apart word swap collide. The
+    // multiply makes each position's contribution depend on how many
+    // words follow it, so no permutation of distinct words collides).
+    // O(sz/8) loads — same order as the k·d cosine loop this memo
+    // guards, so a miss still dominates. The last word is anchored at
+    // sz-8 (overlapping when sz % 8 != 0) so every byte is covered.
     def stridedFp(u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData)
         : Long = {
       val sz = u.getSizeInBytes
       if (sz < 8) return sz.toLong
-      var acc = 0L
+      var acc = -3750763034362895579L // FNV-1a 64-bit offset basis
       val lim = (sz - 8).toLong
       var off = 0L
       while (off < lim) {
         val w = org.apache.spark.unsafe.Platform.getLong(
           u.getBaseObject, u.getBaseOffset + off)
-        acc = java.lang.Long.rotateLeft(acc, 7) ^ w
+        acc = (acc ^ w) * 1099511628211L // FNV 64-bit prime
         off += 8
       }
       val tail = org.apache.spark.unsafe.Platform.getLong(
         u.getBaseObject, u.getBaseOffset + lim)
-      java.lang.Long.rotateLeft(acc, 7) ^ tail
+      (acc ^ tail) * 1099511628211L
     }
     val hit = cb match {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>

@@ -477,6 +477,11 @@ object Dedup extends QueryModule {
           compactStateDir(s, postDir, nFiles = compactFiles)
           retainContribs(s, contribDir, nFiles = compactFiles,
             retainBatches = retainBatches, curSeq = batchId)
+          // tag-horizon prune (r15 verdict task 4): every batch below
+          // the one executing is streaming-checkpoint-committed, so its
+          // tag can never be replayed — drop it from the manifest
+          StateManifest.pruneBatchTagsBelow(postDir, batchId)
+          StateManifest.pruneBatchTagsBelow(contribDir, batchId)
         }
         nBatches.incrementAndGet()
         ()
@@ -603,6 +608,11 @@ object Dedup extends QueryModule {
           compactStateDir(s, postDir, nFiles = compactFiles)
           retainContribs(s, contribDir, nFiles = compactFiles,
             retainBatches = retainBatches, curSeq = batchId)
+          // tag-horizon prune (r15 verdict task 4): every batch below
+          // the one executing is streaming-checkpoint-committed, so its
+          // tag can never be replayed — drop it from the manifest
+          StateManifest.pruneBatchTagsBelow(postDir, batchId)
+          StateManifest.pruneBatchTagsBelow(contribDir, batchId)
         }
         nBatches.incrementAndGet()
         ()
@@ -1057,6 +1067,48 @@ object Dedup extends QueryModule {
     // harness value would otherwise override the measured width.
     val loopWidth = math.max(8L, edges.count() / RowsPerLoopTask)
     Tables.withLoopWidth(s, loopWidth)(componentsLoop(edges))
+  }
+
+  /** Resolve every node of a parent-pointer FOREST to its root by
+    * pointer doubling: input (m, p) with p = m exactly at roots (an
+    * ingest-verdict chain always terminates — each verdict points at a
+    * strictly earlier arrival). Each round substitutes p := f(p) using
+    * the ALREADY-jumped frame on both sides, so the chased horizon
+    * doubles per round — O(log depth) rounds of two shuffles, the same
+    * convergence class as [[components]], with the same loud failure if
+    * the cap is somehow hit (a cycle — impossible for arrival-ordered
+    * verdicts — would spin forever otherwise). Consumer: the media
+    * tier's incremental keepers (multimodal_phash_keepers_incremental),
+    * which resolves each item's retained representative from the
+    * manifest-committed verdict forest. */
+  private[graft] def resolveRoots(par0: DataFrame): DataFrame = {
+    val s = par0.sparkSession
+    val par = par0.select(col("m"), col("p")).truncated
+    val loopWidth = math.max(8L, par.count() / RowsPerLoopTask)
+    Tables.withLoopWidth(s, loopWidth) {
+      var f = par
+      var changed = 1L
+      var iter = 0
+      val maxIters = 64
+      while (changed > 0 && iter < maxIters) {
+        // total join: every p is itself a node of the forest (roots
+        // self-map), so the jump lookup never drops a row
+        val nxt = f.as("a")
+          .join(f.select(col("m").as("jm"), col("p").as("jp")),
+            col("a.p") === col("jm"))
+          .select(col("a.m").as("m"), col("a.p").as("old"),
+            col("jp").as("p"))
+          .truncated
+        changed = nxt.filter(col("p") =!= col("old")).count()
+        f = nxt.drop("old")
+        iter += 1
+      }
+      if (changed > 0) {
+        throw new IllegalStateException(
+          s"root resolution did not converge in $maxIters rounds")
+      }
+      f
+    }
   }
 
   private def componentsLoop(edges: DataFrame): DataFrame = {

@@ -109,8 +109,18 @@ object Similarity extends QueryModule {
     * Plane identity is (tbl · bits + bit), so the pinned configuration
     * replays the identical DuckDB oracle either way. */
   private[graft] def hyperplaneTopK(s: SparkSession, e: DataFrame,
-      bits: Int, tables: Int): DataFrame = {
-    val buckets = hyperplaneBuckets(s, e, bits, tables)
+      bits: Int, tables: Int): DataFrame =
+    hyperplaneTopKFrom(s, e, hyperplaneBuckets(s, e, bits, tables))
+
+  /** The probe side of [[hyperplaneTopK]], taking the bucket table as
+    * an input — `buckets` may be the inline construction (the fixed
+    * baseline queries) or the persisted index table ([[hyperplaneIndex]]
+    * — sim_ann_adaptive's path, r15 verdict task 5). Only (vec_id, tbl,
+    * bucket) is consumed: vectors are re-attached by id-keyed joins, so
+    * an ids-only index table loses nothing (and column pruning already
+    * dropped the vectors from the inline frame here). */
+  private[graft] def hyperplaneTopKFrom(s: SparkSession, e: DataFrame,
+      buckets: DataFrame): DataFrame = {
     val q = buckets.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"),
         col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
@@ -141,6 +151,39 @@ object Similarity extends QueryModule {
         round(col("cos"), 6).as("cos_sim"))
       .filter(col("rn") <= 5)
       .orderBy("q_id", "rn")
+  }
+
+  /** Persisted hyperplane bucket INDEX — the amortized-ANN shape (r15
+    * verdict task 5): the table set is checkpointed to storage as a
+    * TABLE keyed by (corpus, N, bits, tables), the same
+    * checkpoint-to-table stance the pHash scaladoc mandates for
+    * fingerprints, so the registered query measures PROBE cost and the
+    * construction is a separate, reusable artifact (the committed r15
+    * 100× row was construction-bound at the bench's 10-query shape —
+    * 30.7 s amortizing only past ≈1,700 queries; with the index warm
+    * the query pays the broadcast bucket join alone). Build-if-absent:
+    * the first caller constructs the deterministic (vec_id, tbl,
+    * bucket) frame and commits it via [[StateManifest.replace]] (data
+    * first, manifest last — crash-safe, object-store-safe); every
+    * later caller, across JVMs, reads the manifest. Determinism: the
+    * planes are seeded by (tbl·bits+bit) alone, so the persisted
+    * content is bit-identical to the inline construction and the
+    * DuckDB oracle replays unchanged (hash-green either way). The key
+    * hashes the corpus DIR plus N and the config — fixture dirs are
+    * immutable here; a production deployment keys on table version. */
+  private[graft] def hyperplaneIndex(s: SparkSession, dir: String,
+      e: DataFrame, n: Long, bits: Int, tables: Int): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    val root =
+      s"${graft.Tables.scratchRoot}/ann_index/emb_${key}_n${n}_b${bits}x$tables"
+    if (StateManifest.currentVersion(root) == 0)
+      StateManifest.replace(s, root,
+        hyperplaneBuckets(s, e, bits, tables)
+          .select(col("vec_id"), col("tbl"), col("bucket")),
+        tag = "build", nFiles = 0)
+    StateManifest.read(s, root).get
   }
 
   /** (vec_id, vec, tbl, bucket) LSH bucket frame for an arbitrary
@@ -224,9 +267,23 @@ object Similarity extends QueryModule {
       "sim_ann_adaptive",
       Some(hyperplaneTopKSql),
       (s, dir) => {
-        val (bits, tables) = annConfig(
-          graft.Tables.footerRowCount(s, s"$dir/embeddings.parquet"))
-        hyperplaneTopK(s, emb(s, dir), bits, tables)
+        val n = graft.Tables.footerRowCount(s, s"$dir/embeddings.parquet")
+        val (bits, tables) = annConfig(n)
+        // the oracle SQL hardcodes the pinned 4-bit × 8-table family; if
+        // an oracle-dump run ever points at a corpus where annConfig
+        // leaves the pinned branch (larger fixture, or an AnnPinnedN
+        // edit), fail loudly at the source instead of letting Spark run
+        // adaptive planes against a DuckDB replay of 4×8 (ADVICE r15)
+        if (sys.props.get("graft.oracle.run").contains("true"))
+          require((bits, tables) == (4, 8),
+            s"sim_ann_adaptive: oracle SQL pins (bits=4, tables=8) but " +
+              s"annConfig($n) gave ($bits, $tables) for $dir — " +
+              "pinned-config violation")
+        val e = emb(s, dir)
+        // probe against the PERSISTED index (build-if-absent, see
+        // hyperplaneIndex): the query measures probe cost; the
+        // construction is a reusable committed artifact
+        hyperplaneTopKFrom(s, e, hyperplaneIndex(s, dir, e, n, bits, tables))
       }),
 
     // multi-probe LSH ANN: same 8×4-bit tables as sim_ann_hyperplane, but

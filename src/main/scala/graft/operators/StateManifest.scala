@@ -33,17 +33,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale stance: the manifest is O(committed writes) driver-side
   * metadata, same class as the snapshot family's; the applied-tag set
-  * grows one short line per micro-batch and a production deployment
-  * prunes tags older than the streaming checkpoint horizon (a replay
-  * can never reach further back than the checkpoint).
+  * grows one short line per micro-batch and is pruned at the streaming
+  * checkpoint horizon via [[pruneBatchTagsBelow]] (a replay can never
+  * reach further back than the checkpoint) — the ingest indexes call it
+  * on their compaction cadence.
   */
 private[graft] object StateManifest {
 
+  // toIntOption, not toInt: a stray non-numeric manifest_v*.txt (editor
+  // backup, partial copy) must be ignored, not brick every read of the
+  // state root with NumberFormatException (ADVICE r15)
   private def manifestVersions(root: String): Seq[Int] =
     Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Nil)
       .map(_.getName)
-      .collect { case n if n.startsWith("manifest_v") && n.endsWith(".txt") =>
-        n.stripPrefix("manifest_v").stripSuffix(".txt").toInt }
+      .filter(n => n.startsWith("manifest_v") && n.endsWith(".txt"))
+      .flatMap(_.stripPrefix("manifest_v").stripSuffix(".txt").toIntOption)
 
   /** Highest committed manifest version; 0 = no state. */
   def currentVersion(root: String): Int = {
@@ -135,21 +139,65 @@ private[graft] object StateManifest {
     vacuum(root)
   }
 
-  /** Delete data dirs absent from the current manifest and manifests
-    * below the current version. Crash-safe at any point: state is
-    * whatever the highest surviving manifest says. listFiles() is
-    * null-guarded throughout (ADVICE r14). */
-  def vacuum(root: String): Unit = {
-    val v = currentVersion(root)
-    val keep = entries(root).toSet
+  /** Delete data dirs absent from the current manifest, manifests below
+    * the current version, and crash-orphaned `.manifest_v*.tmp` files
+    * (a crash between the tmp write and the ATOMIC_MOVE leaves one;
+    * they matched neither prefix test before — ADVICE r15). Crash-safe
+    * at any point: state is whatever the highest surviving manifest
+    * says. listFiles() is null-guarded throughout (ADVICE r14). */
+  def vacuum(root: String): Unit = vacuum(root, keepManifests = 1)
+
+  /** Vacuum retaining the `keepManifests` highest manifest versions and
+    * every data dir any retained manifest references — the snapshot
+    * family's retention shape (a reader that resolved version v-1 just
+    * before a commit can still finish its scan). keepManifests = 1 is
+    * the ingest indexes' default: their readers resolve the manifest
+    * and read within one driver call. */
+  def vacuum(root: String, keepManifests: Int): Unit = {
+    val retained = manifestVersions(root).sorted
+      .takeRight(math.max(1, keepManifests)).toSet
+    val keep: Set[String] =
+      retained.flatMap(v => lines(root, v).filterNot(_.startsWith("#")))
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .foreach { f =>
         val n = f.getName
         if (n.startsWith("data_v") && !keep(n)) rmTree(f)
         else if (n.startsWith("manifest_v") && n.endsWith(".txt") &&
-            n != s"manifest_v$v.txt") { f.delete(); () }
+            !n.stripPrefix("manifest_v").stripSuffix(".txt").toIntOption
+              .exists(retained)) { f.delete(); () }
+        else if (n.startsWith(".manifest_v") && n.endsWith(".tmp")) {
+          f.delete(); ()
+        }
       }
   }
+
+  /** Drop `#applied` tags that fail `retain` — the tag-horizon pruning
+    * the scale stance above promises. Published as a new manifest
+    * version carrying the SAME data entries (the commit point is still
+    * the manifest PUT), then vacuumed. Safety: a tag may be pruned once
+    * its micro-batch can no longer replay. foreachBatch(b) runs only
+    * after batch b−1's streaming-checkpoint commit, so a replay can
+    * re-deliver batch b alone — every tag below b is unreachable
+    * (StreamsSpec pins the current batch's tag survives pruning and
+    * idempotence still holds across a kill+resume). */
+  def pruneAppliedTags(root: String, retain: String => Boolean): Unit = {
+    val v = currentVersion(root)
+    if (v == 0) return
+    val applied = appliedTags(root)
+    val kept = applied.filter(retain)
+    if (kept.size == applied.size) return
+    commit(root, v + 1, kept, entries(root))
+    vacuum(root)
+  }
+
+  /** Convenience for the `b<batchId>` tags the ingest indexes append:
+    * prune numeric batch tags strictly below `horizonBatchId` (the
+    * batch currently executing — see [[pruneAppliedTags]] for why
+    * that horizon is safe). Non-`b<n>` tags are retained untouched. */
+  def pruneBatchTagsBelow(root: String, horizonBatchId: Long): Unit =
+    pruneAppliedTags(root, t =>
+      !t.startsWith("b") ||
+        t.stripPrefix("b").toLongOption.forall(_ >= horizonBatchId))
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)

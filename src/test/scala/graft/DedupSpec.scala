@@ -401,4 +401,35 @@ class DedupSpec extends SparkSpec {
     val atCap = (1L to 64L).map(i => (i, 5L)).toDF("doc_id", "fp")
     assert(Dedup.dfCapped(atCap, "fp", cap = 64).count() == 64)
   }
+
+  test("resolveRoots chases deep verdict chains to their forest root " +
+      "in O(log depth) pointer-doubled rounds") {
+    import spark.implicits._
+    // forest: one 200-deep chain (200→199→…→1→0), one 3-node star
+    // (1001,1002→1000), one singleton (5000). 200 deep would take 200
+    // one-step rounds; pointer doubling must land well inside the
+    // 64-round cap (⌈log2(200)⌉ = 8 jump rounds).
+    val chain = (1L to 200L).map(i => (i, i - 1)) :+ (0L, 0L)
+    val star = Seq((1001L, 1000L), (1002L, 1000L), (1000L, 1000L))
+    val single = Seq((5000L, 5000L))
+    val par = (chain ++ star ++ single).toSeq.toDF("m", "p")
+    val roots = Dedup.resolveRoots(par).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots.size == 205)
+    assert((0L to 200L).forall(roots(_) == 0L),
+      "chain member did not resolve to the chain root")
+    assert(Seq(1000L, 1001L, 1002L).forall(roots(_) == 1000L))
+    assert(roots(5000L) == 5000L)
+    // registered consumer sanity on the fixture corpus: every dropped
+    // media's representative is a keeper, keepers map to themselves
+    val keepers = SparkEntry.queries(
+      "multimodal_phash_keepers_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val keeperIds = keepers.filter(_._3).map(_._1).toSet
+    assert(keepers.exists(!_._3), "no media dropped — vacuous")
+    assert(keepers.filter(!_._3).forall(k => keeperIds(k._2)),
+      "a dropped media resolves to a non-keeper representative")
+    assert(keepers.filter(_._3).forall(k => k._2 == k._1),
+      "a keeper's representative is not itself")
+  }
 }

@@ -624,6 +624,48 @@ class StreamsSpec extends SparkSpec {
       "scrambled-order pHash verdicts diverge from the recomputation " +
         "off persisted state — the direction is not state-derived")
 
+    // incremental KEEPERS pins (r15 verdict task 6). The verdict forest
+    // legitimately depends on arrival order (the scrambled run's
+    // planted copies arrive FIRST and block their originals), so the
+    // consumer's contract is: keepers are a pure function of the
+    // manifest-committed verdict STATE, whatever order produced it.
+    // Pin 1: chased from the IN-ORDER run's state (arrival = the id%3
+    // convention), keepers equal the registered consumer's frame.
+    def keeperRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    def keepersOf(stateRoot: String) = keeperRows(
+      operators.Dedup.resolveRoots(
+        phashStateVerdicts(stateRoot).select(col("doc_id").as("m"),
+          coalesce(col("near_dup_of"), col("doc_id")).as("p")))
+        .select(col("m"), col("p"), (col("m") === col("p")).as("k"))
+        .orderBy("m"))
+    val keepersFromState = keepersOf(base.toString)
+    val keepersRegistered = keeperRows(SparkEntry.queries(
+      "multimodal_phash_keepers_incremental")(spark, sf))
+    assert(keepersFromState == keepersRegistered,
+      "state-derived media keepers diverge from the registered " +
+        s"consumer: ${keepersFromState.diff(keepersRegistered).take(5)}" +
+        s" vs ${keepersRegistered.diff(keepersFromState).take(5)}")
+    // non-vacuous: blocked media must exist and resolve to keepers
+    assert(keepersRegistered.exists(!_._3),
+      "no media was ever dropped — vacuous keepers pin")
+    assert(keepersRegistered.filter(!_._3).forall { case (_, k, _) =>
+      keepersRegistered.exists(r => r._1 == k && r._3) },
+      "a dropped media's representative is not itself a keeper")
+    // Pin 2: the SCRAMBLED run's state resolves to an internally
+    // consistent drop list (reps are keepers, keepers self-map) that
+    // DIFFERS from the in-order one — proof the consumer derives from
+    // state, and that the order-dependence lives in the verdicts, not
+    // in the resolve
+    val keepersScrambled = keepersOf(base2.toString)
+    val scramKeepers = keepersScrambled.filter(_._3).map(_._1).toSet
+    assert(keepersScrambled.filter(!_._3).forall(k => scramKeepers(k._2)),
+      "scrambled-state drop list resolves to a non-keeper")
+    assert(keepersScrambled != keepersFromState,
+      "scrambled arrival produced the identical keeper set — the " +
+        "order-sensitivity this pin documents is vacuous here")
+
     // hash-split drops: batch membership not derivable from the id
     val base3 = Paths.get(s"${Tables.scratchRoot}/phash_incr_hash")
     if (Files.exists(base3)) {
