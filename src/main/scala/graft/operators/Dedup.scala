@@ -327,6 +327,32 @@ object Dedup extends QueryModule {
         round(jac, 6).as("jaccard"))
   }
 
+  /** Batch-decomposed ingest-time verdict frame (doc, near_dup_of) for
+    * the text corpus — the arrival-order (akey = batch·2⁴⁰ + id,
+    * batch = id % 3) min_by aggregate over the gated MinHash pair set,
+    * shared by dedup_minhash_incremental (emits it per doc) and
+    * dedup_minhash_keepers_incremental (chases it to roots). */
+  private[graft] def minhashArrivalVerdicts(s: SparkSession, dir: String)
+      : DataFrame = {
+    val pairs = minhashPairs(s, dir)
+    val arr = t(s, dir, "documents").select(col("doc_id"),
+      (pmod(col("doc_id"), lit(3L)) * lit(1099511627776L) +
+        col("doc_id")).as("akey"))
+    val dirn = pairs
+      .join(arr.select(col("doc_id").as("id_a"),
+        col("akey").as("akey_a")), "id_a")
+      .join(arr.select(col("doc_id").as("id_b"),
+        col("akey").as("akey_b")), "id_b")
+      .select(
+        when(col("akey_a") < col("akey_b"), col("id_b"))
+          .otherwise(col("id_a")).as("doc"),
+        when(col("akey_a") < col("akey_b"), col("id_a"))
+          .otherwise(col("id_b")).as("blocker"),
+        least(col("akey_a"), col("akey_b")).as("bakey"))
+    dirn.groupBy("doc")
+      .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
+  }
+
   /** Rewrite a manifest-committed state root to a bounded file count —
     * the ingest indexes' maintenance step (round-13 verdict task 4):
     * each micro-batch appends one file set, so under real continuous
@@ -1313,28 +1339,68 @@ object Dedup extends QueryModule {
         FROM documents d LEFT JOIN v ON v.doc = d.doc_id
         ORDER BY d.doc_id"""),
       (s, dir) => {
-        val pairs = minhashPairs(s, dir)
-        val arr = t(s, dir, "documents").select(col("doc_id"),
-          (pmod(col("doc_id"), lit(3L)) * lit(1099511627776L) +
-            col("doc_id")).as("akey"))
-        val dirn = pairs
-          .join(arr.select(col("doc_id").as("id_a"),
-            col("akey").as("akey_a")), "id_a")
-          .join(arr.select(col("doc_id").as("id_b"),
-            col("akey").as("akey_b")), "id_b")
-          .select(
-            when(col("akey_a") < col("akey_b"), col("id_b"))
-              .otherwise(col("id_a")).as("doc"),
-            when(col("akey_a") < col("akey_b"), col("id_a"))
-              .otherwise(col("id_b")).as("blocker"),
-            least(col("akey_a"), col("akey_b")).as("bakey"))
-        val v = dirn.groupBy("doc")
-          .agg(min_by(col("blocker"), col("bakey")).as("near_dup_of"))
+        val v = minhashArrivalVerdicts(s, dir)
         t(s, dir, "documents")
           .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("batch"))
           .join(v, col("doc_id") === col("doc"), "left")
           .select(col("doc_id"), col("batch"), col("near_dup_of"),
             col("near_dup_of").isNull.as("is_novel"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- incremental TEXT keepers: the verdict-forest consumer for
+    // the text tier (round-16, mirroring the media tier's
+    // multimodal_phash_keepers_incremental — every continuous-ingest
+    // tier now has its drop-list consumer). rep(d) = d if novel else
+    // rep(near_dup_of(d)): pointer-doubled root resolution over the
+    // ingest-verdict forest (Dedup.resolveRoots), the ONLINE
+    // clustering semantic — representatives never revised, a late
+    // bridge doc joins ONE existing cluster rather than merging two
+    // (dedup_cluster_keepers' connected components is the batch
+    // re-clustering that WOULD merge them; registering both makes the
+    // trade inspectable). Oracle chases the same forest with a
+    // recursive CTE. Scale: state is one (m, p) row per doc, the
+    // resolve shuffles ids only — never signatures or the pair graph. ----
+    Q(
+      "dedup_minhash_keepers_incremental",
+      Some(s"""
+        ${minhashPairsCtesSql.replaceFirst("WITH", "WITH RECURSIVE")},
+        arr AS (SELECT doc_id,
+                       (doc_id % 3) * 1099511627776 + doc_id AS akey
+                FROM documents),
+        dirn AS (
+          SELECT CASE WHEN a.akey < b.akey THEN p.id_b ELSE p.id_a END
+                   AS doc,
+                 CASE WHEN a.akey < b.akey THEN p.id_a ELSE p.id_b END
+                   AS blocker,
+                 CASE WHEN a.akey < b.akey THEN a.akey ELSE b.akey END
+                   AS bakey
+          FROM pairs p
+          JOIN arr a ON a.doc_id = p.id_a
+          JOIN arr b ON b.doc_id = p.id_b),
+        v AS (SELECT doc, arg_min(blocker, bakey) AS near_dup_of
+              FROM dirn GROUP BY doc),
+        par AS (SELECT d.doc_id AS m,
+                       coalesce(v.near_dup_of, d.doc_id) AS p
+                FROM documents d LEFT JOIN v ON v.doc = d.doc_id),
+        chase(m, p) AS (
+          SELECT m, p FROM par
+          UNION
+          SELECT c.m, pr.p FROM chase c
+          JOIN par pr ON pr.m = c.p AND pr.p <> c.p)
+        SELECT c.m AS doc_id, CAST(c.p AS BIGINT) AS keeper_id,
+               c.m = c.p AS is_keeper
+        FROM chase c JOIN par rp ON rp.m = c.p AND rp.p = c.p
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val v = minhashArrivalVerdicts(s, dir)
+        val par = t(s, dir, "documents")
+          .join(v, col("doc_id") === col("doc"), "left")
+          .select(col("doc_id").as("m"),
+            coalesce(col("near_dup_of"), col("doc_id")).as("p"))
+        resolveRoots(par)
+          .select(col("m").as("doc_id"), col("p").as("keeper_id"),
+            (col("m") === col("p")).as("is_keeper"))
           .orderBy("doc_id")
       }),
 

@@ -183,17 +183,46 @@ object Multimodal extends QueryModule {
     * broadcast — never a window over the N-row frame. */
   private[graft] def phashNearDupPairs(s: SparkSession, dir: String,
       gate: Long = PhashBandOccupancyGate): DataFrame =
-    // NO persist anywhere in this pipeline — measured twice this round:
-    // caching the routed band frame under the self-join read 69-165 s
-    // at 10× (vs 4.2-8.8 s uncached), and even caching just the narrow
-    // fingerprint frame ABOVE the exchanges read 169 s on the same row
-    // (BENCH_scale10_r15ops history) — InMemoryRelation under these
-    // skew-heavy self-joins consistently defeats the adaptive planning
-    // that keeps the dense buckets parallel. The fingerprint decode
-    // therefore deliberately re-runs per consumer (~5 cheap scans); at
-    // 100 TB the production form checkpoints fingerprints to a TABLE
-    // (storage, not executor cache) and reads that.
-    phashPairsGated(s, phashFingerprints(s, dir), gate)
+    // NO executor cache anywhere in this pipeline — measured twice in
+    // round 15: caching the routed band frame under the self-join read
+    // 69-165 s at 10× (vs 4.2-8.8 s uncached), and even caching just
+    // the narrow fingerprint frame ABOVE the exchanges read 169 s on
+    // the same row (BENCH_scale10_r15ops history) — InMemoryRelation
+    // under these skew-heavy self-joins consistently defeats the
+    // adaptive planning that keeps the dense buckets parallel. Round 16
+    // implements the production stance that scaladoc only promised:
+    // fingerprints are checkpointed to a TABLE (storage, not executor
+    // cache — phashFingerprintsTable below) and every consumer reads
+    // that, so the decode runs once per corpus instead of ~5× per
+    // query while each consumer keeps its own freshly-planned
+    // exchanges and AQE skew handling (a parquet scan is not an
+    // InMemoryRelation — the r15 regression mechanism cannot attach).
+    phashPairsGated(s, phashFingerprintsTable(s, dir), gate)
+
+  /** The pHash fingerprint TABLE: [[phashFingerprints]] checkpointed to
+    * storage keyed by (corpus dir, max doc_id), build-if-absent via the
+    * [[StateManifest]] commit protocol — the media analog of the ANN
+    * hyperplane index (r15 verdict task 5's stance, applied to the
+    * operator whose scaladoc mandated it). Content is a deterministic
+    * function of the corpus, so oracle replay is unchanged; the table
+    * is 5 longs per media item (a 100×-corpus table is ~120 MB where
+    * the payload scan it replaces is the full documents table, per
+    * consumer, ~5 consumers per query). */
+  private[graft] def phashFingerprintsTable(s: SparkSession, dir: String)
+      : DataFrame = {
+    val maxId = maxDocIdMemo.getOrElseUpdate(dir,
+      Tables.load(s, dir, "documents")
+        .agg(max(col("doc_id"))).head.getLong(0))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    val root =
+      s"${graft.Tables.scratchRoot}/phash_fp/${key}_m$maxId"
+    if (StateManifest.currentVersion(root) == 0)
+      StateManifest.replace(s, root, phashFingerprints(s, dir),
+        tag = "build", nFiles = 0)
+    StateManifest.read(s, root).get
+  }
 
   /** Batch-decomposed ingest-time verdict frame (doc, near_dup_of) for
     * the media corpus — the arrival-order (akey = batch·2⁴⁰ + id,
@@ -203,7 +232,7 @@ object Multimodal extends QueryModule {
   private[graft] def phashArrivalVerdicts(s: SparkSession, dir: String)
       : DataFrame = {
     val pairs = phashNearDupPairs(s, dir)
-    val universe = phashFingerprints(s, dir).select("doc_id")
+    val universe = phashFingerprintsTable(s, dir).select("doc_id")
     val arr = universe.select(col("doc_id"),
       (pmod(col("doc_id"), lit(3L)) * lit(1099511627776L) +
         col("doc_id")).as("akey"))
@@ -313,7 +342,7 @@ object Multimodal extends QueryModule {
     * broadcast key joins instead (see phashPairsGated). */
   private[graft] def phashRoutedBandFrame(s: SparkSession, dir: String)
       : DataFrame = {
-    val banded = phashBandFrameOf(phashFingerprints(s, dir))
+    val banded = phashBandFrameOf(phashFingerprintsTable(s, dir))
     val occ = banded.groupBy("si", "sv").agg(count(lit(1)).as("occ"))
     banded.join(occ, Seq("si", "sv"))
   }
@@ -773,7 +802,7 @@ object Multimodal extends QueryModule {
         FROM ids i LEFT JOIN v ON v.doc = i.doc_id
         ORDER BY media_id"""),
       (s, dir) => {
-        val universe = phashFingerprints(s, dir).select("doc_id")
+        val universe = phashFingerprintsTable(s, dir).select("doc_id")
         val v = phashArrivalVerdicts(s, dir)
         universe
           .select(col("doc_id").as("media_id"),
@@ -836,7 +865,7 @@ object Multimodal extends QueryModule {
         FROM chase c JOIN par rp ON rp.m = c.p AND rp.p = c.p
         ORDER BY media_id"""),
       (s, dir) => {
-        val universe = phashFingerprints(s, dir).select("doc_id")
+        val universe = phashFingerprintsTable(s, dir).select("doc_id")
         val v = phashArrivalVerdicts(s, dir)
         val par = universe.join(v, col("doc_id") === col("doc"), "left")
           .select(col("doc_id").as("m"),

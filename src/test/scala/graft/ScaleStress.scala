@@ -341,11 +341,12 @@ object ScaleStress {
     // — the row must be strongly sub-linear vs the fixed-bucket
     // sim_ann_hyperplane baseline above)
     "multimodal_phash_incremental", "sim_ann_adaptive",
-    // round-16: the media tier's incremental keepers — verdict-forest
-    // root resolution (pointer doubling over (m, p) rows only); must
-    // track multimodal_phash_incremental's ratio plus O(log depth)
-    // loop rounds
-    "multimodal_phash_keepers_incremental")
+    // round-16: the media and text tiers' incremental keepers —
+    // verdict-forest root resolution (pointer doubling over (m, p)
+    // rows only); each must track its verdict query's ratio plus
+    // O(log depth) loop rounds
+    "multimodal_phash_keepers_incremental",
+    "dedup_minhash_keepers_incremental")
 
   /** The shuffle-dominant join/window/time-series/graph/ML/streaming/agg
     * queries (round-9 mandate — these families previously had only

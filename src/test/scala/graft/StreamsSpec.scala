@@ -796,6 +796,25 @@ class StreamsSpec extends SparkSpec {
     val blocked = streamed.count(!_._4)
     assert(blocked > 0, "no doc was ever blocked — vacuous parity")
 
+    // text-tier incremental KEEPERS (round 16): representatives chased
+    // from the streamed verdict frame equal the registered consumer's
+    // — the resolve is a pure function of the verdict forest
+    val parFromStreamed = streamedDf.select(col("doc_id").as("m"),
+      coalesce(col("near_dup_of"), col("doc_id")).as("p"))
+    val keepersFromStreamed =
+      operators.Dedup.resolveRoots(parFromStreamed)
+        .select(col("m"), col("p"), (col("m") === col("p")).as("k"))
+        .orderBy("m").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val keepersRegistered = SparkEntry.queries(
+      "dedup_minhash_keepers_incremental")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(keepersFromStreamed == keepersRegistered,
+      "streamed-state text keepers diverge from the registered " +
+        "consumer")
+    assert(keepersRegistered.exists(!_._3),
+      "no doc was ever dropped — vacuous text keepers pin")
+
     // maintenance (round-13 verdict task 4): the default run compacts
     // mid-stream (compactEvery=2 over 3 drops), and its verdicts above
     // are already pinned identical to the batch form — so compaction is
