@@ -1386,5 +1386,106 @@ object Curation extends QueryModule {
             expr("w * (2000000 - dup_frac) div 2000000")
               .cast("long").as("effective_weight_micro"))
           .orderBy("doc_id")
+      }),
+
+    // ---- URL canonicalization dedup (the CommonCrawl-style first pass
+    // BEFORE any content dedup: the same page is fetched under dozens of
+    // syntactic URL variants — scheme/host case, www. prefix, default
+    // port, trailing slash, tracking params, fragments, query-param
+    // order — and collapsing those is orders of magnitude cheaper than
+    // MinHash on the duplicated bodies). The corpus has no URL column,
+    // so — same discipline as curate_pii_redact / curate_html_strip —
+    // each doc gets a deterministic messy URL built from (doc_id,
+    // source), exercising every rule: mixed-case scheme+host, optional
+    // WWW., default :443 port, optional trailing slash, utm_* tracking
+    // params, unsorted residual params, optional fragment. Canonical
+    // form = lowercase pre-query part, strip www./default port/trailing
+    // slash/fragment, drop utm_* params, sort the survivors. Dedup =
+    // one hash agg on the canonical string (keeper = min doc_id, the
+    // crawl-order winner). Scale: pure per-row codegen'd expressions +
+    // a single map-side-combining hash agg whose key cardinality is
+    // the number of DISTINCT pages (≪ rows on a real crawl) — linear,
+    // shuffle carries one row per distinct canonical URL. ----
+    Q(
+      "curate_url_canonicalize",
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://'
+                                  WHEN 1 THEN 'http://'
+                                  ELSE 'https://' END) ||
+                 (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+                 (CASE WHEN doc_id % 4 = 0 THEN upper(source)
+                       ELSE source END) || '.Example.COM' ||
+                 (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+                 '/Items/' || (doc_id % 20)::VARCHAR ||
+                 (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+                 '?utm_source=s' || (doc_id % 3)::VARCHAR ||
+                 '&ref=r' || (doc_id % 3)::VARCHAR ||
+                 '&utm_medium=em&b=' || (doc_id % 2)::VARCHAR ||
+                 '&a=a' || (doc_id % 5)::VARCHAR ||
+                 (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END)
+                   AS url
+          FROM documents),
+        nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+               FROM raw),
+        sp AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   lower(string_split(u, '?')[1]),
+                   '://www\.', '://'), ':443/', '/'), '/$', '') AS pre,
+                 string_split(u, '?')[2] AS q0
+          FROM nf),
+        cq AS (
+          SELECT doc_id, pre,
+                 array_to_string(list_sort(list_filter(
+                   string_split(q0, '&'),
+                   x -> substr(x, 1, 4) <> 'utm_')), '&') AS q
+          FROM sp),
+        canon AS (
+          SELECT doc_id,
+                 pre || (CASE WHEN length(q) > 0 THEN '?' || q
+                              ELSE '' END) AS canonical_url
+          FROM cq)
+        SELECT canonical_url,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               CAST(min(doc_id) AS BIGINT) AS keeper_doc
+        FROM canon GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = concat(
+          when(pmod(d, lit(3L)) === 0, "HTTPS://")
+            .when(pmod(d, lit(3L)) === 1, "http://")
+            .otherwise("https://"),
+          when(pmod(d, lit(2L)) === 0, "WWW.").otherwise(""),
+          when(pmod(d, lit(4L)) === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".Example.COM"),
+          when(pmod(d, lit(5L)) === 0, ":443").otherwise(""),
+          lit("/Items/"), pmod(d, lit(20L)).cast("string"),
+          when(pmod(d, lit(4L)) === 1, "/").otherwise(""),
+          lit("?utm_source=s"), pmod(d, lit(3L)).cast("string"),
+          lit("&ref=r"), pmod(d, lit(3L)).cast("string"),
+          lit("&utm_medium=em&b="), pmod(d, lit(2L)).cast("string"),
+          lit("&a=a"), pmod(d, lit(5L)).cast("string"),
+          when(pmod(d, lit(6L)) === 0, "#Section-2").otherwise(""))
+        docs(s, dir)
+          .select(d, regexp_replace(url, "#.*$", "").as("u"))
+          .select(d,
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(element_at(split(col("u"), "\\?"), 1)),
+              "://www\\.", "://"), ":443/", "/"), "/$", "").as("pre"),
+            element_at(split(col("u"), "\\?"), 2).as("q0"))
+          .select(d, col("pre"),
+            array_join(array_sort(filter(split(col("q0"), "&"),
+              x => substring(x, 1, 4) =!= lit("utm_"))), "&").as("q"))
+          .select(d,
+            concat(col("pre"),
+              when(length(col("q")) > 0, concat(lit("?"), col("q")))
+                .otherwise(lit(""))).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).cast("long").as("n_dups"),
+            min("doc_id").cast("long").as("keeper_doc"))
+          .orderBy("canonical_url")
       }))
 }

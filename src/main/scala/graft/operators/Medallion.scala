@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, QueryModule, Tables}
 import graft.functions.Cleaning
 
@@ -630,6 +631,63 @@ object Medallion extends QueryModule {
               1L).otherwise(0L)).cast("long").as("n_outliers"),
             max(col("d4")).cast("long").as("max_dev4"))
           .orderBy("grp")
+      }),
+
+    // ---- Benford leading-digit audit (the classic anomaly screen for
+    // financial / measurement columns: naturally-occurring multiplicative
+    // quantities follow P(d) = log10(1 + 1/d); fabricated or truncated
+    // data doesn't). The first significant digit is taken from the EXACT
+    // integer cents representation via a string head — no log10 on the
+    // value itself, so there is no float-boundary risk at powers of ten
+    // (log10(1000.0) can read 2.9999... on one engine and 3.0 on the
+    // other; substr of an integer cannot disagree). Expected shares are
+    // log10 of small integer ratios, rounded to 6 dp on both engines.
+    // Scale: projection-pruned single-column scan → 9-key hash agg with
+    // map-side partials — the cheapest possible full-table audit; the
+    // shuffle carries 9 rows per map task regardless of corpus size. ----
+    Q(
+      "quality_benford",
+      Some("""
+        WITH cents AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+          FROM lineitem WHERE l_extendedprice > 0),
+        digit AS (
+          SELECT CAST(substr(c::VARCHAR, 1, 1) AS BIGINT) AS lead_digit
+          FROM cents),
+        agg AS (
+          SELECT lead_digit, CAST(count(*) AS BIGINT) AS n_rows
+          FROM digit GROUP BY 1),
+        tot AS (SELECT sum(n_rows) AS t FROM agg)
+        SELECT lead_digit, n_rows,
+               round(CAST(n_rows AS DOUBLE) / t, 6) AS obs_share,
+               round(log10(1.0 + 1.0 / lead_digit), 6) AS exp_share,
+               CAST(round((CAST(n_rows AS DOUBLE) / t -
+                           log10(1.0 + 1.0 / lead_digit)) * 1000000)
+                 AS BIGINT) AS dev_ppm
+        FROM agg, tot ORDER BY lead_digit"""),
+      (s, dir) => {
+        // single scan: the global total comes from an unpartitioned
+        // window over the POST-AGGREGATE frame (at most 9 rows reach
+        // the one-partition window stage, never raw data), not from a
+        // second pass over lineitem
+        val agg = t(s, dir, "lineitem")
+          .where(col("l_extendedprice") > 0)
+          .select(substring(round(col("l_extendedprice") * 100)
+            .cast("long").cast("string"), 1, 1).cast("long")
+            .as("lead_digit"))
+          .groupBy("lead_digit")
+          .agg(count(lit(1)).cast("long").as("n_rows"))
+        val w = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val expShare = log10(lit(1.0) + lit(1.0) / col("lead_digit"))
+        agg.withColumn("t", sum("n_rows").over(w))
+          .select(col("lead_digit"), col("n_rows"),
+            round(col("n_rows").cast("double") / col("t"), 6)
+              .as("obs_share"),
+            round(expShare, 6).as("exp_share"),
+            round((col("n_rows").cast("double") / col("t") - expShare)
+              * 1000000).cast("long").as("dev_ppm"))
+          .orderBy("lead_digit")
       })
   )
 }

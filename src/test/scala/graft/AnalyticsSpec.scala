@@ -239,4 +239,29 @@ class AnalyticsSpec extends SparkSpec {
       rm(ckpt)
     }
   }
+
+  test("benford audit: counts replay exactly, expected shares are log10 law") {
+    val got = run("quality_benford").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // independent replay of the leading-digit histogram from raw cents
+    val cents = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where("l_extendedprice > 0")
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0))
+    val ref = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == ref.keySet, s"digits ${got.keySet} vs ${ref.keySet}")
+    val t = ref.values.sum.toDouble
+    got.foreach { case (d, (n, obs, exp, dev)) =>
+      assert(n == ref(d), s"digit $d: $n vs ${ref(d)}")
+      assert(math.abs(obs - n / t) < 5.1e-7, s"obs_share digit $d")
+      val law = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(exp - law) < 5.1e-7, s"exp_share digit $d")
+      assert(math.abs(dev - (n / t - law) * 1e6) <= 1.0, s"dev_ppm digit $d")
+    }
+    // the audit covers every row with a positive price — no silent drops
+    assert(got.values.map(_._1).sum == cents.length.toLong)
+  }
 }

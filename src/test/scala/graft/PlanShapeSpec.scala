@@ -289,7 +289,8 @@ class PlanShapeSpec extends SparkSpec {
     // windows over frames whose cardinality a LITERAL bounds (invisible
     // to the structural walk) — each entry names its bound
     val boundedWindowAllowed = Set(
-      "ml_cv_3fold_linreg") // 3-row fold-stats frame (fold = key % 3)
+      "ml_cv_3fold_linreg", // 3-row fold-stats frame (fold = key % 3)
+      "quality_benford") // ≤9-row digit histogram (lead_digit ∈ 1..9)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val bad =
       try SparkEntry.queries.toSeq.sortBy(_._1)

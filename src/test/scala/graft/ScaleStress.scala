@@ -368,7 +368,12 @@ object ScaleStress {
     // events/orders: last-touch attribution (two IGNORE NULLS carries
     // over one user partitioning) and MAD outliers (two grouped exact
     // medians over per-customer aggregates)
-    "analytics_attribution_last_touch", "quality_mad_outliers")
+    "analytics_attribution_last_touch", "quality_mad_outliers",
+    // round-16 additions: URL canonicalization dedup (per-row expression
+    // pipeline + one hash agg keyed on the canonical string — dup mass
+    // scales with the corpus, group count with DISTINCT pages) and the
+    // Benford leading-digit audit (single-column scan, 9-key agg)
+    "curate_url_canonicalize", "quality_benford")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
