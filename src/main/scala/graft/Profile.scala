@@ -27,6 +27,9 @@ object Profile {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[profile] $name round$round: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        // match Bench: release within-plan persists so round 2 measures
+        // the query, not a warm cache
+        spark.catalog.clearCache()
       }
       if (explain) {
         val df = fn(spark, sfDir)

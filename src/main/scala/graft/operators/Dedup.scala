@@ -1024,11 +1024,34 @@ object Dedup extends QueryModule {
     val docs = docShingles(s, dir, requireNonEmpty = false)
     // the df cap trims the INDEX only; set sizes stay full, so a pair
     // sharing viral grams scores a (deliberate) jaccard underestimate
-    val ex = dfCapped(
-      docs.select(col("doc_id"),
-        explode(transform(col("sh"), xxhash64(_))).as("bg"),
-        size(col("sh")).as("sz")),
-      "bg", DfCap)
+    //
+    // Posting frame shape (round-16 optimization): hash AFTER the
+    // explode (plain per-row xxhash64) instead of
+    // explode(transform(sh, xxhash64(_))) — a lambda-bearing subtree
+    // defeats plan canonicalization (NamedLambdaVariable ids never
+    // canonicalize equal), so ReuseExchange saw the df-cap aggregate
+    // and the two self-join sides as distinct subtrees and the shingle
+    // scan ran FOUR times per query. With the lambda-free subtree and
+    // ONE explicit repartition(bg), all three consumers share a single
+    // reused exchange: one shingle scan, one posting shuffle — the
+    // same bytes a sort-merge self-join must move at 100 TB anyway
+    // (the previous shape only avoided the shuffle while the planner
+    // could broadcast a full posting side, which is a sub-10MB-estimate
+    // local-mode accident, not a scale plan).
+    // explode_outer + isnotnull(g): plain explode of an attribute makes
+    // InferFiltersFromGenerate push `size(trigram_shingles(..)) > 0`
+    // into the SCAN (the whole shingle chain re-evaluated per row in
+    // the scan filter — the documented size()>0-guard trap); the outer
+    // generate infers nothing, and the null filter sits on the
+    // generator OUTPUT where it cannot be pushed below the Generate.
+    // Empty-shingle docs emit one g=null row, dropped here — row set
+    // identical to the inner explode.
+    val post = docs.select(col("doc_id"), explode_outer(col("sh")).as("g"),
+        size(col("sh")).as("sz"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), xxhash64(col("g")).as("bg"), col("sz"))
+      .persist()
+    val ex = dfCapped(post, "bg", DfCap).repartition(col("bg"))
     val pairs = ex.as("a")
       .join(ex.as("b"),
         col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
@@ -1052,9 +1075,13 @@ object Dedup extends QueryModule {
     * is the detector that owns dense clusters. */
   private[graft] def ngramMeetings(s: SparkSession, dir: String): Long = {
     val docs = docShingles(s, dir, requireNonEmpty = false)
+    // lambda-free posting subtree + one repartition(bg) shared via
+    // ReuseExchange — same restructure as jaccardPairs above
     val ex = dfCapped(
-      docs.select(col("doc_id"),
-        explode(transform(col("sh"), xxhash64(_))).as("bg")),
+      docs.select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), xxhash64(col("g")).as("bg"))
+        .repartition(col("bg")),
       "bg", DfCap)
     ex.as("a")
       .join(ex.as("b"),
