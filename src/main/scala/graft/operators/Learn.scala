@@ -258,6 +258,64 @@ object Learn extends QueryModule {
       .groupBy((nodeCols ++ Seq("feat", "bin")).map(col): _*)
       .agg(count(lit(1)).as("n"), sum("y").as("sy"))
 
+  /** One-scan sufficient statistics per feature cell (round-16
+    * optimization). Every prediction a fixed-depth stump/tree/forest in
+    * this family makes is CONSTANT on a (b1, b2) cell — all splits test
+    * b1/b2 against thresholds — so every histogram pass, leaf mean,
+    * residual update and squared-error sum the training/eval chain
+    * needs is exactly derivable from (n, Σy, Σy²) per cell:
+    *
+    *   hist(feat, bin)   = Σ_cells (cn, csy) grouped by the feat's bin
+    *   residual csy      = csy − cn·P(cell)
+    *   residual csyy     = csyy − 2·P·csy + cn·P²     (all integers)
+    *   SSE               = Σ_cells residual csyy
+    *
+    * One scan + a ≤ TreeBins² (+extra-key factor) row frame replaces
+    * one full scan per histogram level, per boosting round, and per
+    * eval pass (guide §1.2: remove passes — ml_gbt_stumps went from 4
+    * scans to 1, ml_forest_bagged from 7 to 1). The map-side combine
+    * keeps aggregate state bounded by the cell count at any corpus
+    * size; extra keys (bag id, train/test flag) ride as additional
+    * cell coordinates. Σy² accumulates in DECIMAL(38,0) — the exact
+    * integer discipline the per-row eval already used — so every
+    * derived figure is bit-identical to the per-row computation the
+    * DuckDB oracle replays. */
+  private def cellStats(f: DataFrame, extraKeys: Seq[String]): DataFrame =
+    f.groupBy((extraKeys ++ Seq("b1", "b2")).map(col): _*)
+      .agg(count(lit(1)).as("cn"), sum("y").as("csy"),
+        expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("csyy"))
+      .persist()
+
+  /** [[histPass]] over a cell-stats frame: same (nodeCols, feat, bin,
+    * n, sy) output, weighted by cell counts instead of row counts. */
+  private def histPassCells(cells: DataFrame, nodeCols: Seq[String])
+      : DataFrame =
+    cells.select(nodeCols.map(col) ++ Seq(
+        explode(array(
+          struct(lit(1L).as("feat"), col("b1").as("bin")),
+          struct(lit(2L).as("feat"), col("b2").as("bin")))).as("e"),
+        col("cn"), col("csy")): _*)
+      .select(nodeCols.map(col) ++ Seq(col("e.feat").as("feat"),
+        col("e.bin").as("bin"), col("cn"), col("csy")): _*)
+      .groupBy((nodeCols ++ Seq("feat", "bin")).map(col): _*)
+      .agg(sum("cn").as("n"), sum("csy").as("sy"))
+
+  /** Apply a fitted stump's per-cell prediction as an exact integer
+    * residual update of the cell statistics (csyy BEFORE csy — the
+    * cross term needs the pre-update Σy). */
+  private def residCells(cells: DataFrame, m: DataFrame): DataFrame = {
+    val keep = cells.columns
+    cells.crossJoin(broadcast(m))
+      .withColumn("__p", expr(
+        "CASE WHEN (sfeat = 1 AND b1 <= sthr) OR (sfeat = 2 AND b2 <= sthr) " +
+          "THEN pl ELSE pr END"))
+      .withColumn("csyy", expr(
+        "csyy - 2 * CAST(__p AS DECIMAL(38,0)) * csy + " +
+          "CAST(cn AS DECIMAL(38,0)) * __p * __p"))
+      .withColumn("csy", col("csy") - col("cn") * col("__p"))
+      .select(keep.map(col): _*)
+  }
+
   // variance-reduction split score over doubles CAST from exact integer
   // sums — identical text on both engines (the OLS/Cramer discipline)
   private val treeScoreText =
@@ -301,8 +359,12 @@ object Learn extends QueryModule {
     * clearCache between queries). Big-table scans: one per level. */
   private def treeLevels(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
-    treeLevelsFrom(treeFeatures(s, dir))
+    if (useCellsPath(s, dir))
+      treeLevelsFromCells(cellStats(treeFeatures(s, dir), Nil))
+    else treeLevelsFrom(treeFeatures(s, dir))
 
+  /** Depth-2 levels per-row (one scan per level) — the sub-threshold
+    * branch; see [[TreeCellsMinRows]]. */
   private def treeLevelsFrom(f: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val best0 = treeSplits(histPass(f, Nil), Seq("feat"))
@@ -315,6 +377,32 @@ object Learn extends QueryModule {
           "OR (root_feat = 2 AND b2 <= root_thr) " +
           "THEN 0 ELSE 1 END AS BIGINT)"))
     val h1 = histPass(assigned, Seq("node")).persist()
+    val best1 = treeSplits(h1, Seq("node", "feat"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("node")
+          .orderBy(desc("score"), col("feat"), col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("feat").as("split_feat"),
+        col("bin").as("split_thr"))
+      .persist()
+    (best0, h1, best1)
+  }
+
+  /** Depth-2 levels from a cell-stats frame: the same best0/h1/best1
+    * chain as the per-row form, but both histogram "passes" are tiny
+    * cell-frame aggregates — the data is scanned once, by cellStats. */
+  private def treeLevelsFromCells(cells: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val best0 = treeSplits(histPassCells(cells, Nil), Seq("feat"))
+      .orderBy(desc("score"), col("feat"), col("bin")).limit(1)
+      .select(col("feat").as("root_feat"), col("bin").as("root_thr"))
+      .persist()
+    val assigned = cells.crossJoin(broadcast(best0))
+      .withColumn("node", expr(
+        "CAST(CASE WHEN (root_feat = 1 AND b1 <= root_thr) " +
+          "OR (root_feat = 2 AND b2 <= root_thr) " +
+          "THEN 0 ELSE 1 END AS BIGINT)"))
+    val h1 = histPassCells(assigned, Seq("node")).persist()
     val best1 = treeSplits(h1, Seq("node", "feat"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("node")
@@ -375,8 +463,46 @@ object Learn extends QueryModule {
     * partial sums of the SAME level-0 histogram — one scan per stump.
     * The value column is whatever `f.y` holds, which is how boosting
     * reuses this: round k fits the integer residuals of round k-1. */
-  private def stumpFit(f: DataFrame): DataFrame = {
-    val h0 = histPass(f, Nil).persist()
+  /** Row-count threshold above which the multi-scan tree/stump bodies
+    * switch to the one-scan cell-stats path (round-16 optimization,
+    * measured on replicated-orders corpora, min-of-paired-reps A/B vs
+    * the per-row bodies):
+    *
+    *   150k rows (sf0.1): cells 1.1–1.3× SLOWER — the family is
+    *     job-latency-bound locally and the cell frame only adds a
+    *     cache-fill job;
+    *   1.5M rows (10×):   wash (0.98–1.15×);
+    *   15M rows (100×):   cells 0.75–0.92× — the scan passes dominate
+    *     and one scan replaces 4 (gbt) / 7 (forest).
+    *
+    * The ratio keeps falling with N (pass count is the asymptote), so
+    * the cells path is the 100 TB plan; the threshold sits past the
+    * measured wash point. Both branches are pinned row-identical in
+    * LearnSpec. */
+  private[graft] val TreeCellsMinRows = 4000000L
+  private def useCellsPath(s: SparkSession, dir: String): Boolean =
+    Tables.footerRowCount(s, s"$dir/orders.parquet") > TreeCellsMinRows
+
+  private def stumpFit(f: DataFrame): DataFrame =
+    stumpFitFromHist(histPass(f, Nil))
+
+  /** Row-local stump prediction from the broadcast 1-row model. */
+  private def stumpApply(f: DataFrame, model: DataFrame,
+      out: String): DataFrame = {
+    val inCols = f.columns.map(col)
+    f.crossJoin(broadcast(model))
+      .withColumn(out, expr(
+        "CASE WHEN (sfeat = 1 AND b1 <= sthr) OR (sfeat = 2 AND b2 <= sthr) " +
+          "THEN pl ELSE pr END"))
+      .select(inCols :+ col(out): _*)
+  }
+
+  /** Depth-1 fit from a cell-stats frame — no data scan. */
+  private def stumpFitCells(cells: DataFrame): DataFrame =
+    stumpFitFromHist(histPassCells(cells, Nil))
+
+  private def stumpFitFromHist(hist: DataFrame): DataFrame = {
+    val h0 = hist.persist()
     val best0 = treeSplits(h0, Seq("feat"))
       .orderBy(desc("score"), col("feat"), col("bin")).limit(1)
       .select(col("feat").as("sfeat"), col("bin").as("sthr"))
@@ -390,17 +516,6 @@ object Learn extends QueryModule {
       .agg(max(when(col("side") === 0, expr("sy DIV n"))).as("pl"),
         max(when(col("side") === 1, expr("sy DIV n"))).as("pr"))
       .persist()
-  }
-
-  /** Row-local stump prediction from the broadcast 1-row model. */
-  private def stumpApply(f: DataFrame, model: DataFrame,
-      out: String): DataFrame = {
-    val inCols = f.columns.map(col)
-    f.crossJoin(broadcast(model))
-      .withColumn(out, expr(
-        "CASE WHEN (sfeat = 1 AND b1 <= sthr) OR (sfeat = 2 AND b2 <= sthr) " +
-          "THEN pl ELSE pr END"))
-      .select(inCols :+ col(out): _*)
   }
 
   /** Oracle CTEs: fit one stump on `$src` (same h0/s0/best0 chain as the
@@ -516,27 +631,185 @@ object Learn extends QueryModule {
             FROM scored s JOIN preds p USING (leaf)))
     SELECT CAST(n AS BIGINT) AS n, $treeR2Text FROM ev"""
 
-  private[graft] def treeR2Row(s: SparkSession, dir: String): DataFrame = {
-    val (best0, h1, best1) = treeLevels(s, dir)
-    val preds = treeLeaves(best0, h1, best1)
-      .selectExpr("leaf", "sy DIV n AS p")
-    treeFeatures(s, dir).crossJoin(broadcast(best0))
-      .withColumn("node", expr(
-        "CAST(CASE WHEN (root_feat = 1 AND b1 <= root_thr) " +
-          "OR (root_feat = 2 AND b2 <= root_thr) " +
-          "THEN 0 ELSE 1 END AS BIGINT)"))
-      .join(broadcast(best1), Seq("node"))
-      .withColumn("leaf", col("node") * 2 + expr(
-        "CAST(CASE WHEN (split_feat = 1 AND b1 <= split_thr) " +
-          "OR (split_feat = 2 AND b2 <= split_thr) " +
-          "THEN 0 ELSE 1 END AS BIGINT)"))
-      .join(broadcast(preds), Seq("leaf"))
-      .withColumn("e", col("y") - col("p"))
-      .agg(count(lit(1)).as("n"),
-        expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
+  private[graft] def treeR2Row(s: SparkSession, dir: String): DataFrame =
+    treeR2RowOf(s, dir, useCellsPath(s, dir))
+
+  /** Depth-2 tree train + eval r², both regimes (see
+    * [[TreeCellsMinRows]]); row-identical branches, pinned in
+    * LearnSpec. */
+  private[graft] def treeR2RowOf(s: SparkSession, dir: String,
+      useCells: Boolean): DataFrame =
+    if (useCells) {
+      // one data scan (cellStats); scoring + SSE derived on the cells
+      val cells = cellStats(treeFeatures(s, dir), Nil)
+      val model = treeLevelsFromCells(cells)
+      treeApply(cells, model, "p")
+        .agg(expr("sum(cn)").as("n"),
+          expr("sum(csyy - 2 * CAST(p AS DECIMAL(38,0)) * csy + " +
+            "CAST(cn AS DECIMAL(38,0)) * p * p)").as("sse"),
+          expr("sum(CAST(csy AS DECIMAL(38,0)))").as("sy"),
+          sum("csyy").as("syy"))
+        .selectExpr("CAST(n AS BIGINT) AS n", treeR2Text)
+    } else {
+      val model = treeLevelsFrom(treeFeatures(s, dir))
+      treeApply(treeFeatures(s, dir), model, "p")
+        .withColumn("e", col("y") - col("p"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
+          expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
+        .selectExpr("CAST(n AS BIGINT) AS n", treeR2Text)
+    }
+
+  /** ml_forest_bagged body, both regimes (see [[TreeCellsMinRows]]):
+    * per-row below the threshold (6 histogram scans + 1 scoring scan),
+    * one-scan cell stats above — bag rides as a cell coordinate and the
+    * ensemble SSE expands exactly from (cn, csy, csyy) because the
+    * averaged prediction is constant per (b1, b2) cell. Row-identical
+    * branches, pinned in LearnSpec. */
+  private[graft] def forestRow(s: SparkSession, dir: String,
+      cells: Boolean): DataFrame = {
+    val (models, ev) =
+      if (cells) {
+        val cellsB = cellStats(
+          treeFeatures(s, dir).withColumn("bag", col("k") % 3), Seq("bag"))
+        val ms = (0 to 2).map(b =>
+          treeLevelsFromCells(cellsB.filter(col("bag") === b)))
+        val allCells = cellsB.groupBy("b1", "b2")
+          .agg(sum("cn").as("cn"), sum("csy").as("csy"),
+            sum("csyy").as("csyy"))
+        val scored = ms.zipWithIndex.foldLeft(allCells) {
+          case (acc, (m, i)) => treeApply(acc, m, s"p$i")
+        }
+        (ms, scored
+          .withColumn("P", expr("(p0 + p1 + p2) DIV 3"))
+          .agg(expr("sum(cn)").as("n"),
+            expr("sum(csyy - 2 * CAST(P AS DECIMAL(38,0)) * csy + " +
+              "CAST(cn AS DECIMAL(38,0)) * P * P)").as("sse"),
+            expr("sum(CAST(csy AS DECIMAL(38,0)))").as("sy"),
+            sum("csyy").as("syy")))
+      } else {
+        val f = treeFeatures(s, dir)
+        val ms = (0 to 2).map(b => treeLevelsFrom(f.filter(col("k") % 3 === b)))
+        val scored = ms.zipWithIndex.foldLeft(f) {
+          case (acc, (m, i)) => treeApply(acc, m, s"p$i")
+        }
+        (ms, scored
+          .withColumn("e", col("y") - expr("(p0 + p1 + p2) DIV 3"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
+            expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+            expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy")))
+      }
+    val roots = models.zipWithIndex.map { case ((best0, _, _), i) =>
+      broadcast(best0.select(col("root_feat").as(s"rf$i"),
+        col("root_thr").as(s"rt$i")))
+    }
+    roots.foldLeft(ev)((acc, r) => acc.crossJoin(r))
+      .selectExpr(Seq("CAST(n AS BIGINT) AS n",
+        "CAST(rf0 AS BIGINT) AS rf0", "CAST(rt0 AS BIGINT) AS rt0",
+        "CAST(rf1 AS BIGINT) AS rf1", "CAST(rt1 AS BIGINT) AS rt1",
+        "CAST(rf2 AS BIGINT) AS rf2", "CAST(rt2 AS BIGINT) AS rt2",
+        treeR2Text): _*)
+  }
+
+  /** ml_gbt_stumps body, both regimes (see [[TreeCellsMinRows]]): the
+    * 3-round boosting chain per-row (one histogram scan per round + one
+    * eval scan) or on the cell frame (the residual csy/csyy updates are
+    * exact integer identities; y0 statistics ride the chain untouched).
+    * Row-identical branches, pinned in LearnSpec. */
+  private[graft] def gbtRow(s: SparkSession, dir: String,
+      cells: Boolean): DataFrame = {
+    val (ms, ev) =
+      if (cells) {
+        val cells0 = cellStats(treeFeatures(s, dir), Nil)
+          .withColumn("csy0", col("csy")).withColumn("csyy0", col("csyy"))
+        val m0 = stumpFitCells(cells0)
+        val cells1 = residCells(cells0, m0)
+        val m1 = stumpFitCells(cells1)
+        val cells2 = residCells(cells1, m1)
+        val m2 = stumpFitCells(cells2)
+        val cells3 = residCells(cells2, m2)
+        (Seq(m0, m1, m2), cells3.agg(expr("sum(cn)").as("n"),
+          sum("csyy").as("sse"),
+          expr("sum(CAST(csy0 AS DECIMAL(38,0)))").as("sy"),
+          sum("csyy0").as("syy")))
+      } else {
+        def resid(f: DataFrame, m: DataFrame): DataFrame =
+          stumpApply(f, m, "__p")
+            .withColumn("y", col("y") - col("__p")).drop("__p")
+        val f0 = treeFeatures(s, dir).withColumn("y0", col("y"))
+        val m0 = stumpFit(f0)
+        val f1 = resid(f0, m0)
+        val m1 = stumpFit(f1)
+        val f2 = resid(f1, m1)
+        val m2 = stumpFit(f2)
+        val f3 = resid(f2, m2)
+        (Seq(m0, m1, m2), f3.agg(count(lit(1)).as("n"),
+          expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("sse"),
+          expr("sum(CAST(y0 AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(y0 AS DECIMAL(38,0)) * y0)").as("syy")))
+      }
+    val models = ms.zipWithIndex.map { case (m, i) =>
+      broadcast(m.select(col("sfeat").as(s"sf$i"),
+        col("sthr").as(s"st$i"), col("pl").as(s"pl$i"),
+        col("pr").as(s"pr$i")))
+    }
+    models.foldLeft(ev)(_ crossJoin _)
+      .selectExpr(Seq("CAST(n AS BIGINT) AS n") ++
+        (0 to 2).flatMap(i => Seq(
+          s"CAST(sf$i AS BIGINT) AS sf$i", s"CAST(st$i AS BIGINT) AS st$i",
+          s"CAST(pl$i AS BIGINT) AS pl$i", s"CAST(pr$i AS BIGINT) AS pr$i"))
+        :+ treeR2Text: _*)
+  }
+
+  /** pipeline_model_eval body, both regimes (see [[TreeCellsMinRows]]):
+    * per-row train-fit + holdout-scoring scans, or one cell-stats pass
+    * with the train/test flag as a cell coordinate. Row-identical
+    * branches, pinned in LearnSpec. */
+  private[graft] def modelEvalRow(s: SparkSession, dir: String,
+      cells: Boolean): DataFrame = {
+    val inTrain =
+      "substr(md5(CAST(k AS STRING) || ':spl'), 1, 1) < 'd'"
+    if (cells) {
+      val cs = cellStats(
+        treeFeatures(s, dir).withColumn("tr", expr(inTrain)), Seq("tr"))
+      val m = stumpFitCells(cs.filter(col("tr")).drop("tr"))
+      val ev = residCells(
+          cs.withColumn("csy0", col("csy"))
+            .withColumn("csyy0", col("csyy")), m)
+        .agg(expr("sum(CASE WHEN tr THEN cn ELSE 0 END)").as("n_train"),
+          expr("sum(CASE WHEN tr THEN 0 ELSE cn END)").as("n"),
+          expr("sum(CASE WHEN tr THEN CAST(0 AS DECIMAL(38,0)) " +
+            "ELSE csyy END)").as("sse"),
+          expr("sum(CASE WHEN tr THEN CAST(0 AS DECIMAL(38,0)) " +
+            "ELSE CAST(csy0 AS DECIMAL(38,0)) END)").as("sy"),
+          expr("sum(CASE WHEN tr THEN CAST(0 AS DECIMAL(38,0)) " +
+            "ELSE csyy0 END)").as("syy"))
+      ev.crossJoin(broadcast(m))
+        .selectExpr("CAST(n_train AS BIGINT) AS n_train",
+          "CAST(n AS BIGINT) AS n_test",
+          "CAST(sfeat AS BIGINT) AS sfeat", "CAST(sthr AS BIGINT) AS sthr",
+          "CAST(pl AS BIGINT) AS pl", "CAST(pr AS BIGINT) AS pr",
+          treeR2Text)
+    } else {
+      val f = treeFeatures(s, dir)
+      val train = f.filter(expr(inTrain))
+      val test = f.filter(not(expr(inTrain)))
+      val m = stumpFit(train)
+      val scored = stumpApply(test, m, "p")
+      val ev = scored.agg(count(lit(1)).as("n"),
+        expr("sum(CAST(y - p AS DECIMAL(38,0)) * (y - p))").as("sse"),
         expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
         expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
-      .selectExpr("CAST(n AS BIGINT) AS n", treeR2Text)
+      val tr = train.agg(count(lit(1)).as("n_train"))
+      ev.crossJoin(broadcast(m)).crossJoin(broadcast(tr))
+        .selectExpr("CAST(n_train AS BIGINT) AS n_train",
+          "CAST(n AS BIGINT) AS n_test",
+          "CAST(sfeat AS BIGINT) AS sfeat", "CAST(sthr AS BIGINT) AS sthr",
+          "CAST(pl AS BIGINT) AS pl", "CAST(pr AS BIGINT) AS pr",
+          treeR2Text)
+    }
   }
 
   // shared expression text for the one-scan 3-fold CV (see the query's
@@ -825,29 +1098,7 @@ object Learn extends QueryModule {
                CAST(t2best0.root_thr AS BIGINT) AS rt2,
                $treeR2Text
         FROM ev CROSS JOIN t0best0 CROSS JOIN t1best0 CROSS JOIN t2best0"""),
-      (s, dir) => {
-        val f = treeFeatures(s, dir)
-        val models = (0 to 2).map(b => treeLevelsFrom(f.filter(col("k") % 3 === b)))
-        val scored = models.zipWithIndex.foldLeft(f) {
-          case (acc, (m, i)) => treeApply(acc, m, s"p$i")
-        }
-        val roots = models.zipWithIndex.map { case ((best0, _, _), i) =>
-          broadcast(best0.select(col("root_feat").as(s"rf$i"),
-            col("root_thr").as(s"rt$i")))
-        }
-        val ev = scored
-          .withColumn("e", col("y") - expr("(p0 + p1 + p2) DIV 3"))
-          .agg(count(lit(1)).as("n"),
-            expr("sum(CAST(e * e AS DECIMAL(38,0)))").as("sse"),
-            expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
-            expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
-        roots.foldLeft(ev)((acc, r) => acc.crossJoin(r))
-          .selectExpr(Seq("CAST(n AS BIGINT) AS n",
-            "CAST(rf0 AS BIGINT) AS rf0", "CAST(rt0 AS BIGINT) AS rt0",
-            "CAST(rf1 AS BIGINT) AS rf1", "CAST(rt1 AS BIGINT) AS rt1",
-            "CAST(rf2 AS BIGINT) AS rf2", "CAST(rt2 AS BIGINT) AS rt2",
-            treeR2Text): _*)
-      }),
+      (s, dir) => forestRow(s, dir, useCellsPath(s, dir))),
 
     // ---- 3-fold cross-validation of a linear model from ONE scan: the
     // model-selection loop every real pipeline runs, in the shape it
@@ -958,33 +1209,7 @@ object Learn extends QueryModule {
                CAST(g2m.pl AS BIGINT) AS pl2, CAST(g2m.pr AS BIGINT) AS pr2,
                $treeR2Text
         FROM ev CROSS JOIN g0m CROSS JOIN g1m CROSS JOIN g2m"""),
-      (s, dir) => {
-        def resid(f: DataFrame, m: DataFrame): DataFrame =
-          stumpApply(f, m, "__p")
-            .withColumn("y", col("y") - col("__p")).drop("__p")
-        val f0 = treeFeatures(s, dir).withColumn("y0", col("y"))
-        val m0 = stumpFit(f0)
-        val f1 = resid(f0, m0)
-        val m1 = stumpFit(f1)
-        val f2 = resid(f1, m1)
-        val m2 = stumpFit(f2)
-        val f3 = resid(f2, m2)
-        val ev = f3.agg(count(lit(1)).as("n"),
-          expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("sse"),
-          expr("sum(CAST(y0 AS DECIMAL(38,0)))").as("sy"),
-          expr("sum(CAST(y0 AS DECIMAL(38,0)) * y0)").as("syy"))
-        val models = Seq(m0, m1, m2).zipWithIndex.map { case (m, i) =>
-          broadcast(m.select(col("sfeat").as(s"sf$i"),
-            col("sthr").as(s"st$i"), col("pl").as(s"pl$i"),
-            col("pr").as(s"pr$i")))
-        }
-        models.foldLeft(ev)(_ crossJoin _)
-          .selectExpr(Seq("CAST(n AS BIGINT) AS n") ++
-            (0 to 2).flatMap(i => Seq(
-              s"CAST(sf$i AS BIGINT) AS sf$i", s"CAST(st$i AS BIGINT) AS st$i",
-              s"CAST(pl$i AS BIGINT) AS pl$i", s"CAST(pr$i AS BIGINT) AS pr$i"))
-            :+ treeR2Text: _*)
-      }),
+      (s, dir) => gbtRow(s, dir, useCellsPath(s, dir))),
 
     // ---- exact AUC (Mann-Whitney rank-sum) of price-as-a-classifier
     // for high order priority — the reference evaluates models
@@ -1226,26 +1451,7 @@ object Learn extends QueryModule {
                CAST(gm.pl AS BIGINT) AS pl, CAST(gm.pr AS BIGINT) AS pr,
                $treeR2Text
         FROM ev CROSS JOIN gm CROSS JOIN tr"""),
-      (s, dir) => {
-        val f = treeFeatures(s, dir)
-        val inTrain =
-          "substr(md5(CAST(k AS STRING) || ':spl'), 1, 1) < 'd'"
-        val train = f.filter(expr(inTrain))
-        val test = f.filter(not(expr(inTrain)))
-        val m = stumpFit(train)
-        val scored = stumpApply(test, m, "p")
-        val ev = scored.agg(count(lit(1)).as("n"),
-          expr("sum(CAST(y - p AS DECIMAL(38,0)) * (y - p))").as("sse"),
-          expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
-          expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"))
-        val tr = train.agg(count(lit(1)).as("n_train"))
-        ev.crossJoin(broadcast(m)).crossJoin(broadcast(tr))
-          .selectExpr("CAST(n_train AS BIGINT) AS n_train",
-            "CAST(n AS BIGINT) AS n_test",
-            "CAST(sfeat AS BIGINT) AS sfeat", "CAST(sthr AS BIGINT) AS sthr",
-            "CAST(pl AS BIGINT) AS pl", "CAST(pr AS BIGINT) AS pr",
-            treeR2Text)
-      }),
+      (s, dir) => modelEvalRow(s, dir, useCellsPath(s, dir))),
 
     // ---- chi-squared test of independence between two categorical
     // columns (order priority × status): the feature-association screen
@@ -1441,12 +1647,15 @@ object Learn extends QueryModule {
       (s, dir) => {
         val root = RunStore.defaultRoot(dir)
         RunStore.reset(s, root)
-        RunStore.log(s, root, "r1_ols_cents", "ols_normal_equations",
-          Seq("features" -> "x1,x2", "target" -> "price_cents"),
-          olsFitRow(s, dir))
-        RunStore.log(s, root, "r2_tree_depth2", "hist_tree_depth2",
-          Seq("depth" -> "2", "bins" -> TreeBins.toString),
-          treeR2Row(s, dir))
+        // one commit per ledger table for both runs (3 write jobs, not
+        // 6) — content identical to two sequential log() calls
+        RunStore.logAll(s, root, Seq(
+          ("r1_ols_cents", "ols_normal_equations",
+            Seq("features" -> "x1,x2", "target" -> "price_cents"),
+            olsFitRow(s, dir)),
+          ("r2_tree_depth2", "hist_tree_depth2",
+            Seq("depth" -> "2", "bins" -> TreeBins.toString),
+            treeR2Row(s, dir))))
         RunStore.snapshot(s, root).orderBy("run_id", "metric")
       })
   )

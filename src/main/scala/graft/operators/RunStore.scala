@@ -60,6 +60,37 @@ object RunStore {
       .foreach(t => s.sql(s"REFRESH TABLE $t"))
   }
 
+  /** Append SEVERAL runs in one commit per table (round-16
+    * optimization): each [[log]] call costs three parquet write jobs —
+    * commit-protocol latency, not data — so a caller logging a batch of
+    * runs (ml_runs_log logs two) pays 3 jobs instead of 3·k. Ledger
+    * content is identical to k sequential [[log]] calls: the tables are
+    * unordered append-only sets and every row carries its run_id. */
+  def logAll(s: SparkSession, root: String,
+      runs: Seq[(String, String, Seq[(String, String)], DataFrame)]): Unit = {
+    import s.implicits._
+    runs.map { case (runId, algo, _, _) =>
+      s.range(1).select(lit(runId).as("run_id"), lit(algo).as("algo"))
+    }.reduce(_ unionByName _)
+      .write.mode("append").parquet(s"$root/runs")
+    runs.map { case (runId, _, params, _) =>
+      params.toDF("param", "value")
+        .select(lit(runId).as("run_id"), col("param"), col("value"))
+    }.reduce(_ unionByName _)
+      .write.mode("append").parquet(s"$root/params")
+    runs.map { case (runId, _, _, metricsRow) =>
+      val kvs = metricsRow.columns
+        .flatMap(c => Seq(lit(c), col(c).cast("double")))
+      metricsRow.select(explode(map(kvs.toIndexedSeq: _*)))
+        .toDF("metric", "value")
+        .select(lit(runId).as("run_id"), col("metric"), col("value"))
+    }.reduce(_ unionByName _)
+      .write.mode("append").parquet(s"$root/metrics")
+    Seq("ml_runs", "ml_params", "ml_metrics")
+      .filter(s.catalog.tableExists)
+      .foreach(t => s.sql(s"REFRESH TABLE $t"))
+  }
+
   /** The queryable run ledger: runs ⋈ metrics, plus the per-run param
     * count (broadcast — runs/params are metadata-sized). */
   def snapshot(s: SparkSession, root: String): DataFrame = {

@@ -67,6 +67,28 @@ class LearnSpec extends SparkSpec {
     assert(st.getDouble(2) == 0.0 && st.getDouble(3) == 1.0)
   }
 
+  test("cells and per-row tree bodies are row-identical (both regimes)") {
+    // the size-adaptive branch (Learn.TreeCellsMinRows): below the
+    // threshold the registered queries run the per-row bodies; this
+    // pins that the one-scan cell-stats regime — the 100 TB path —
+    // computes the IDENTICAL rows on the oracle fixture, so the oracle
+    // hash transfers to the branch it never executes
+    for ((name, build) <- Seq[
+        (String, (org.apache.spark.sql.SparkSession, String, Boolean) =>
+          org.apache.spark.sql.DataFrame)](
+        ("forest", operators.Learn.forestRow),
+        ("gbt", operators.Learn.gbtRow),
+        ("model_eval", operators.Learn.modelEvalRow),
+        ("tree_r2", operators.Learn.treeR2RowOf))) {
+      val perRow = build(spark, sf, false).collect().map(_.toString).sorted
+      spark.catalog.clearCache()
+      val cells = build(spark, sf, true).collect().map(_.toString).sorted
+      spark.catalog.clearCache()
+      assert(perRow.sameElements(cells),
+        s"$name: cells regime diverged:\n per-row ${perRow.mkString("|")}\n cells   ${cells.mkString("|")}")
+    }
+  }
+
   test("tree histogram pass is ONE scan + one aggregation of the data") {
     // the per-level cost claim: a histogram pass reads the fact table
     // exactly once (features unpivot in-flight, no self-union) and
