@@ -121,7 +121,20 @@ object Streams extends QueryModule {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      // Unload every state-store provider the finished run loaded (and
+      // its 60s-interval maintenance thread): providers are cached per
+      // (checkpoint, operator, partition) ACROSS queries, and a later
+      // run of the same query deletes this run's checkpoint dir out
+      // from under the still-loaded provider — its maintenance tick
+      // then stalls on snapshot/cleanup errors while an unrelated
+      // stream is executing (multi-second tail latencies on whichever
+      // stream_* query the tick lands on). The next streaming query
+      // reloads its providers from scratch, which for AvailableNow
+      // runs over fresh checkpoints is work it does anyway.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
     s.table(name)
   }
 
