@@ -1172,32 +1172,49 @@ object Dedup extends QueryModule {
     // the standard shape for iterative DataFrame algorithms.
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc")).truncated
-    var changed = 1L
+    // Self-loop edges fold the propagate step into the neighbor-min
+    // aggregate (round-16 optimization): min over neighbors ∪ self IS
+    // least(own, neighbor min) and is total (every node has its self
+    // edge), so the per-round labels⋈nbrMin left join disappears — two
+    // joins per round instead of three, identical per-round label
+    // frames by construction.
+    // no .truncated: both union inputs are already checkpointed, the
+    // union is trivial lineage — a third materialized copy of the edge
+    // frame costs more than it saves
+    val selfEdges = edges
+      .union(labels.select(col("doc").as("src"), col("doc").as("dst")))
+    // Convergence via the label-sum delta instead of a carried old
+    // column: labels are non-increasing (least of previous labels), so
+    // the DECIMAL(38,0)-exact sum is strictly decreasing until the
+    // fixed point — same termination round as the per-row comparison.
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
+    var changed = true
     var iter = 0
     val maxIters = 64 // O(log n) rounds with pointer jumping; wide margin
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges
+    while (changed && iter < maxIters) {
+      val propagated = selfEdges
         .join(labels.withColumnRenamed("doc", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("doc"))
-        .agg(min("lbl").as("nbr_lbl"))
-      // carry the previous label through the round so the convergence
-      // check is a filter on the checkpointed result, not one more join
-      val propagated = labels.join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .agg(min("lbl").as("lbl"))
       // pointer jump: a label is always itself a member doc, so its own
       // (smaller-or-equal) label is defined; inner join is total
       val next = propagated.as("p")
         .join(propagated.select(col("doc").as("pj_doc"), col("lbl").as("pj_lbl")),
           col("p.lbl") === col("pj_doc"))
-        .select(col("p.doc").as("doc"), col("p.old").as("old"),
+        .select(col("p.doc").as("doc"),
           least(col("p.lbl"), col("pj_lbl")).as("lbl"))
         .truncated
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.drop("old")
+      val curSum = lblSum(next)
+      changed = curSum.compareTo(prevSum) != 0
+      prevSum = curSum
+      labels = next
       iter += 1
     }
-    if (changed > 0) {
+    if (changed) {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds")
     }
