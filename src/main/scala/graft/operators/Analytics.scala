@@ -317,17 +317,29 @@ object Analytics extends QueryModule {
           math.max(8L, eDeg.count() / LoopRowsPerTask)) {
           val n = eDeg.select("src").distinct().count()
           val tele = ((SCALE * 15) / 100) / n
+          // Lineage is LINEAR here — each iteration consumes the rank
+          // frame exactly once — so per-iteration checkpoints were pure
+          // materialization overhead (3 jobs + 3 block-store copies per
+          // query), not re-derivation protection. Build the 3-iteration
+          // chain lazily off the checkpointed eDeg and truncate ONCE at
+          // the end, still inside withLoopWidth so the whole chain
+          // executes at the measured width (round-16 optimization;
+          // contrast componentsLoop, whose labels feed two joins per
+          // round and genuinely need the per-round barrier).
           var ranks = eDeg.select(col("src").as("node")).distinct()
             .withColumn("r", lit(SCALE / n))
-            .truncated
           for (_ <- 1 to 3) {
+            // join keyed by OUTPUT-level names (the lazy rank chain now
+            // shares lineage with eDeg, and dataframe-apply column refs
+            // across shared lineage resolve ambiguously)
             ranks = ranks
-              .join(eDeg, ranks("node") === eDeg("src"))
+              .withColumnRenamed("node", "rk_node")
+              .join(eDeg, col("rk_node") === col("src"))
               .select(col("dst"), expr("r div deg").as("c"))
               .groupBy(col("dst").as("node"))
               .agg(expr(s"CAST($tele + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
-              .truncated
           }
+          ranks = ranks.truncated
           ranks.select(
           col("node"),
           when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("part"))
@@ -386,9 +398,13 @@ object Analytics extends QueryModule {
               .join(visited.select("node"), Seq("node"), "left_anti")
               .truncated
             frontier = next
+            // visited is a union of ≤ 5 CHECKPOINTED frontiers — trivial
+            // lineage, so its own per-round truncation was one wasted
+            // materialization per hop (round-16 optimization); `next`
+            // keeps the barrier (it feeds both the expansion join and
+            // the anti-join of the following round)
             visited = visited
               .union(next.withColumn("min_hop", lit(h.toLong)))
-              .truncated
           }
           visited.select(
             col("node"),
