@@ -42,22 +42,47 @@ object Curation extends QueryModule {
       : DataFrame = dsirFeatureBucketsOf(docs(s, dir))
 
   /** Same transform over an arbitrary (doc_id, lang, text) frame — the
-    * streaming-parity spec applies it per micro-batch. */
+    * streaming-parity spec applies it per micro-batch.
+    *
+    * LAMBDA-FREE construction (round-16 optimization): the old
+    * zip_with(slice, slice, concat_ws) spelling dispatched an
+    * interpreted lambda per token AND — because NamedLambdaVariable ids
+    * never canonicalize equal — made every consumer's plan subtree
+    * unshareable, so the two-pass DSIR queries re-ran the whole feature
+    * pipeline per pass with no exchange reuse. arrays_zip pads the
+    * shifted slice with one trailing null, so each (w1, w2) struct
+    * yields its unigram plus (when w2 is non-null) its bigram via a
+    * CASE-built array — same feature multiset, zero lambdas, and the
+    * subtree now canonicalizes for ReuseExchange. */
   private[graft] def dsirFeatureBucketsOf(docsDf: DataFrame): DataFrame = {
     val n = size(col("ts"))
-    val bigrams = zip_with(
-      slice(col("ts"), lit(1), greatest(n - 1, lit(0))),
-      slice(col("ts"), lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
     docsDf
       .select(col("doc_id"), col("lang"),
         tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("lang"),
-        explode(concat(col("ts"), bigrams)).as("f"))
+        explode(arrays_zip(col("ts").as("w1"),
+          slice(col("ts"), lit(2), greatest(n - 1, lit(0))).as("w2")))
+          .as("p"))
+      .select(col("doc_id"), col("lang"),
+        explode(when(col("p.w2").isNull, array(col("p.w1")))
+          .otherwise(array(col("p.w1"),
+            concat(col("p.w1"), lit(" "), col("p.w2"))))).as("f"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("f")), 1, 12), 16, 10).cast("long")
           % 1024L).as("b"))
   }
+
+  /** Per-(doc, lang, bucket) feature counts — ONE feature pass whose
+    * exchange every DSIR consumer shares (ReuseExchange): the LM fit
+    * re-aggregates these counts by bucket and the scorer weights them
+    * by the broadcast LM, so the corpus is tokenized/hashed ONCE per
+    * query instead of once per pass. Counts are exact, so every figure
+    * derived downstream is bit-identical to the per-row form. */
+  private[graft] def dsirBucketCounts(s: SparkSession, dir: String)
+      : DataFrame =
+    dsirFeatureBuckets(s, dir)
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("cnt"))
 
   /** Per-batch DSIR LM partial state (batch, b, cs, ct) — the additive,
     * checkpointable counts a continuously-running pipeline persists per
@@ -66,11 +91,12 @@ object Curation extends QueryModule {
     * engine-replayable ingest split). */
   private[graft] def dsirBatchState(s: SparkSession, dir: String)
       : DataFrame =
-    dsirFeatureBuckets(s, dir)
+    dsirBucketCounts(s, dir)
       .withColumn("batch", pmod(col("doc_id"), lit(3L)))
       .groupBy("batch", "b")
-      .agg(count(lit(1)).as("cs"),
-        count(when(col("lang") === "en", 1)).as("ct"))
+      .agg(sum("cnt").as("cs"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L)))
+          .as("ct"))
 
   /** Scalable global row_number() OVER (ORDER BY keys): range-partition
     * on the sort keys (ordered partitions are the RangePartitioner
@@ -503,13 +529,16 @@ object Curation extends QueryModule {
         FROM w ORDER BY key_micro DESC, doc_id LIMIT 100""")
       },
       (s, dir) => {
-        val fb = dsirFeatureBuckets(s, dir)
-        // both LM sides from ONE corpus pass (conditional count), and
-        // the normalizing totals from the ≤ B-row LM frame — the scaled
-        // corpus is read exactly twice (LM fit + weight scoring), which
-        // is the DSIR minimum without caching the exploded features
-        val lmc = fb.groupBy("b").agg(count(lit(1)).as("cs"),
-          count(when(col("lang") === "en", 1)).as("ct"))
+        // ONE feature pass (round-16 optimization): both the LM fit and
+        // the scorer consume the per-(doc,lang,bucket) count frame, so
+        // ReuseExchange computes the tokenize/hash pipeline once — the
+        // previous shape read the corpus twice ("the DSIR minimum
+        // without caching") because the lambda-bearing feature subtree
+        // could not canonicalize for reuse.
+        val fbh = dsirBucketCounts(s, dir)
+        val lmc = fbh.groupBy("b").agg(sum("cnt").as("cs"),
+          sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L)))
+            .as("ct"))
         val tot = lmc.agg(sum("cs").as("tots"), sum("ct").as("tott"))
         // the bucket LM is ≤ B rows by construction — broadcast is safe
         // at ANY corpus size (this is the point of hashed features)
@@ -521,9 +550,10 @@ object Curation extends QueryModule {
               * 1e6).cast("long").as("lr"))
         val u = ((col("doc_id") * 2654435761L) % 4294967296L + 1) /
           lit(4294967297.0)
-        fb.join(broadcast(lm), "b")
+        fbh.join(broadcast(lm), "b")
           .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).as("n_feats"), sum("lr").as("weight_micro"))
+          .agg(sum("cnt").as("n_feats"),
+            sum(col("lr") * col("cnt")).as("weight_micro"))
           .select(col("doc_id"), col("lang"), col("n_feats"),
             col("weight_micro"),
             (col("weight_micro") +
@@ -596,7 +626,10 @@ object Curation extends QueryModule {
         ORDER BY prefix, weight_micro DESC, doc_id""")
       },
       (s, dir) => {
-        val fb = dsirFeatureBuckets(s, dir)
+        // same one-feature-pass shape as curate_dsir_resample: the
+        // per-batch state and the scorer both derive from the shared
+        // per-(doc,lang,bucket) count exchange
+        val fbh = dsirBucketCounts(s, dir)
           .withColumn("batch", pmod(col("doc_id"), lit(3L)))
         val bs = dsirBatchState(s, dir)
         val pfx = s.range(1L, 4L).select(col("id").as("prefix"))
@@ -613,14 +646,14 @@ object Curation extends QueryModule {
                 (col("tott") + lit(1024.0))) /
               ((col("cs") + lit(1.0)) / (col("tots") + lit(1024.0))))
               * 1e6).cast("long").as("lr"))
-        // score docs-seen-so-far under each prefix LM: ONE corpus
-        // feature pass replicated per checkpoint (constant 3) via the
+        // score docs-seen-so-far under each prefix LM: the shared count
+        // frame replicated per checkpoint (constant 3) via the
         // broadcast ≤3·B-row LM, then doc-keyed partial aggregation
-        val w = fb.join(broadcast(lm),
-            fb("b") === lm("b") && col("batch") < col("prefix"))
+        val w = fbh.join(broadcast(lm),
+            fbh("b") === lm("b") && col("batch") < col("prefix"))
           .groupBy("prefix", "doc_id")
-          .agg(count(lit(1)).as("n_feats"),
-            sum("lr").as("weight_micro"))
+          .agg(sum("cnt").as("n_feats"),
+            sum(col("lr") * col("cnt")).as("weight_micro"))
         val rw = Window.partitionBy("prefix")
           .orderBy(col("weight_micro").desc, col("doc_id"))
         w.withColumn("rn", row_number().over(rw))
