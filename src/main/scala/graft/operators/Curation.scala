@@ -725,6 +725,13 @@ object Curation extends QueryModule {
             slice(col("ts"), lit(1), greatest(n - 1, lit(0))),
             slice(col("ts"), lit(2), greatest(n - 1, lit(0))))).as("p"))
           .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+        // NOTE (round-16): a per-(doc, bigram) count frame shared via
+        // ReuseExchange (the DSIR one-pass shape) was tried here and
+        // measured 1.5× SLOWER (2.90s → 4.40s min-of-2 paired): the
+        // bigram pipeline is cheap to recompute while the count frame
+        // barely dedups on this vocabulary and its exchange shuffles
+        // two string columns per row — the two-pass shape below is the
+        // right trade when compute is light and the shuffle is wide.
         val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
         // the conditional denominator and the smoothing vocab both come
         // from the c12 frame, not another corpus pass
