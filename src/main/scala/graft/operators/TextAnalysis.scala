@@ -565,9 +565,17 @@ object TextAnalysis extends QueryModule {
         GROUP BY 1, 2 HAVING count(*) >= 3
         ORDER BY 1, 2"""),
       (s, dir) => {
+        // One winnowing pass (round-16 optimization, the jaccardPairs
+        // pattern): the fingerprint pipeline's tokens lambda never
+        // canonicalizes equal, so the df-cap aggregate and both
+        // self-join sides each re-ran the full posexplode+window
+        // pipeline (4 computes). persist() makes the cache the shared
+        // identity (df-cap + one join side read it) and the explicit
+        // repartition(fp) gives both join sides ONE reused exchange —
+        // the shuffle a sort-merge self-join pays at scale anyway.
         val post = Dedup.dfCapped(
-          winnowFingerprints(Tables.load(s, dir, "documents")),
-          "fp", Dedup.DfCap)
+          winnowFingerprints(Tables.load(s, dir, "documents")).persist(),
+          "fp", Dedup.DfCap).repartition(col("fp"))
         post.as("a")
           .join(post.as("b"),
             col("a.fp") === col("b.fp") &&
