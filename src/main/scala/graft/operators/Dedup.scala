@@ -1953,6 +1953,14 @@ object Dedup extends QueryModule {
                 .cast("binary")))))
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
             col("col").as("wh"))
+          // persisted: the repeated-window aggregate AND the join back
+          // both consume this frame, and its lambda-bearing subtree
+          // (tokens filter + per-position md5 transform) never
+          // canonicalizes for exchange reuse — without the cache the
+          // window-hash pass ran twice per query (round-16; the
+          // map-side-combined dup aggregate stays, a window count over
+          // wh would concentrate a viral span's rows on one task)
+          .persist()
         val dup = wins.groupBy("wh").agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).select("wh")
         val byDoc = Window.partitionBy("doc_id").orderBy("pos")
