@@ -1606,9 +1606,14 @@ object Relational extends QueryModule {
             to_json(struct(
               col("o_orderstatus").as("status"),
               round(col("o_totalprice") * 100).cast("long").as("cents"))).as("j"))
+          // json_tuple: ONE parse per row for both fields — two
+          // get_json_object calls parsed the JSON twice (round-16);
+          // same top-level string extraction semantics
           .select(col("o_orderkey"),
-            get_json_object(col("j"), "$.status").as("status_back"),
-            get_json_object(col("j"), "$.cents").try_cast("long").as("cents_back"))
+            json_tuple(col("j"), "status", "cents")
+              .as(Seq("status_back", "cents_raw")))
+          .select(col("o_orderkey"), col("status_back"),
+            col("cents_raw").try_cast("long").as("cents_back"))
           .orderBy("o_orderkey")),
 
     Q(
