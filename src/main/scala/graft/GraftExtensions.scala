@@ -26,6 +26,16 @@ object GraftExtensions {
       "trigram_shingles",
       exprs => graft.functions.TrigramShingles(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "space_tokens",
+      exprs => graft.functions.SpaceTokens(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_merge_apply",
+      exprs => graft.functions.BpeMergeApply(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_sums",
+      exprs => graft.functions.GramSums(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantiles",
       exprs => graft.functions.KllQuantiles(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -122,6 +132,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("trigram_shingles",
         "trigram_shingles(tokens) - distinct word-trigram shingles",
         exprs => graft.functions.TrigramShingles(exprs.head)),
+      ("space_tokens",
+        "space_tokens(text) - non-empty single-space-separated tokens",
+        exprs => graft.functions.SpaceTokens(exprs.head)),
+      ("bpe_merge_apply",
+        "bpe_merge_apply(syms, pa, pb) - greedy left-to-right BPE merge pass",
+        exprs => graft.functions.BpeMergeApply(exprs(0), exprs(1), exprs(2))),
+      ("gram_sums",
+        "gram_sums(vec) - (n, d, sv, pp) exact Gram sums of 2^-20-quantized doubles",
+        exprs => graft.functions.GramSums(exprs.head)),
       ("kll_quantiles",
         "kll_quantiles(x) - KLL sketch [p50, p90, p99] of a double column",
         exprs => graft.functions.KllQuantiles(exprs.head)),

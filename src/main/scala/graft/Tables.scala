@@ -16,6 +16,25 @@ object Tables {
   def scratchRoot: String =
     sys.props.getOrElse("graft.scratch", "/root/repo/target/scratch")
 
+  /** Delete the build-if-absent DERIVED tables under [[scratchRoot]]
+    * (the pHash fingerprint table and the ANN hyperplane index). They
+    * are deterministic corpus functions, but letting them survive across
+    * timed runs means a later cold bench reads an index an earlier run
+    * built and never pays the build — a cross-run precomputed
+    * intermediate, which the measurement rules treat as gaming. Bench
+    * and Verify call this at startup so every invocation pays each
+    * build exactly once, in-run (the within-run amortization across the
+    * table's ~5 consumers per query is the legitimate part of the
+    * design and is unchanged). */
+  def wipeDerivedScratch(): Unit =
+    for (sub <- Seq("phash_fp", "ann_index")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val l = f.listFiles; if (l != null) l.foreach(rm) }
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$scratchRoot/$sub"))
+    }
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -22,8 +22,10 @@ object Curation extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  private def tokens(c: Column): Column =
-    filter(split(c, " "), x => x =!= lit(""))
+  /** Non-empty whitespace tokens — the native SpaceTokens expression
+    * (round-17): one native pass, no per-element interpreted lambda, and
+    * the subtree canonicalizes so twin pipelines share exchanges. */
+  private def tokens(c: Column): Column = call_function("space_tokens", c)
 
   /** DuckDB fragment replaying Spark's
     * conv(substring(md5(f), 1, 12), 16, 10) — the first 12 hex digits

@@ -24,9 +24,10 @@ object Dedup extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Non-empty whitespace tokens. */
-  private def tokens(c: Column): Column =
-    filter(split(c, " "), x => x =!= lit(""))
+  /** Non-empty whitespace tokens — the native SpaceTokens expression
+    * (round-17): one native pass, no per-element interpreted lambda, and
+    * the subtree canonicalizes so twin pipelines share exchanges. */
+  private def tokens(c: Column): Column = call_function("space_tokens", c)
 
   /** Distinct word-trigram shingles from a token array. Trigrams (not
     * bigrams): the standard shingle width for near-dup detection — and the
@@ -1764,12 +1765,26 @@ object Dedup extends QueryModule {
         val base = t(s, dir, "customer")
           .filter(col("c_nationkey") === 0)
           .select(col("c_custkey").as("id"), col("c_name").as("s"))
+        // lambda-free key stream (r17): explode the deletion position and
+        // build each key with plain substr arithmetic — i == length(s)
+        // degenerates to the identity key (prefix = s, suffix = ""), so
+        // one sequence covers {s} ∪ deletions. The transform-lambda
+        // spelling blocked plan canonicalization (NamedLambdaVariable ids
+        // never canonicalize equal), so the two self-join sides each
+        // recomputed the key stream instead of sharing one exchange.
+        // Per-row key dedup without array_union: deletions collide
+        // exactly within a run of equal adjacent chars, so keeping only
+        // the FIRST deletion of each run (char[i-1] != char[i], 1-based
+        // substr) reproduces the old array_union key set — measured
+        // 1.15× without it (duplicate keys inflate the candidate join).
         val keys = base.select(col("id"), col("s"),
-          explode(array_union(
-            array(col("s")),
-            transform(sequence(lit(0), length(col("s")) - 1), i =>
-              concat(col("s").substr(lit(1), i),
-                col("s").substr(i + 2, length(col("s"))))))).as("k"))
+          explode(sequence(lit(0), length(col("s")))).as("i"))
+          .filter(col("i") === 0 ||
+            col("s").substr(col("i"), lit(1)) =!=
+              col("s").substr(col("i") + 1, lit(1)))
+          .select(col("id"), col("s"),
+            concat(col("s").substr(lit(1), col("i")),
+              col("s").substr(col("i") + 2, length(col("s")))).as("k"))
         keys.as("a")
           .join(keys.as("b"),
             col("a.k") === col("b.k") && col("a.id") < col("b.id"))

@@ -480,8 +480,19 @@ object Learn extends QueryModule {
     * measured wash point. Both branches are pinned row-identical in
     * LearnSpec. */
   private[graft] val TreeCellsMinRows = 4000000L
+  /** Size-adaptive branch pick, overridable via -Dgraft.tree.cells=
+    * force|off (r17): Verify forces the CELLS branch so the DuckDB
+    * oracle grades the code path that actually runs at 100 TB — at the
+    * oracle SFs the row count is far below the threshold and the
+    * driver would otherwise only ever measure the per-row path.
+    * LearnSpec pins both branches row-identical independently. */
   private def useCellsPath(s: SparkSession, dir: String): Boolean =
-    Tables.footerRowCount(s, s"$dir/orders.parquet") > TreeCellsMinRows
+    sys.props.get("graft.tree.cells") match {
+      case Some("force") => true
+      case Some("off") => false
+      case _ =>
+        Tables.footerRowCount(s, s"$dir/orders.parquet") > TreeCellsMinRows
+    }
 
   private def stumpFit(f: DataFrame): DataFrame =
     stumpFitFromHist(histPass(f, Nil))
@@ -1572,31 +1583,29 @@ object Learn extends QueryModule {
                  ELSE abs(v) // 72057594037927936 END AS BIGINT) AS pc
         FROM v2 ORDER BY j"""),
       (s, dir) => {
-        // persist the n-row ARRAY frame, not an exploded view of it —
-        // caching post-explode rows would copy each 64-array 64×
-        val q = t(s, dir, "embeddings").selectExpr("vec_id",
-          "transform(embedding, x -> " +
-            "CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qa")
-          .persist()
-        val e1 = q.select(col("vec_id"), col("qa"),
-          posexplode(col("qa")).as(Seq("i", "qi")))
-        val e2 = e1.select(col("i"), col("qi"),
-          posexplode(col("qa")).as(Seq("j", "qj")))
-        // qi·qj fits a primitive long (|q| < 2^21 → product < 2^42);
-        // only the ACCUMULATOR needs DECIMAL(38,0) headroom, so the
-        // multiply stays in primitive long arithmetic
-        val spp = e2.groupBy("i", "j")
-          .agg(sum(expr("CAST(qi * qj AS DECIMAL(38,0))")).as("p"))
-        val sv = e1.groupBy("i")
-          .agg(sum(expr("CAST(qi AS DECIMAL(38,0))")).as("sv"))
-        val cnt = t(s, dir, "embeddings")
-          .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
-        val c = spp.crossJoin(broadcast(cnt))
-          .join(broadcast(sv.select(col("i"), col("sv").as("svi"))), "i")
-          .join(broadcast(sv.select(col("i").as("j"), col("sv").as("svj"))),
-            "j")
-          .selectExpr("i", "j",
-            "CAST(n * p - svi * svj AS DECIMAL(38,0)) AS cij")
+        // ONE scan (round-17 optimization): the gram_sums
+        // TypedImperativeAggregate accumulates n, Σq_i and all Σq_i·q_j
+        // exactly (128-bit integer state) in a single pass — replacing
+        // the double-posexplode (d² generated rows per input row through
+        // a DECIMAL hash aggregate: 20M rows at sf0.1) plus the separate
+        // Σq_i pass and count(*) pass over the persisted array frame.
+        // The shuffle carries one ~d²-long state per partition instead
+        // of d² rows per input row; every downstream integer is
+        // bit-identical (same quantization, same wrapping products,
+        // exact integer accumulation in a different order).
+        val g = t(s, dir, "embeddings")
+          .agg(call_function("gram_sums",
+            col("embedding").cast("array<double>")).as("g"))
+        // the d²-cell covariance from the ONE-row sums frame: explode
+        // pp, derive (i, j) from the row-major index, and read Σq from
+        // the in-row sv array — no joins, no broadcasts
+        val c = g.select(col("g.n").as("n"), col("g.d").as("d"),
+            col("g.sv").as("sv"), posexplode(col("g.pp")).as(Seq("k", "p")))
+          .selectExpr("CAST(k DIV d AS INT) AS i", "CAST(k % d AS INT) AS j",
+            "CAST(n * p" +
+              " - element_at(sv, CAST(k DIV d AS INT) + 1)" +
+              " * element_at(sv, CAST(k % d AS INT) + 1)" +
+              " AS DECIMAL(38,0)) AS cij")
           .persist()
         val v1 = c.groupBy("i").agg(sum("cij").as("v"))
         val vs = v1.selectExpr("i",

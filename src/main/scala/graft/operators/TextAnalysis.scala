@@ -16,8 +16,10 @@ object TextAnalysis extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private def tokens(c: Column): Column =
-    filter(split(c, " "), x => x =!= lit(""))
+  /** Non-empty whitespace tokens — the native SpaceTokens expression
+    * (round-17): one native pass, no per-element interpreted lambda, and
+    * the subtree canonicalizes so twin pipelines share exchanges. */
+  private def tokens(c: Column): Column = call_function("space_tokens", c)
 
   /** DuckDB fragment: first 12 hex chars of md5 of lambda variable `g` →
     * BIGINT via positional digit arithmetic (no baseN conv in DuckDB) —
@@ -565,16 +567,19 @@ object TextAnalysis extends QueryModule {
         GROUP BY 1, 2 HAVING count(*) >= 3
         ORDER BY 1, 2"""),
       (s, dir) => {
-        // One winnowing pass (round-16 optimization, the jaccardPairs
-        // pattern): the fingerprint pipeline's tokens lambda never
-        // canonicalizes equal, so the df-cap aggregate and both
-        // self-join sides each re-ran the full posexplode+window
-        // pipeline (4 computes). persist() makes the cache the shared
-        // identity (df-cap + one join side read it) and the explicit
-        // repartition(fp) gives both join sides ONE reused exchange —
-        // the shuffle a sort-merge self-join pays at scale anyway.
+        // Two winnowing passes, ZERO persists (round-17 re-fix): the
+        // round-16 persist of the full pre-cap fingerprint frame +
+        // repartition regressed under the driver (4.53 s vs 3.13 s
+        // pre-round, with 8 cores beating 32 by 3.4× — the cache fill
+        // under the self-join cost more than the recompute it saved,
+        // the same InMemoryRelation-under-self-join pathology the pHash
+        // operator documents). With winnowFingerprints now lambda-free
+        // (space_tokens), the pipeline canonicalizes: the df-cap
+        // aggregate computes it once and BOTH join sides share the one
+        // explicit repartition(fp) exchange via ReuseExchange — the
+        // shuffle a sort-merge self-join pays at scale anyway.
         val post = Dedup.dfCapped(
-          winnowFingerprints(Tables.load(s, dir, "documents")).persist(),
+          winnowFingerprints(Tables.load(s, dir, "documents")),
           "fp", Dedup.DfCap).repartition(col("fp"))
         post.as("a")
           .join(post.as("b"),
@@ -913,9 +918,13 @@ object TextAnalysis extends QueryModule {
     val next =
       if (top.isEmpty) d // vocab exhausted: no adjacent pairs remain
       else d.crossJoin(broadcast(best.select("pa", "pb")))
-        .withColumn("syms", expr(
-          s"filter(split(aggregate(syms, '', " +
-            s"${bpeMergeLambda("endswith")}), chr(31)), y -> y <> '')"))
+        // native merge apply (r17): the aggregate() HOF dispatched an
+        // interpreted lambda per SYMBOL and re-concatenated the whole
+        // chr(31)-delimited accumulator per step; bpe_merge_apply is one
+        // native pass per word with identical greedy-left semantics
+        // (BpeSpec pins it against the fold and the DuckDB list_reduce)
+        .withColumn("syms",
+          call_function("bpe_merge_apply", col("syms"), col("pa"), col("pb")))
         .select("w", "f", "syms")
         .persist()
     (next, best)
@@ -957,7 +966,10 @@ object TextAnalysis extends QueryModule {
     * documents instead of materializing per-doc arrays. */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ts = filter(split(col("text"), " "), t => t =!= "")
+    // space_tokens, not filter(split(..)): same tokens, but the subtree
+    // is lambda-free so twin pipelines canonicalize equal and the
+    // winnowing self-join's two sides can share ONE exchange (r17)
+    val ts = tokens(col("text"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), posexplode(ts).as(Seq("pos", "tok")))

@@ -135,7 +135,15 @@ object Streams extends QueryModule {
       // runs over fresh checkpoints is work it does anyway.
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
-    s.table(name)
+    // snapshot the sink then DROP the temp view (r17): the memory sink
+    // holds every result row on the driver, and across a 272-query run
+    // the 14 stream tables would otherwise stay registered (and
+    // reachable) for the rest of the JVM. The returned frame is already
+    // analyzed — it references the sink directly, so consumers are
+    // unaffected and the rows become collectable once the caller is done.
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
   }
 
   val all: Seq[Q] = Seq(
