@@ -23,8 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * "last emitted symbol == pa".
   */
 case class BpeMergeApply(syms: Expression, pa: Expression, pb: Expression)
-    extends TernaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends TernaryExpression {
 
   override def first: Expression = syms
   override def second: Expression = pa
@@ -42,10 +41,30 @@ case class BpeMergeApply(syms: Expression, pa: Expression, pb: Expression)
     }
 
   protected override def nullSafeEval(symsRaw: Any, paRaw: Any,
-      pbRaw: Any): Any = {
-    val arr = symsRaw.asInstanceOf[ArrayData]
-    val a = paRaw.asInstanceOf[UTF8String]
-    val b = pbRaw.asInstanceOf[UTF8String]
+      pbRaw: Any): Any =
+    BpeMergeApply.merge(symsRaw.asInstanceOf[ArrayData],
+      paRaw.asInstanceOf[UTF8String], pbRaw.asInstanceOf[UTF8String])
+
+  // real codegen via a static call (round-17): CollapseCodegenStages
+  // drops any operator holding a CodegenFallback expression out of
+  // whole-stage codegen — the fallback spelling un-fused the per-round
+  // BPE projections (RollingHash pattern).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (s1, s2, s3) =>
+      s"graft.functions.BpeMergeApply.merge($s1, $s2, $s3)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeMergeApply =
+    copy(syms = newFirst, pa = newSecond, pb = newThird)
+}
+
+object BpeMergeApply {
+  /** Static hot-path entry — called directly from generated code. */
+  def merge(arr: ArrayData, a: UTF8String, b: UTF8String)
+      : GenericArrayData = {
     val n = arr.numElements()
     val out = new java.util.ArrayList[UTF8String](n)
     var i = 0
@@ -61,8 +80,4 @@ case class BpeMergeApply(syms: Expression, pa: Expression, pb: Expression)
     while (j < res.length) { res(j) = out.get(j); j += 1 }
     new GenericArrayData(res)
   }
-
-  override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): BpeMergeApply =
-    copy(syms = newFirst, pa = newSecond, pb = newThird)
 }

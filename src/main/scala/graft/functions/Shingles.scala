@@ -17,9 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens = split minus empties; shingle i = tokens(i..i+2) joined by one
   * space; array_distinct keeps the first occurrence.
   */
-case class TrigramShingles(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class TrigramShingles(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "trigram_shingles"
@@ -30,7 +28,27 @@ case class TrigramShingles(child: Expression)
       s"trigram_shingles requires array<string>, got ${other.sql}")
   }
 
-  protected override def nullSafeEval(tokensRaw: Any): Any = {
+  // real codegen via a static call (round-17): CollapseCodegenStages
+  // drops any operator holding a CodegenFallback expression out of
+  // whole-stage codegen, so the fallback spelling un-fused every
+  // shingle-bearing Generate/Project span (RollingHash pattern).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TrigramShingles.shingles($c)")
+
+  protected override def nullSafeEval(tokensRaw: Any): Any =
+    TrigramShingles.shingles(tokensRaw.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TrigramShingles = copy(child = newChild)
+}
+
+object TrigramShingles {
+  /** Static hot-path entry — called directly from generated code. */
+  def shingles(tokensRaw: ArrayData): GenericArrayData = {
     val arr = tokensRaw.asInstanceOf[ArrayData]
     val n = arr.numElements()
     // drop empty tokens (split on ' ' emits them for repeated spaces)
@@ -57,7 +75,4 @@ case class TrigramShingles(child: Expression)
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(
-      newChild: Expression): TrigramShingles = copy(child = newChild)
 }

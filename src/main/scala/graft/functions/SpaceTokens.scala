@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,14 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     self-join consumers recomputed the whole scan+tokenize chain
   *     (the round-16 jaccard finding; this closes the remaining sites).
   *
+  * Real codegen (not CodegenFallback): CollapseCodegenStages refuses
+  * whole-stage codegen for any operator containing a CodegenFallback
+  * expression, so the fallback spelling silently dropped every
+  * tokenize-bearing Generate/Project out of its codegen span — the same
+  * cost class as the lambda it replaced. A static JVM call on the
+  * UTF8String (the RollingHash pattern) keeps the span fused.
+  *
   * Byte-scan correctness: the separator is the single ASCII space and no
   * UTF-8 multi-byte sequence contains a 0x20 byte, so scanning bytes is
   * exact on any input. Segment slices share one backing array (no
   * per-token copy).
   */
-case class SpaceTokens(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class SpaceTokens(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "space_tokens"
@@ -39,8 +45,20 @@ case class SpaceTokens(child: Expression)
       s"space_tokens requires string, got ${other.sql}")
   }
 
-  protected override def nullSafeEval(raw: Any): Any = {
-    val bytes = raw.asInstanceOf[UTF8String].getBytes
+  protected override def nullSafeEval(raw: Any): Any =
+    SpaceTokens.tokenize(raw.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpaceTokens.tokenize($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpaceTokens = copy(child = newChild)
+}
+
+object SpaceTokens {
+  /** Static hot-path entry — called directly from generated code. */
+  def tokenize(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
     val n = bytes.length
     val out = new java.util.ArrayList[Any](16)
     var start = 0
@@ -55,7 +73,4 @@ case class SpaceTokens(child: Expression)
     if (n > start) out.add(UTF8String.fromBytes(bytes, start, n - start))
     new GenericArrayData(out.toArray)
   }
-
-  override protected def withNewChildInternal(
-      newChild: Expression): SpaceTokens = copy(child = newChild)
 }
